@@ -1,0 +1,789 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Core, RefFunctions => F}
+import graft.sources.Tables
+
+/** The driver-facing query catalog: one entry per operator family from
+  * SURVEY.md §2 plus the north-star LLM-pipeline operators (§2.11), each
+  * paired with ANSI SQL that DuckDB executes over the same parquet tables.
+  *
+  * Cross-engine determinism rules applied throughout:
+  *  - rounding uses `floor(x*s + 0.5)/s` in BOTH dialects (Spark's round()
+  *    goes through BigDecimal.valueOf's shortest-decimal repr and disagrees
+  *    with DuckDB's C-double rounding on values like 90.225);
+  *  - every window/rank has a unique tiebreak column;
+  *  - `events.ts` is ns in parquet but µs in Spark, so time ordering uses
+  *    `event_id` (verified monotone with ts) and window starts are emitted
+  *    as formatted strings;
+  *  - integer sums are cast to BIGINT on the DuckDB side (DuckDB widens to
+  *    HUGEINT, Spark to LongType);
+  *  - hashes shared across engines are md5-derived (hex → int64), since
+  *    Spark's murmur/xxhash64 and DuckDB's hash() are incompatible.
+  */
+object QueryCatalog {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  /** Engine-independent half-up rounding, exact same IEEE ops both sides. */
+  private def r(c: Column, scale: Int): Column = {
+    val m = math.pow(10, scale)
+    floor(c * m + 0.5) / m
+  }
+  private def r2(c: Column): Column = r(c, 2)
+
+  // ---------------------------------------------------------------- parity
+
+  /** A1-family hash aggregate (SURVEY §2.4): TPC-H-Q1-shaped pricing summary.
+    * One shuffle (partial+final HashAggregate); filter + 7-column projection
+    * pushed into the parquet scan. */
+  private val q01 = Q(
+    "q01_pricing_summary",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          r2(avg(col("l_quantity"))).as("avg_qty"),
+          r2(avg(col("l_extendedprice"))).as("avg_price"),
+          r2(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        floor(sum(l_quantity)*100 + 0.5)/100 AS sum_qty,
+        floor(sum(l_extendedprice)*100 + 0.5)/100 AS sum_base_price,
+        floor(sum(l_extendedprice*(1-l_discount))*100 + 0.5)/100 AS sum_disc_price,
+        floor(sum(l_extendedprice*(1-l_discount)*(1+l_tax))*100 + 0.5)/100 AS sum_charge,
+        floor(avg(l_quantity)*100 + 0.5)/100 AS avg_qty,
+        floor(avg(l_extendedprice)*100 + 0.5)/100 AS avg_price,
+        floor(avg(l_discount)*100 + 0.5)/100 AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  /** P1/P3/F1/F5 (SURVEY §2.2): selective filter + computed projection.
+    * Both predicates reach the scan as PushedFilters; no shuffle at all. */
+  private val q02 = Q(
+    "q02_filter_project",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-07-01")) &&
+          col("l_quantity") < 5)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          r2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          col("l_returnflag")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        floor(l_extendedprice*(1-l_discount)*100 + 0.5)/100 AS revenue,
+        l_returnflag
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01' AND l_quantity < 5"""))
+
+  /** J1 (SURVEY §2.3): fact enriched through a chain of broadcast dims —
+    * the reference's dict-lookup join (exchage_rate_crawler.py:338-347)
+    * re-expressed as BroadcastHashJoin; only the final groupBy shuffles. */
+  private val q03 = Q(
+    "q03_broadcast_enrich",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d)
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+        floor(sum(l_extendedprice*(1-l_discount))*100 + 0.5)/100 AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name"""))
+
+  /** J2-style left join + miss defaults (SURVEY §2.3; the README.md:119
+    * LEFT-JOIN-for-coverage design): every fact row survives, misses get
+    * 'N/A' via coalesce. */
+  private val q04 = Q(
+    "q04_left_join_defaults",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+        .withColumn("segment", coalesce(col("c_mktsegment"), lit("N/A")))
+        .groupBy(col("segment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          r2(sum(col("o_totalprice"))).as("total_price"))
+    },
+    Some("""
+      SELECT coalesce(c_mktsegment, 'N/A') AS segment,
+        count(*) AS n_orders,
+        floor(sum(o_totalprice)*100 + 0.5)/100 AS total_price
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1"""))
+
+  /** A3 pivot (SURVEY §2.4): the 4-rate-types→wide-record upsert-pivot
+    * (exchage_rate_crawler.py:386-426) re-expressed as conditional
+    * aggregation — one hash aggregate, DuckDB-mirrorable, no second pass. */
+  private val q05 = Q(
+    "q05_pivot_priority",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      def slot(p: String) = r2(sum(when(col("o_orderpriority") === p, col("o_totalprice"))))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          slot("1-URGENT").as("p1_urgent"),
+          slot("2-HIGH").as("p2_high"),
+          slot("3-MEDIUM").as("p3_medium"),
+          slot("4-NOT SPECIFIED").as("p4_notspec"),
+          slot("5-LOW").as("p5_low"),
+          count(lit(1)).as("n_orders"))
+    },
+    Some("""
+      SELECT n_name,
+        floor(sum(CASE WHEN o_orderpriority='1-URGENT' THEN o_totalprice END)*100 + 0.5)/100 AS p1_urgent,
+        floor(sum(CASE WHEN o_orderpriority='2-HIGH' THEN o_totalprice END)*100 + 0.5)/100 AS p2_high,
+        floor(sum(CASE WHEN o_orderpriority='3-MEDIUM' THEN o_totalprice END)*100 + 0.5)/100 AS p3_medium,
+        floor(sum(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN o_totalprice END)*100 + 0.5)/100 AS p4_notspec,
+        floor(sum(CASE WHEN o_orderpriority='5-LOW' THEN o_totalprice END)*100 + 0.5)/100 AS p5_low,
+        count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name"""))
+
+  /** W1/A1/A2 + F6→F9 (SURVEY §2.4, §2.5, §2.8): the full Google-Trends
+    * scoring chain — last-15 vs previous-15 means, the faithful epsilon
+    * blow-up branch, log-scale, normalize, clamped final score — per
+    * user_id over events. One window shuffle + one aggregate on user_id. */
+  private val q06 = Q(
+    "q06_trend_scores",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      val ranked = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+      val agg = ranked.groupBy(col("user_id")).agg(
+        avg(when(col("rn") <= 15, col("value"))).as("recent"),
+        avg(when(col("rn").between(16, 30), col("value"))).as("prev"),
+        max(when(col("rn") === 1, col("value"))).as("cur"))
+      val growth = F.rawGrowthKeyword(col("recent"), col("prev"))
+      val scaled = F.logScaleGrowth(growth)
+      val norm = F.normalizeGrowth(scaled)
+      agg.select(
+        col("user_id"),
+        r2(col("recent")).as("recent_avg"),
+        r2(coalesce(col("prev"), lit(0.0))).as("prev_avg"),
+        r2(growth).as("raw_growth"),
+        r2(norm).as("norm_growth"),
+        r2(col("cur")).as("current_interest"),
+        r2(F.finalTrendScore(norm, col("cur"))).as("final_trend_score"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT user_id, value,
+          row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events),
+      agg AS (
+        SELECT user_id,
+          avg(CASE WHEN rn <= 15 THEN value END) AS recent,
+          avg(CASE WHEN rn BETWEEN 16 AND 30 THEN value END) AS prev,
+          max(CASE WHEN rn = 1 THEN value END) AS cur
+        FROM ranked GROUP BY user_id),
+      g AS (
+        SELECT user_id, recent, prev, cur,
+          CASE WHEN prev IS NOT NULL AND prev > 0 THEN (recent - prev)/prev
+               WHEN recent IS NOT NULL AND recent > 0 THEN recent/1e-6
+               ELSE 0.0 END AS growth
+        FROM agg),
+      n AS (
+        SELECT user_id, recent, prev, cur, growth,
+          CASE WHEN s > 0 THEN least(s/10*100, 100.0) ELSE 0.0 END AS norm
+        FROM (SELECT *, CASE WHEN growth > 0 THEN log10(1.0 + growth)
+                             WHEN growth < 0 THEN growth ELSE 0.0 END AS s FROM g))
+      SELECT user_id,
+        floor(recent*100 + 0.5)/100 AS recent_avg,
+        floor(coalesce(prev, 0.0)*100 + 0.5)/100 AS prev_avg,
+        floor(growth*100 + 0.5)/100 AS raw_growth,
+        floor(norm*100 + 0.5)/100 AS norm_growth,
+        floor(cur*100 + 0.5)/100 AS current_interest,
+        floor(least(100.0, greatest(0.0, norm*0.7 + cur*0.3))*100 + 0.5)/100 AS final_trend_score
+      FROM n"""))
+
+  /** W2 dedup-to-latest (SURVEY §2.5): latest event per user ("latest crawl
+    * wins"). event_id is the unique, time-ordered tiebreak. */
+  private val q07 = Q(
+    "q07_dedup_latest",
+    (s, d) =>
+      Core.dedupLatest(
+        Tables.events(s, d).select(col("user_id"), col("event_id"), col("event_type"), col("value")),
+        Seq("user_id"), Seq(col("event_id"))),
+    Some("""
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+          row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events) WHERE rn = 1"""))
+
+  /** W3 top-1-per-group (SURVEY §2.5): cheapest part per brand. */
+  private val q08 = Q(
+    "q08_top1_per_group",
+    (s, d) =>
+      Core.topKPerGroup(
+        Tables.part(s, d).select(col("p_brand"), col("p_partkey"), col("p_retailprice")),
+        Seq("p_brand"), Seq(col("p_retailprice").asc, col("p_partkey").asc), 1),
+    Some("""
+      SELECT p_brand, p_partkey, p_retailprice FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC) AS rn
+        FROM part) WHERE rn = 1"""))
+
+  /** O2 global top-k (SURVEY §2.6): compiles to TakeOrderedAndProject —
+    * per-partition top-k then driver merge, no full sort at scale. */
+  private val q09 = Q(
+    "q09_global_topk",
+    (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice")),
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+
+  /** §2.7 union (pd.concat at _archive/function_app.py:183): tagged
+    * unionByName of two filtered subsets. */
+  private val q10 = Q(
+    "q10_union_tagged",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val high = c.filter(col("c_acctbal") > 7000)
+        .select(col("c_custkey"), lit("high").as("tier"), r2(col("c_acctbal")).as("acctbal"))
+      val low = c.filter(col("c_acctbal") < 1000)
+        .select(col("c_custkey"), lit("low").as("tier"), r2(col("c_acctbal")).as("acctbal"))
+      Core.unionAll(Seq(high, low))
+    },
+    Some("""
+      SELECT c_custkey, 'high' AS tier, floor(c_acctbal*100 + 0.5)/100 AS acctbal
+      FROM customer WHERE c_acctbal > 7000
+      UNION ALL
+      SELECT c_custkey, 'low' AS tier, floor(c_acctbal*100 + 0.5)/100 AS acctbal
+      FROM customer WHERE c_acctbal < 1000"""))
+
+  /** F12/F17/F21 calendar functions (SURVEY §2.8): yyyyMM month keys
+    * (exchage_rate_crawler.py:548) as grouping keys. */
+  private val q11 = Q(
+    "q11_month_key",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(F.monthKey(col("o_orderdate")).as("month_key"))
+        .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("total_price")),
+    Some("""
+      SELECT strftime(o_orderdate, '%Y%m') AS month_key,
+        count(*) AS n_orders,
+        floor(sum(o_totalprice)*100 + 0.5)/100 AS total_price
+      FROM orders GROUP BY 1"""))
+
+  /** F19/S6 JSON access (SURVEY §2.8): extract `k` from the props JSON
+    * payload, bucket it, aggregate. get_json_object stays codegen'd. */
+  private val q12 = Q(
+    "q12_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("k_bucket", col("k") % 10)
+        .groupBy(col("k_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          r2(avg(col("value"))).as("avg_value"),
+          r2(sum(col("value"))).as("sum_value")),
+    Some("""
+      SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_bucket,
+        count(*) AS n,
+        floor(avg(value)*100 + 0.5)/100 AS avg_value,
+        floor(sum(value)*100 + 0.5)/100 AS sum_value
+      FROM events GROUP BY 1"""))
+
+  /** F3/F4/F5 exchange-rate scoring (SURVEY §2.8): latest-vs-yearly-average
+    * percent change and the clamped 0-100 score, per customer over orders.
+    * max_by = the reference's "realtime" (latest) observation. */
+  private val q13 = Q(
+    "q13_exchange_score",
+    (s, d) => {
+      val byCust = Tables.orders(s, d).groupBy(col("o_custkey")).agg(
+        avg(col("o_totalprice")).as("yearly_avg"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("realtime"))
+      val pct = F.changePercent(col("realtime"), col("yearly_avg"))
+      byCust.select(
+        col("o_custkey"),
+        r2(pct).as("change_pct"),
+        r2(F.exchangeRateScore(pct)).as("score"))
+    },
+    Some("""
+      WITH byc AS (
+        SELECT o_custkey, avg(o_totalprice) AS yearly_avg,
+          arg_max(o_totalprice, o_orderkey) AS realtime
+        FROM orders GROUP BY o_custkey),
+      p AS (
+        SELECT o_custkey,
+          CASE WHEN realtime IS NOT NULL AND yearly_avg IS NOT NULL AND yearly_avg > 0
+               THEN (realtime - yearly_avg)/yearly_avg*100 END AS pct
+        FROM byc)
+      SELECT o_custkey,
+        floor(pct*100 + 0.5)/100 AS change_pct,
+        floor((CASE WHEN pct IS NULL THEN 0.0
+               ELSE least(100.0, greatest(0.0, (10.0 - pct)/20.0*100)) END)*100 + 0.5)/100 AS score
+      FROM p"""))
+
+  /** F13 price delta/state/sign-score (flight_avg_merge.py:45-48): unit
+    * price vs part retail price, Korean categorical states preserved. */
+  private val q14 = Q(
+    "q14_price_state",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val diff = col("l_extendedprice") / col("l_quantity") - col("p_retailprice")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("diff", diff)
+        .withColumn("state", F.priceState(col("diff")))
+        .withColumn("score", F.priceScore(col("diff")))
+        .groupBy(col("state"), col("score"))
+        .agg(
+          count(lit(1)).as("n"),
+          r2(avg(col("diff") / col("p_retailprice") * 100)).as("avg_pct"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT l_extendedprice/l_quantity - p_retailprice AS diff, p_retailprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+      SELECT
+        CASE WHEN diff > 0 THEN '상승' WHEN diff < 0 THEN '하락' ELSE '동일' END AS state,
+        CAST(CASE WHEN diff > 0 THEN -1 WHEN diff < 0 THEN 1 ELSE 0 END AS INT) AS score,
+        count(*) AS n,
+        floor(avg(diff/p_retailprice*100)*100 + 0.5)/100 AS avg_pct
+      FROM j GROUP BY 1, 2"""))
+
+  /** F14-style split+explode (SURVEY §2.8) doubling as token counting:
+    * per-token corpus frequency over documents. */
+  private val q15 = Q(
+    "q15_token_explode",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n")),
+    Some("""
+      SELECT token, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '' GROUP BY token"""))
+
+  /** T5 batch analog (SURVEY §2.9): tumbling 1-hour event-time window.
+    * The streaming form (watermark + window over readStream) is
+    * `graft.streaming.Events`; this batch twin is the oracle-checkable one. */
+  private val q16 = Q(
+    "q16_event_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+        .select(
+          date_format(col("w"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value")),
+    Some("""
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        event_type, count(*) AS n,
+        floor(sum(value)*100 + 0.5)/100 AS sum_value
+      FROM events GROUP BY 1, 2"""))
+
+  /** P7 keep-on-match as left-semi (SURVEY §2.2/§2.3 absent-kinds note):
+    * orders whose customer clears a balance threshold. */
+  private val q17 = Q(
+    "q17_semi_join",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val rich = Tables.customer(s, d).filter(col("c_acctbal") > 7000).select(col("c_custkey"))
+      o.join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders FROM orders
+      WHERE EXISTS (SELECT 1 FROM customer
+                    WHERE c_custkey = o_custkey AND c_acctbal > 7000)
+      GROUP BY 1"""))
+
+  /** P7 drop-on-miss inverse as left-anti: customers with no orders. */
+  private val q18 = Q(
+    "q18_anti_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_customers FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY 1"""))
+
+  // ------------------------------------------------- north-star (§2.11)
+
+  /** Exact dedup: group-by content hash, keep min doc_id. At 100 TB this is
+    * the standard first dedup pass — one shuffle on the 128-bit digest. */
+  private val q19 = Q(
+    "q19_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies")),
+    Some("""
+      SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id,
+        count(*) AS n_copies
+      FROM documents GROUP BY 1"""))
+
+  /** n-gram Jaccard near-dup join, prefix-blocked: candidate pairs share a
+    * 30-char prefix (the blocking key), then exact Jaccard over distinct
+    * token sets filters at 0.5. Blocking keeps the self-join linear-ish;
+    * the MinHash variant (q21) is the probabilistic-recall scale path. */
+  private val q20 = Q(
+    "q20_jaccard_neardup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        substring(col("text"), 1, 30).as("pfx"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      val a = docs.as("a")
+      val b = docs.as("b")
+      val jac = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+        size(array_union(col("a.toks"), col("b.toks")))
+      a.join(b, col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), jac.as("jac"))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), r(col("jac"), 3).as("jaccard"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, substr(text, 1, 30) AS pfx,
+          list_distinct(string_split(text, ' ')) AS toks
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        floor((len(list_intersect(a.toks, b.toks))::DOUBLE
+               / len(list_distinct(list_concat(a.toks, b.toks))))*1000 + 0.5)/1000 AS jaccard
+      FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5"""))
+
+  /** MinHash + LSH banding near-dup join, fully oracle-checked: word-3-gram
+    * shingles → 16 md5-derived min-hashes → 4 bands of 4 → band-bucket
+    * self-join for candidates → exact Jaccard verification at 0.5.
+    * The md5-hex→int64 hash is engine-independent (Spark murmur and DuckDB
+    * hash() are not). Production note (100 TB): swap md5 for xxhash64
+    * (graft.ops.Text.minHashSignatures) and the self-join stays on band
+    * buckets — shuffle is O(docs×bands), never O(docs²). */
+  private val q21 = Q(
+    "q21_minhash_lsh",
+    (s, d) => {
+      def hexint(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val toks = split(col("text"), " ")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles", transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        .withColumn("mh", transform(
+          sequence(lit(0), lit(15)),
+          seed => array_min(transform(col("shingles"),
+            sh => hexint(concat(seed.cast("string"), lit("|"), sh))))))
+      val banded = base.select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(3)), b => struct(
+          b.as("band_id"),
+          md5(array_join(transform(slice(col("mh"), b * 4 + 1, lit(4)),
+            x => x.cast("string")), "|")).as("band_hash")))).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      val pairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val tokset = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val jac = size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("double") /
+        size(array_union(col("ta.toks"), col("tb.toks")))
+      pairs
+        .join(tokset.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(tokset.as("tb"), col("doc_b") === col("tb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), r(col("jac"), 3).as("jaccard"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id, toks,
+          list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        FROM t WHERE len(toks) >= 3),
+      m AS (
+        SELECT doc_id,
+          list_transform(range(0, 16), seed ->
+            list_min(list_transform(shingles, sg ->
+              ('0x' || substr(md5(seed::VARCHAR || '|' || sg), 1, 15))::BIGINT))) AS mh
+        FROM sh),
+      banded AS (
+        SELECT doc_id, b.band_id,
+          md5(array_to_string(list_transform(mh[b.band_id*4+1 : b.band_id*4+4],
+            x -> x::VARCHAR), '|')) AS band_hash
+        FROM m, (SELECT unnest([0,1,2,3]) AS band_id) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM banded a JOIN banded b2
+          ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+         AND a.doc_id < b2.doc_id),
+      tokset AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents)
+      SELECT doc_a, doc_b,
+        floor((len(list_intersect(ta.toks, tb.toks))::DOUBLE
+               / len(list_distinct(list_concat(ta.toks, tb.toks))))*1000 + 0.5)/1000 AS jaccard
+      FROM pairs
+      JOIN tokset ta ON doc_a = ta.doc_id
+      JOIN tokset tb ON doc_b = tb.doc_id
+      WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
+            / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.5"""))
+
+  /** SimHash (32-bit) per document: md5-derived token hashes, per-bit
+    * vote sums, sign bits reassembled. Two narrow shuffles; at 100 TB the
+    * bit fan-out stays map-side (explode before the keyed aggregate). */
+  private val q22 = Q(
+    "q22_simhash",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("hv", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      val bits = tok
+        .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("contrib",
+          when(expr("(hv >> b) & 1") === 1, lit(1)).otherwise(lit(-1)))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("contrib")).as("s"))
+      bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0, pow(lit(2.0), col("b")).cast("long"))
+          .otherwise(lit(0L))).as("simhash"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+        FROM tok WHERE tok <> ''),
+      bits AS (
+        SELECT doc_id, b,
+          CAST(sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+        FROM h, (SELECT unnest(range(0, 32)) AS b) GROUP BY doc_id, b)
+      SELECT doc_id,
+        CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id"""))
+
+  /** Brute-force cosine top-k over embeddings (the correctness baseline for
+    * ANN; the LSH-bucketed scale path is graft.ops.Similarity.lshCosineTopK).
+    * Dot products in double via zip_with+aggregate — no UDF, stays codegen'd. */
+  private val q23 = Q(
+    "q23_cosine_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = e.withColumn("nrm",
+        sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)))
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val dot = aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val scored = q.join(n, col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot / (col("qn") * col("nrm")))
+      Core.topKPerGroup(
+        scored.select(col("q_id"), col("vec_id"), col("sim")),
+        Seq("q_id"), Seq(col("sim").desc, col("vec_id").asc), 10)
+        .select(col("q_id"), col("vec_id"), r(col("sim"), 4).as("cosine"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      q AS (
+        SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+      scored AS (
+        SELECT q.q_id, n.vec_id,
+          list_dot_product(q.qv, n.v)/(q.qn * n.nrm) AS sim
+        FROM q JOIN n ON n.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, sim,
+          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM scored)
+      SELECT q_id, vec_id, floor(sim*10000 + 0.5)/10000 AS cosine
+      FROM ranked WHERE rn <= 10"""))
+
+  /** Language-ID by stopword-marker ratio (n-gram heuristic): deterministic
+    * CASE over the marker-token ratio, confusion-matrix-style output. */
+  private val q24 = Q(
+    "q24_lang_id",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val markers = size(filter(toks, t => t === "the" || t === "a"))
+      val ratio = markers.cast("double") / size(toks)
+      Tables.documents(s, d)
+        .withColumn("predicted", when(ratio >= lit(0.05), lit("en")).otherwise(lit("und")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT lang,
+          CASE WHEN len(list_filter(string_split(text, ' '),
+                 t -> t = 'the' OR t = 'a'))::DOUBLE
+               / len(string_split(text, ' ')) >= 0.05
+          THEN 'en' ELSE 'und' END AS predicted
+        FROM documents)
+      SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1, 2"""))
+
+  /** Quality scoring: token count, average word length, stopword ratio →
+    * weighted clamp to 0-100, aggregated per source. */
+  private val q25 = Q(
+    "q25_quality_score",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val nt = size(toks).cast("double")
+      val stop = size(filter(toks, t => t === "the" || t === "a")).cast("double")
+      val awl = (col("n_chars") - (nt - 1)) / nt
+      val quality = F.clamp(
+        lit(100.0) * (least(nt / 100, lit(1.0)) * 0.4 +
+          least(awl / 6, lit(1.0)) * 0.3 +
+          (lit(1.0) - stop / nt) * 0.3), 0.0, 100.0)
+      Tables.documents(s, d)
+        .withColumn("q", r2(quality))
+        .groupBy(col("source"))
+        .agg(r2(avg(col("q"))).as("avg_quality"), count(lit(1)).as("n_docs"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT source,
+          floor(least(100.0, greatest(0.0,
+            100.0 * (least(len(string_split(text,' '))::DOUBLE/100, 1.0)*0.4
+             + least(((n_chars - (len(string_split(text,' '))::DOUBLE - 1))
+                      / len(string_split(text,' '))::DOUBLE)/6, 1.0)*0.3
+             + (1.0 - len(list_filter(string_split(text,' '),
+                   t -> t = 'the' OR t = 'a'))::DOUBLE
+                 / len(string_split(text,' '))::DOUBLE)*0.3)))*100 + 0.5)/100 AS q
+        FROM documents)
+      SELECT source, floor(avg(q)*100 + 0.5)/100 AS avg_quality,
+        count(*) AS n_docs
+      FROM p GROUP BY source"""))
+
+  /** Token counting per language: whitespace tokens + a BPE-ish max-4-char
+    * greedy regex tokenizer + char stats. */
+  private val q26 = Q(
+    "q26_token_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("bpe_tokens",
+          size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          sum(col("ws_tokens")).as("sum_ws_tokens"),
+          sum(col("bpe_tokens")).as("sum_bpe_tokens"),
+          r2(avg(col("n_chars"))).as("avg_chars"),
+          count(lit(1)).as("n_docs")),
+    Some("""
+      SELECT lang,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+        CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS sum_bpe_tokens,
+        floor(avg(n_chars)*100 + 0.5)/100 AS avg_chars,
+        count(*) AS n_docs
+      FROM documents GROUP BY lang"""))
+
+  /** Document fingerprinting: full md5 digest + a 60-bit integer prefix
+    * fingerprint. (The Rabin-Karp rolling-hash variant is the custom
+    * Catalyst expression graft.functions.rolling_hash, codegen'd; it has no
+    * DuckDB twin so it is exercised by RollingHashSpec instead.) */
+  private val q27 = Q(
+    "q27_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp_int60")),
+    Some("""
+      SELECT doc_id, md5(text) AS fp_md5,
+        ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp_int60
+      FROM documents"""))
+
+  /** Multimodal plumbing (oracle-checkable slice): documents as opaque
+    * binary payloads — byte length, content digest, first-8-byte hex
+    * "frame sample". The full typed pipeline (metadata struct, stubbed
+    * decode, feature extraction over mapPartitions) is
+    * graft.ops.Multimodal + MultimodalSpec. */
+  private val q28 = Q(
+    "q28_multimodal_meta",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        md5(col("text")).as("digest"),
+        hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("head8_hex")),
+    Some("""
+      SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS digest,
+        hex(substr(text, 1, 8)::BLOB) AS head8_hex
+      FROM documents"""))
+
+  // ---------------------------------------------------------------- wiring
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25, q26, q27, q28)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+}
