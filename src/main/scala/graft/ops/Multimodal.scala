@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star multimodal-column plumbing (SURVEY.md §2.11): media payloads
+  * as opaque `binary` columns with typed metadata, decode / feature-extract
+  * / resize / frame-sample as per-partition typed transforms.
+  *
+  * The actual codec step is STUBBED (this container has no image/audio
+  * libraries): `decodeStub` produces a deterministic fake "decode" from the
+  * payload bytes. Everything around it — the schema, the binary column, the
+  * partition-parallel execution shape, the batch signature a real codec UDF
+  * would slot into — is real Spark and tested (MultimodalSpec).
+  *
+  * Scale notes: payloads never hit the driver; decode/feature work is
+  * `mapPartitions` (the Scala analog of a batched pandas UDF — one
+  * initialization per partition, streaming iterator, no per-row codec
+  * setup). Metadata-only queries prune the binary column at the parquet
+  * scan, so "how many 4K frames" never reads pixels.
+  */
+object Multimodal {
+
+  case class MediaRecord(
+      doc_id: Long,
+      payload: Array[Byte],
+      format: String,
+      n_bytes: Long)
+
+  case class DecodedMedia(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      pixels: Array[Int]) // fake "decoded" byte histogram, 16 bins
+
+  case class MediaFeatures(
+      doc_id: Long,
+      feature: Array[Double]) // normalized 16-dim histogram feature
+
+  /** Attach a binary payload column (here: UTF-8 of text — stands in for
+    * image/audio bytes) plus typed metadata. */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("text/plain").as("format"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+
+  /** STUB decode — deterministic fake: "image" dimensions derived from the
+    * byte length, "pixels" = 16-bin byte-value histogram. A real build
+    * replaces ONLY the body of `decodeOne` with a codec call (libjpeg,
+    * ffmpeg, ...); the Spark plumbing around it is final. */
+  private def decodeOne(m: MediaRecord): DecodedMedia = {
+    val width = 16
+    val height = ((m.n_bytes + width - 1) / width).toInt
+    val hist = new Array[Int](16)
+    m.payload.foreach(b => hist((b & 0xff) / 16) += 1)
+    DecodedMedia(m.doc_id, width, height, n_frames = height / 16 + 1, pixels = hist)
+  }
+
+  /** Partition-parallel decode: one iterator pass per partition, codec
+    * state initialized once per partition (the `mapPartitions` boundary is
+    * exactly where a real decoder's native context would live). */
+  def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real impl: val codec = Codec.init() here, once per partition
+      it.map(decodeOne)
+    }
+  }
+
+  /** Feature extraction: L1-normalized histogram as a dense vector. */
+  def features(decoded: Dataset[DecodedMedia]): Dataset[MediaFeatures] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val total = math.max(1, d.pixels.sum)
+      MediaFeatures(d.doc_id, d.pixels.map(_.toDouble / total))
+    }
+  }
+
+  /** Frame sampling: every `stride`-th byte of the payload ("frames" of the
+    * fake stream) — declarative, stays columnar. */
+  def frameSample(media: DataFrame, stride: Int): DataFrame =
+    media.select(
+      col("doc_id"),
+      transform(
+        sequence(lit(1), (col("n_bytes") / stride).cast("int")),
+        i => col("payload").substr((i - 1) * stride + 1, lit(1))).as("frames"))
+
+  /** End-to-end: documents → payloads → decoded → features (DataFrame out
+    * so downstream joins stay untyped). */
+  def pipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = attachPayload(docs).as[MediaRecord]
+    features(decode(media)).toDF()
+  }
+}

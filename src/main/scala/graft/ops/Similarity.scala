@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** North-star similarity search over embedding columns (SURVEY.md §2.11).
+  *
+  * Brute-force cosine is the correctness baseline (exact, O(queries×corpus),
+  * fine when the query set is small or the corpus is pre-filtered). The
+  * scale path is LSH bucketing by random-hyperplane sign bits: at 100 TB the
+  * corpus is bucketed once (narrow shuffle on the bucket key), queries probe
+  * only their bucket (plus optional multi-probe neighbors), so the join is
+  * O(corpus) + O(queries × bucket size) instead of O(queries × corpus).
+  * All vector math is SQL higher-order functions — codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Cast an array<float> embedding to array<double> for stable math. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Norms are precomputed once per side; ranking carries a unique
+    * tiebreak so results are deterministic. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val q = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val scored = q.join(c, col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    Core.topKPerGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("vec_id").asc), k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * fixed function of (p, j) — reproducible across sessions with no RNG
+    * state to ship. */
+  private[ops] def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (p, j) =>
+      val h = scala.util.hashing.MurmurHash3.productHash((p, j, "graft-lsh"))
+      (h % 1000) / 1000.0
+    }
+
+  /** Sign-bit LSH bucket id for a vector: bit p = sign(v · plane_p). */
+  def lshBucket(v: Column, numPlanes: Int, dim: Int): Column = {
+    val ps = planes(numPlanes, dim)
+    val bits = ps.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(v, planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: corpus and queries are bucketed by hyperplane sign
+    * bits; cosine is computed only within matching buckets. Recall < 1 by
+    * construction (documented tradeoff); raise `numPlanes` for smaller
+    * buckets, lower it for higher recall. */
+  def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), numPlanes, dim))
+    val q = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+      .withColumn("bucket", lshBucket(col("qv"), numPlanes, dim))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    Core.topKPerGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("vec_id").asc), k)
+  }
+}

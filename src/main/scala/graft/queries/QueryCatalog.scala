@@ -774,12 +774,65 @@ object QueryCatalog {
         hex(substr(text, 1, 8)::BLOB) AS head8_hex
       FROM documents"""))
 
+  /** J6 — the multi-source attractiveness gold join (README.md:84-85,107):
+    * master dim LEFT-joins three independently-aggregated score sources
+    * (orders via customer, lineitem revenue via supplier, events "trend"
+    * keyed by user_id%25) and takes a weighted clamped score. Missing
+    * sources coalesce to 0 — a master row never drops (README.md:119). */
+  private val q29 = Q(
+    "q29_gold_join",
+    (s, d) => {
+      val nation = Tables.nation(s, d)
+      val fx = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("n_nationkey"))
+        .agg(least(lit(100.0), avg(col("o_totalprice")) / 2000).as("score_fx"))
+      val rev = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("n_nationkey"))
+        .agg(least(lit(100.0), sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) / 1e7).as("score_rev"))
+      val trend = Tables.events(s, d)
+        .groupBy((col("user_id") % 25).cast("int").as("n_nationkey"))
+        .agg(least(lit(100.0), avg(col("value")) / 2).as("score_trend"))
+      graft.ops.Gold.attractiveness(
+        nation.select(col("n_nationkey"), col("n_name")), "n_nationkey",
+        Seq((fx, "score_fx", 0.5), (rev, "score_rev", 0.3), (trend, "score_trend", 0.2)))
+        .select(
+          col("n_name"),
+          r2(coalesce(col("score_fx"), lit(0.0))).as("score_fx"),
+          r2(coalesce(col("score_rev"), lit(0.0))).as("score_rev"),
+          r2(coalesce(col("score_trend"), lit(0.0))).as("score_trend"),
+          col("attractiveness_score"))
+    },
+    Some("""
+      WITH fx AS (
+        SELECT c_nationkey AS k, least(100.0, avg(o_totalprice)/2000) AS score_fx
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      rev AS (
+        SELECT s_nationkey AS k,
+          least(100.0, sum(l_extendedprice*(1-l_discount))/1e7) AS score_rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1),
+      trend AS (
+        SELECT CAST(user_id % 25 AS INT) AS k, least(100.0, avg(value)/2) AS score_trend
+        FROM events GROUP BY 1)
+      SELECT n_name,
+        floor(coalesce(score_fx, 0.0)*100 + 0.5)/100 AS score_fx,
+        floor(coalesce(score_rev, 0.0)*100 + 0.5)/100 AS score_rev,
+        floor(coalesce(score_trend, 0.0)*100 + 0.5)/100 AS score_trend,
+        floor(least(100.0, greatest(0.0,
+          coalesce(score_fx, 0.0)*0.5 + coalesce(score_rev, 0.0)*0.3
+          + coalesce(score_trend, 0.0)*0.2))*100 + 0.5)/100 AS attractiveness_score
+      FROM nation
+      LEFT JOIN fx ON n_nationkey = fx.k
+      LEFT JOIN rev ON n_nationkey = rev.k
+      LEFT JOIN trend ON n_nationkey = trend.k"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

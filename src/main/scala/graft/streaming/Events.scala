@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY.md §2.9).
+  *
+  * The reference's streaming architecture is timer-triggered micro-batches
+  * into Event Hubs with ASA doing "simple filter/transform" downstream
+  * (README.md:66-83); it has no watermarks or stateful operators (T5).
+  * Re-expressed Spark-first:
+  *  - T2 → `tumblingCounts`: watermarked event-time tumbling window —
+  *    the one streaming aggregation the driver's `events` fixture needs;
+  *  - T4 ("latest wins" idempotency) → `latestPerUser` via dropDuplicates
+  *    on a watermarked stream;
+  *  - beyond-reference: `sessionize` shows the custom-state path
+  *    (flatMapGroupsWithState) a 100 TB pipeline uses for sessionization.
+  *
+  * All transforms take a (possibly streaming) DataFrame, so batch tests
+  * and `readStream` callers share the same code path.
+  */
+object Events {
+
+  /** T5 — tumbling event-time window + watermark: counts and value sums
+    * per (window, event_type). Late rows beyond 10 minutes are dropped. */
+  def tumblingCounts(events: DataFrame, window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** T4 — at-least-once dedup: latest state per user on a watermarked
+    * stream (streaming analog of Core.dedupLatest). */
+  def latestPerUser(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates(Seq("user_id", "event_id"))
+
+  case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class Session(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
+
+  /** Custom-state sessionization: per-user running aggregate that emits a
+    * closed session after `gapMs` of processing-time silence. */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 60000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(s.copy(closed = true))
+          } else {
+            val prev = state.getOption.getOrElse(Session(userId, 0L, 0.0, closed = false))
+            val batch = rows.toSeq
+            val next = prev.copy(
+              n_events = prev.n_events + batch.size,
+              total_value = prev.total_value + batch.map(_.value).sum)
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.Multimodal
+import graft.streaming.Events
+
+class MultimodalStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ multimodal
+
+  private def docs = Seq(
+    (0L, "hello world"),
+    (1L, "spark multimodal plumbing test payload")
+  ).toDF("doc_id", "text")
+
+  test("multimodal: payload attach keeps metadata queries binary-free") {
+    val media = Multimodal.attachPayload(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val meta = media.select($"doc_id", $"n_bytes", $"format")
+    assert(meta.filter($"doc_id" === 0L).head().getAs[Long]("n_bytes") == 11L)
+  }
+
+  test("multimodal: stubbed decode + features are deterministic, L1-normalized") {
+    val f1 = Multimodal.pipeline(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Double]]("feature")).toMap
+    val f2 = Multimodal.pipeline(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Double]]("feature")).toMap
+    assert(f1 == f2)
+    assert(f1(0L).size == 16)
+    assert(math.abs(f1(0L).sum - 1.0) < 1e-9)
+  }
+
+  test("multimodal: frame sampling batch shape") {
+    val frames = Multimodal.frameSample(Multimodal.attachPayload(docs), stride = 4)
+    val h = frames.filter($"doc_id" === 1L).head().getAs[scala.collection.Seq[Array[Byte]]]("frames")
+    assert(h.size == 38 / 4)
+    assert(h.forall(_.length == 1))
+  }
+
+  // ------------------------------------------------------------- streaming
+
+  private def ev(id: Long, user: Long, t: String, typ: String, v: Double) =
+    (id, Timestamp.valueOf(t), user, typ, v)
+
+  test("T5 tumbling window: batch and streaming agree") {
+    val rows = Seq(
+      ev(0, 1, "2024-01-01 00:01:00", "click", 1.0),
+      ev(1, 1, "2024-01-01 00:02:00", "click", 2.0),
+      ev(2, 2, "2024-01-01 00:06:00", "click", 4.0),
+      ev(3, 2, "2024-01-01 00:07:30", "view", 8.0))
+    val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batchGot = Events.tumblingCounts(batch)
+      .orderBy($"window_start", $"event_type").collect()
+    assert(batchGot.length == 3)
+    assert(batchGot.head.getAs[Long]("n") == 2)
+    assert(batchGot.head.getAs[Double]("sum_value") == 3.0)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Events.tumblingCounts(sdf).writeStream
+      .format("memory").queryName("t5_out").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    stream.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamGot = spark.sql("SELECT * FROM t5_out")
+      .orderBy($"window_start", $"event_type").collect()
+    assert(streamGot.map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSeq ==
+      batchGot.map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSeq)
+  }
+
+  test("sessionize: custom state keeps sessions open until timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Events.Ev]
+    stream.addData(
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:00:00"), "click", 1.0),
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:00:30"), "click", 2.0))
+    // AvailableNow: drain the queued batch then stop (processAllAvailable
+    // never settles under ProcessingTimeTimeout's continuous batch clock)
+    val q = Events.sessionize(stream.toDS()).writeStream
+      .format("memory").queryName("sessions_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    // sessions still open (no timeout fired) -> append output empty
+    assert(spark.sql("SELECT * FROM sessions_out").count() == 0)
+    q.stop()
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.QueryCatalog
+
+/** Plan-shape guards (SURVEY.md §5.5): dims broadcast, filters pushed to
+  * the scan, top-k compiles to TakeOrderedAndProject, nothing falls out of
+  * whole-stage codegen into UDF/Python nodes. These are the properties that
+  * keep the plans 100-TB-shaped; correctness alone wouldn't catch a
+  * regression to shuffle joins or unpushed filters. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    QueryCatalog.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q03: dim chain compiles to broadcast hash joins, not shuffle joins") {
+    val p = plan("q03_broadcast_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q02: both predicates reach the parquet scan as pushed filters") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_quantity"), p)
+    assert(!p.replaceAll("PushedFilters: \\[[^\\]]*\\]", "").contains("PushedFilters: []"), p)
+  }
+
+  test("q09: global top-k is TakeOrderedAndProject (no full sort)") {
+    val p = plan("q09_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("reference-parity queries stay UDF-free / codegen-able") {
+    Seq("q01_pricing_summary", "q03_broadcast_enrich", "q06_trend_scores",
+      "q13_exchange_score", "q16_event_window").foreach { name =>
+      val df = QueryCatalog.queries(name)(spark, sf())
+      val qe = df.queryExecution
+      df.collect() // materialize THIS queryExecution so AQE finalizes it
+      val p = qe.executedPlan.toString
+      // codegen spans appear as "WholeStageCodegen" (non-AQE) or "*(n) "
+      // stage prefixes (AQE final plan)
+      assert(p.contains("WholeStageCodegen") || p.matches("(?s).*\\*\\(\\d+\\) .*"),
+        s"$name lost codegen:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$name contains UDF nodes:\n$p")
+    }
+  }
+
+  test("q17/q18: semi and anti joins stay broadcast") {
+    assert(plan("q17_semi_join").contains("BroadcastHashJoin"))
+    val p18 = plan("q18_anti_join")
+    assert(p18.contains("BroadcastHashJoin") || p18.contains("BroadcastNestedLoopJoin"), p18)
+  }
+
+  test("queries and oracles are consistently keyed") {
+    val qs = QueryCatalog.queries.keySet
+    val os = QueryCatalog.oracleSql.keySet
+    assert(os.subsetOf(qs))
+    assert(qs.size == 29)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Similarity, Text}
+
+/** North-star dedup/similarity library (the xxhash64 scale-path variants;
+  * the md5 oracle twins are covered by the driver's DuckDB gate). */
+class TextSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "tiny")                                          // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("exactDedup: dup group collapses to keeper with count") {
+    val d = Text.exactDedup(docs)
+    assert(d.count() == 4) // 0&3 collapse
+    val grp = d.filter($"n_copies" === 2).head()
+    assert(grp.getAs[Long]("keeper_id") == 0L)
+  }
+
+  test("minhash signature: identical docs identical, near-dups close") {
+    val sig = docs.select($"doc_id",
+      Text.minHashSignature(Text.shingles(Text.tokens($"text"))).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Long]]("sig")).toMap
+    assert(sig(0L) == sig(3L))
+    val agree = sig(0L).zip(sig(1L)).count { case (a, b) => a == b }
+    assert(agree >= 8, s"near-dups should agree on most minhashes, got $agree/16")
+  }
+
+  test("nearDupPairs: finds planted near-dup and exact dup, skips distinct") {
+    val pairs = Text.nearDupPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simHash64: exact dups equal, near-dups within small hamming") {
+    val sim = Text.simHash64(docs)
+    val m = sim.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(m(0L) == m(3L))
+    val h01 = java.lang.Long.bitCount(m(0L) ^ m(1L))
+    val h02 = java.lang.Long.bitCount(m(0L) ^ m(2L))
+    assert(h01 < h02, s"near-dup hamming $h01 should beat distinct $h02")
+  }
+
+  test("simHashPairs: banding surfaces the exact-dup pair") {
+    val pairs = Text.simHashPairs(Text.simHash64(docs), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("cosine: identity is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine(
+      Similarity.asDouble($"a"), Similarity.asDouble($"b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12 && math.abs(got(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK: nearest neighbor is the planted duplicate vector") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)), // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0L), k = 2).collect()
+    assert(top.head.getAs[Long]("vec_id") == 1L)
+  }
+
+  test("lshCosineTopK: identical vectors land in the same bucket and rank first") {
+    val emb = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (1L, Array.fill(8)(0.5f)),            // identical direction to 0
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.lshCosineTopK(emb, emb.filter($"vec_id" === 0L),
+      k = 1, numPlanes = 4, dim = 8).collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("vec_id") == 1L)
+    assert(math.abs(top.head.getAs[Double]("sim") - 1.0) < 1e-12)
+  }
+
+  test("real embeddings: LSH recall against brute force on sf0.001") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val queries = emb.filter($"vec_id" < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosineTopK(emb, queries, 5, numPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    // random 64-dim embeddings are the worst case for sign-LSH (neighbors
+    // are barely above chance); this pins the plumbing + the tradeoff's
+    // direction, not production recall. numPlanes=2 -> 4 coarse buckets.
+    assert(recall >= 0.2, s"LSH recall vs brute force = $recall")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Date
+
+import graft.ops.Trends
+
+/** Trends pipeline on an authored long-form fixture (FIXTURES.md B4):
+  * window means, epsilon vs anchor branches, is_partial drop,
+  * standardization defaults. */
+class TrendsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(keyword: String, vals: Seq[Int], partialLast: Boolean = false) =
+    vals.zipWithIndex.map { case (v, i) =>
+      (Date.valueOf(java.time.LocalDate.of(2025, 6, 1).plusDays(i)),
+        keyword, v, i == vals.size - 1 && partialLast)
+    }
+
+  // keyword A: prev mean 10, recent mean 20 -> growth 1.0
+  // keyword B: prev mean 0, recent mean 5 -> epsilon blow-up
+  // anchor:    prev mean 0, recent mean 4 -> 1.0 (asymmetric)
+  private def interest = (
+    series("일본 여행", Seq.fill(15)(10) ++ Seq.fill(15)(20)) ++
+      series("화성 여행", Seq.fill(15)(0) ++ Seq.fill(15)(5)) ++
+      series(Trends.AnchorKeyword, Seq.fill(15)(0) ++ Seq.fill(15)(4)) ++
+      // partial row must be dropped: without drop it would shift A's window
+      series("일본 여행", Seq(99), partialLast = true).map(r => (Date.valueOf("2025-07-01"), r._2, r._3, true))
+    ).toDF("date", "keyword", "interest", "is_partial")
+
+  private def stdMap = Seq(
+    ("일본", "Japan", "JPN", "JP")
+  ).toDF("korean_name", "english_name", "country_code_3", "country_code_2")
+
+  test("A1/A2 window means with is_partial dropped") {
+    val m = Trends.keywordMetrics(interest)
+      .filter($"keyword" === "일본 여행").head()
+    assert(m.getAs[Double]("recent_mean") == 20.0)
+    assert(m.getAs[Double]("prev_mean") == 10.0)
+    assert(m.getAs[Int]("current_interest") == 20)
+  }
+
+  test("F6 branches: keyword epsilon vs anchor 1.0") {
+    val g = Trends.withRawGrowth(Trends.keywordMetrics(interest))
+    val byKw = g.collect().map(r => r.getAs[String]("keyword") -> r.getAs[Double]("raw_growth")).toMap
+    assert(byKw("일본 여행") == 1.0)
+    assert(byKw("화성 여행") == 5.0 / 1e-6)
+    assert(byKw(Trends.AnchorKeyword) == 1.0)
+  }
+
+  test("J2 standardization: hit enriches, miss gets Unknown defaults") {
+    val gold = Trends.gold(interest, stdMap)
+    val jp = gold.filter($"keyword" === "일본 여행").head()
+    assert(jp.getAs[String]("country_english_name") == "Japan")
+    assert(jp.getAs[String]("country_code_3") == "JPN")
+    assert(jp.getAs[String]("dataType") == "googleTrend")
+    val mars = gold.filter($"keyword" === "화성 여행").head()
+    assert(mars.getAs[String]("country_english_name") == "Unknown_English")
+    assert(mars.getAs[String]("country_code_3") == "N/A")
+    assert(mars.getAs[String]("country_korean_name") == "화성")
+  }
+
+  test("F7-F9 chain: scores clamped to [0,100]") {
+    val gold = Trends.gold(interest, stdMap)
+    val scores = gold.select($"final_trend_score").as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 100.0))
+    // epsilon keyword: log10(1+5e6)=6.699 -> norm min(67,100)=66.99 ->
+    // 0.7*66.99 + 0.3*5 = 48.39
+    val mars = gold.filter($"keyword" === "화성 여행").head()
+    assert(math.abs(mars.getAs[Double]("final_trend_score") - 48.39) < 0.02)
+  }
+}
