@@ -19,6 +19,24 @@ object Text {
 
   def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
 
+  /** Distinct (doc_a < doc_b) pairs of ids sharing a bucket key — the
+    * LSH candidate generator. One shuffle on the key; pair fan-out happens
+    * inside each bucket (skew = genuinely-duplicated content, which any
+    * verify step must touch anyway). */
+  def bucketPairs(df: DataFrame, keys: Seq[String], idCol: String = "doc_id"): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ids")) - 1),
+        i => transform(
+          sequence(i + 1, size(col("ids"))),
+          j => struct(
+            element_at(col("ids"), i).as("doc_a"),
+            element_at(col("ids"), j).as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+
   /** Word n-gram shingles (default 3); empty array for short docs
     * (sequence(1, 0) would count DOWN in Spark, so guard explicitly). */
   def shingles(toks: Column, n: Int = 3): Column =
@@ -28,12 +46,37 @@ object Text {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature: `numHashes` xxhash64-seeded minima over shingles.
-    * Null for docs with no shingles. */
+  /** MinHash signature as a column expression: `numHashes` xxhash64-seeded
+    * minima over shingles. Null for docs with no shingles.
+    * NOTE small-data only: nested higher-order lambdas re-evaluate their
+    * inlined argument per outer iteration — for corpora use
+    * `minHashTable` (explode + codegen'd aggregate form). */
   def minHashSignature(sh: Column, numHashes: Int = 16): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       seed => array_min(transform(sh, s => xxhash64(seed, s))))
+
+  private val MersennePrime31 = 2147483647L
+
+  /** MinHash signatures at scale: one xxhash64 per shingle (codegen'd,
+    * evaluated once via explode), `numHashes` affine-seeded minima as plain
+    * aggregates, reassembled into (doc_id, sig array<long>). One shuffle. */
+  def minHashTable(docs: DataFrame, numHashes: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val M = MersennePrime31
+    val shingleRows = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
+      .select(col("doc_id"), (pmod(xxhash64(col("sh")), lit(M))).as("h"))
+    val minCols = (0 until numHashes).map(seed =>
+      min((col("h") * (seed * 2 + 1) + seed * 1000003L) % M).as(s"m$seed"))
+    shingleRows
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH band digests from a signature: `bands` hashes of `rowsPerBand`
     * consecutive signature slots. */
@@ -58,21 +101,14 @@ object Text {
       threshold: Double = 0.5,
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    val base = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("sig", minHashSignature(shingles(col("toks")), numHashes))
-      .filter(size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
+    val base = minHashTable(docs, numHashes)
     val banded = base.select(
       col("doc_id"),
       explode(lshBands(col("sig"), bands, numHashes / bands)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // bucket-combination form: signatures evaluated once, one groupBy
+    // shuffle on the band key; a self-join would recompute them per side
+    val pairs = bucketPairs(banded, Seq("band_id", "band_hash"))
     val tokset = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
     val jac = size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("double") /
       size(array_union(col("ta.toks"), col("tb.toks")))
@@ -110,16 +146,16 @@ object Text {
       lit(b).as("band_id"),
       shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("chunk")))
     val banded = sim.select(
-      col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("p"))
-      .select(col("doc_id"), col("simhash"), col("p.band_id"), col("p.chunk"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .distinct()
+      col("doc_id"), explode(array(chunks: _*)).as("p"))
+      .select(col("doc_id"), col("p.band_id"), col("p.chunk"))
+    // candidates via bucket combos, then hamming verify by joining the
+    // per-doc simhash back (persist `sim` upstream if it is expensive —
+    // each join branch re-evaluates its input plan)
+    bucketPairs(banded, Seq("band_id", "chunk"))
+      .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), Seq("doc_a"))
+      .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming64(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

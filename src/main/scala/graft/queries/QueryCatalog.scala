@@ -512,19 +512,30 @@ object QueryCatalog {
   private val q21 = Q(
     "q21_minhash_lsh",
     (s, d) => {
+      // One md5 per shingle, then 16 seeded hashes by affine arithmetic
+      // mod the Mersenne prime 2^31-1 — 16x fewer digests than hashing
+      // (seed, shingle) pairs, and DuckDB mirrors the integer math exactly.
+      val M = 2147483647L
       def hexint(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
       val toks = split(col("text"), " ")
-      val base = Tables.documents(s, d)
+      // Explode shingles to rows and hash each ONCE in codegen, then take
+      // the 16 seeded minima as plain aggregates. (A nested higher-order
+      // formulation re-evaluates the inlined hash lambda per outer
+      // iteration after CollapseProject — 16-64x duplicate md5 work.)
+      val shingleRows = Tables.documents(s, d)
         .select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) >= 3)
-        .withColumn("shingles", transform(
+        .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(col("toks")) - 2),
           i => concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
-        .withColumn("mh", transform(
-          sequence(lit(0), lit(15)),
-          seed => array_min(transform(col("shingles"),
-            sh => hexint(concat(seed.cast("string"), lit("|"), sh))))))
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("sh"))
+        .select(col("doc_id"), (hexint(col("sh")) % M).as("h"))
+      val minCols = (0 until 16).map(seed =>
+        min((col("h") * (seed * 2 + 1) + seed * 1000003L) % M).as(s"m$seed"))
+      val base = shingleRows
+        .groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"), array((0 until 16).map(i => col(s"m$i")): _*).as("mh"))
       val banded = base.select(
         col("doc_id"),
         explode(transform(sequence(lit(0), lit(3)), b => struct(
@@ -532,12 +543,22 @@ object QueryCatalog {
           md5(array_join(transform(slice(col("mh"), b * 4 + 1, lit(4)),
             x => x.cast("string")), "|")).as("band_hash")))).as("band"))
         .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-      val pairs = banded.as("a")
-        .join(banded.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // Bucket-combination form instead of a self-join: the expensive
+      // minhash subtree is evaluated ONCE, candidates come from one
+      // groupBy shuffle on the band key (a self-join would re-evaluate
+      // the whole signature computation on both sides).
+      val pairs = banded
+        .groupBy(col("band_id"), col("band_hash"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(flatten(transform(
+          sequence(lit(1), size(col("ids")) - 1),
+          i => transform(
+            sequence(i + 1, size(col("ids"))),
+            j => struct(
+              element_at(col("ids"), i).as("doc_a"),
+              element_at(col("ids"), j).as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
         .distinct()
       val tokset = Tables.documents(s, d)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
@@ -558,12 +579,17 @@ object QueryCatalog {
           list_transform(range(1, len(toks) - 1),
             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
         FROM t WHERE len(toks) >= 3),
+      hsrc AS (
+        SELECT doc_id,
+          list_transform(shingles, sg ->
+            ('0x' || substr(md5(sg), 1, 15))::BIGINT % 2147483647) AS hs
+        FROM sh),
       m AS (
         SELECT doc_id,
           list_transform(range(0, 16), seed ->
-            list_min(list_transform(shingles, sg ->
-              ('0x' || substr(md5(seed::VARCHAR || '|' || sg), 1, 15))::BIGINT))) AS mh
-        FROM sh),
+            list_min(list_transform(hs, h ->
+              (h * (seed*2 + 1) + seed*1000003) % 2147483647))) AS mh
+        FROM hsrc),
       banded AS (
         SELECT doc_id, b.band_id,
           md5(array_to_string(list_transform(mh[b.band_id*4+1 : b.band_id*4+4],

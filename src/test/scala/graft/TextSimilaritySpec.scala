@@ -34,7 +34,9 @@ class TextSimilaritySpec extends SparkSpec {
   }
 
   test("nearDupPairs: finds planted near-dup and exact dup, skips distinct") {
-    val pairs = Text.nearDupPairs(docs, threshold = 0.5)
+    // 8 bands x 2 rows: high candidate recall at this tiny scale (banding
+    // is probabilistic; 4x4 happens to miss the 0.75-jaccard pair here)
+    val pairs = Text.nearDupPairs(docs, threshold = 0.5, numHashes = 16, bands = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 3L)))
     assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)))
