@@ -853,12 +853,86 @@ object QueryCatalog {
       LEFT JOIN rev ON n_nationkey = rev.k
       LEFT JOIN trend ON n_nationkey = trend.k"""))
 
+  /** Rollup hierarchy totals (region → nation → grand total) — the
+    * multi-level aggregation a gold dashboard layer needs; subtotal rows
+    * carry NULL keys in both engines. */
+  private val q30 = Q(
+    "q30_rollup",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("total_price")),
+    Some("""
+      SELECT r_name, n_name, count(*) AS n_orders,
+        floor(sum(o_totalprice)*100 + 0.5)/100 AS total_price
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)"""))
+
+  /** Distinct aggregation (exact): distinct orders/parts per return flag.
+    * (approx_count_distinct exists but its HLL sketch differs from
+    * DuckDB's, so the oracle-checked form is exact.) */
+  private val q31 = Q(
+    "q31_distinct_agg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows")),
+    Some("""
+      SELECT l_returnflag,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        count(*) AS n_rows
+      FROM lineitem GROUP BY 1"""))
+
+  /** Embedding-cosine near-dup pairs, metadata-blocked: candidate pairs
+    * share a label (the blocking key — at 100 TB this is an LSH bucket or
+    * IVF cell, see graft.ops.Similarity.lshCosineTopK), then exact cosine
+    * filters. Threshold 0.45 sits just under this corpus's in-label max. */
+  private val q32 = Q(
+    "q32_embedding_neardup",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = e.withColumn("nrm",
+        sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)))
+      val a = n.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"), col("nrm").as("nb"))
+      val sim = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", sim)
+        .filter(col("sim") >= 0.45)
+        .select(col("id_a"), col("id_b"), col("label"), r(col("sim"), 4).as("cosine"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+        floor((list_dot_product(a.v, b.v)/(a.nrm*b.nrm))*10000 + 0.5)/10000 AS cosine
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.45"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q32)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
