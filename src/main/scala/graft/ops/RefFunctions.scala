@@ -98,6 +98,19 @@ object RefFunctions {
   /** F21 — month-key string `"YYYYMM"`. Ref: exchage_rate_crawler.py:548. */
   def monthKey(d: Column): Column = date_format(d, "yyyyMM")
 
+  /** F17 — calendar helpers (exchage_rate_crawler.py:75-103). */
+  def firstDayOfYear(d: Column): Column = trunc(d, "year")
+  def firstDayOfMonth(d: Column): Column = trunc(d, "month")
+  def lastDayOfMonth(d: Column): Column = last_day(d)
+  def yyyymmdd(d: Column): Column = date_format(d, "yyyyMMdd")
+
+  /** F18 — ISO-8601 timestamps, UTC + KST pair (exchage_rate_crawler.py:
+    * 256-264; KST = UTC+9, _archive/function_app.py:86). Session timezone
+    * is UTC, so the KST twin is an explicit zone shift. */
+  def toKst(utc: Column): Column = from_utc_timestamp(utc, "Asia/Seoul")
+  def isoTimestamp(t: Column): Column =
+    date_format(t, "yyyy-MM-dd'T'HH:mm:ss")
+
   /** Generic clamp used by F4/F9-style scores. */
   def clamp(c: Column, lo: Double, hi: Double): Column =
     least(lit(hi), greatest(lit(lo), c))

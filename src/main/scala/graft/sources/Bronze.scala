@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType, StructType, DataType}
+
+/** Bronze-layer IO (SURVEY.md §2.1): the reference's file/config surfaces
+  * re-expressed as DataSource reads with explicit schemas (schema inference
+  * is allowed only in exploratory code — SURVEY §1.1), plus the JSON/CSV
+  * sinks (K1/K2). Ingestion itself (HTTP scrape/REST) is out of engine
+  * scope; these are the landed-data readers.
+  */
+object Bronze {
+
+  /** S5 — CSV scan with explicit schema + header
+    * (pandas read_csv at _archive/flight_avg_merge.py:22-23,91). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S1..S4 output shape — JSON lines scan with explicit schema. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** S6 — config-object scan: a single JSON object whose keys are dynamic
+    * (country codes) and whose values share a struct shape
+    * (config/master_country_crawler.json, loaded at
+    * exchage_rate_crawler.py:45-47). Read multiLine, then transpose
+    * key→struct into rows via a to_json/from_json map round-trip (works
+    * for any key set without declaring per-key fields). */
+  def readConfigMap(spark: SparkSession, path: String, valueSchema: DataType): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(from_json(to_json(struct(col("*"))),
+        MapType(StringType, valueSchema))).as(Seq("key", "value")))
+      .select(col("key"), col("value.*"))
+
+  /** K1 — event-JSON serialization: one JSON string per record
+    * (json.dumps at functions/exchange_rate_trigger.py:48). */
+  def toEventJson(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** K1/K2 — sinks. The reference's Event-Hub batch send and blob/file
+    * dumps become ordinary DataFrame writes (streaming callers use
+    * writeStream with the same formats). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
