@@ -31,4 +31,45 @@ object Core {
   /** §2.7 — union of homogeneous frames (ref: pd.concat at
     * _archive/function_app.py:183). Name-based so column order is free. */
   def unionAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_.unionByName(_))
+
+  /** As-of join: for every left row, attach the single most recent right
+    * row with the same key and `rightOrder <= leftOrder` (LEFT semantics —
+    * left rows with no prior right row keep nulls).
+    *
+    * Built by composition (SURVEY §2.10 preference order: compose before
+    * custom plans): union both sides tagged, one window pass per key
+    * ordered by (order, side) with a last-ignoring-nulls carry-forward.
+    * Scale shape: ONE shuffle on the key — never a range-join explosion,
+    * no per-row probe; skew follows the key distribution exactly like any
+    * keyed window. Right payload columns come back prefixed `asof_`.
+    *
+    * `leftOrder`/`rightOrder` must be totally ordered per key for
+    * deterministic results (ties between a left and right row at the same
+    * order value resolve right-before-left, i.e. the tie IS matched). */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftOrder: String,
+      rightOrder: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ord", col(leftOrder))
+      .withColumn("__side", lit(1))
+    val r0 = right.select(
+      (keys.map(col) :+ col(rightOrder).as("__ord")) ++
+        rightPayload.map(c => col(c).as(s"asof_$c")): _*)
+    val r = leftCols.filterNot(keys.contains).foldLeft(r0)(
+      (df, c) => df.withColumn(c, lit(null)))
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ord").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = rightPayload.foldLeft(unioned)((df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 1)
+      .select((leftCols ++ rightPayload.map(c => s"asof_$c")).map(col): _*)
+  }
 }

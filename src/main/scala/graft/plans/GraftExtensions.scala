@@ -1,0 +1,34 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.RollingHash
+
+/** SparkSessionExtensions entry point: makes graft's native expressions
+  * available in any session via
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * (the standard injection hook — SURVEY §2.10: custom `Rule`s and
+  * `SparkStrategy`s are deliberately NOT needed for reference parity, so
+  * the only injection is the function registry).
+  *
+  * For an already-running session (tests, notebooks) use `install(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.rollingHashDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private[plans] val rollingHashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+    (exprs: Seq[Expression]) => RollingHash(exprs.head))
+
+  /** Register everything on a live session. */
+  def install(spark: SparkSession): Unit =
+    RollingHash.register(spark)
+}

@@ -926,13 +926,44 @@ object QueryCatalog {
       FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.45"""))
 
+  /** As-of join (Core.asOfJoin — union + one keyed window, no range
+    * explosion): each purchase event picks up the value of the user's most
+    * recent prior click. Left rows with no prior click keep null. */
+  private val q33 = Q(
+    "q33_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("value"))
+      Core.asOfJoin(purchases, clicks,
+        keys = Seq("user_id"), leftOrder = "event_id", rightOrder = "event_id",
+        rightPayload = Seq("value"))
+        .select(
+          col("event_id"), col("user_id"),
+          r2(col("value")).as("value"),
+          r2(col("asof_value")).as("asof_click_value"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+        floor(value*100 + 0.5)/100 AS value,
+        floor(asof_value*100 + 0.5)/100 AS asof_click_value
+      FROM (
+        SELECT event_id, user_id, value, event_type,
+          last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        FROM events)
+      WHERE event_type = 'purchase'"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32)
+    q31, q32, q33)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -24,6 +24,31 @@ class CoreSpec extends SparkSpec {
     assert(got == Set(("u1", 1L), ("u1", 2L), ("u2", 7L)))
   }
 
+  test("asOfJoin attaches most recent right row per key, null when none") {
+    val orders = Seq(
+      ("u1", 10L, "o1"), ("u1", 25L, "o2"), ("u1", 5L, "o0"),
+      ("u2", 50L, "o3")
+    ).toDF("user", "t", "order_id")
+    val rates = Seq(
+      ("u1", 8L, 1.1), ("u1", 20L, 2.2), ("u1", 30L, 3.3),
+      ("u3", 1L, 9.9)
+    ).toDF("user", "t", "rate")
+    val got = Core.asOfJoin(orders, rates, Seq("user"), "t", "t", Seq("rate"))
+      .collect().map(r => r.getAs[String]("order_id") ->
+        Option(r.getAs[Any]("asof_rate"))).toMap
+    assert(got("o0").isEmpty)          // no rate at or before t=5
+    assert(got("o1").contains(1.1))    // t=8 is latest <= 10
+    assert(got("o2").contains(2.2))    // t=20 latest <= 25 (not 30)
+    assert(got("o3").isEmpty)          // u2 has no rates at all
+  }
+
+  test("asOfJoin tie at equal order matches the right row") {
+    val l = Seq(("k", 10L, "x")).toDF("k", "t", "id")
+    val r = Seq(("k", 10L, 7.0)).toDF("k", "t", "v")
+    val got = Core.asOfJoin(l, r, Seq("k"), "t", "t", Seq("v")).head()
+    assert(got.getAs[Double]("asof_v") == 7.0)
+  }
+
   test("unionAll is name-based, column order free") {
     val a = Seq((1, "x")).toDF("id", "v")
     val b = Seq(("y", 2)).toDF("v", "id")
