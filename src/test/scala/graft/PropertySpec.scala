@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalacheck.Gen.Parameters
+
+import graft.ops.{Core, RefFunctions => F}
+
+/** Property-style invariants (SURVEY §5.3) over ScalaCheck-generated data,
+  * evaluated in single Spark jobs (one job per property, not per sample —
+  * the generated rows ride one DataFrame). Seed fixed for reproducibility. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): List[A] = {
+    val seed = rng.Seed(42L)
+    Iterator.iterate((g.pureApply(Parameters.default, seed), seed.next)) {
+      case (_, s) => (g.pureApply(Parameters.default, s), s.next)
+    }.map(_._1).take(n).toList
+  }
+
+  private val finite = Gen.chooseNum(-1e9, 1e9)
+
+  test("scores are always clamped to [0,100] for any finite inputs") {
+    val rows = sample(Gen.zip(finite, finite, Gen.chooseNum(0.0, 100.0)), 300)
+    val df = rows.toDF("realtime", "yearly", "interest")
+    val scored = df.select(
+      F.exchangeRateScore(F.changePercent($"realtime", $"yearly")).as("fx"),
+      F.finalTrendScore(F.normalizeGrowth(F.logScaleGrowth(
+        F.rawGrowthKeyword($"realtime", $"yearly"))), $"interest").as("trend"))
+    val bad = scored.filter(
+      $"fx" < 0 || $"fx" > 100 || $"trend" < 0 || $"trend" > 100 ||
+        $"fx".isNull || $"trend".isNull).count()
+    assert(bad == 0)
+  }
+
+  test("rawGrowth branch totality: every (recent, prev) yields a value") {
+    val rows = sample(Gen.zip(Gen.chooseNum(0.0, 1e6), Gen.chooseNum(0.0, 1e6)), 300) ++
+      List((0.0, 0.0), (5.0, 0.0), (0.0, 5.0))
+    val df = rows.toDF("recent", "prev")
+    assert(df.select(F.rawGrowthKeyword($"recent", $"prev").as("g"))
+      .filter($"g".isNull).count() == 0)
+    assert(df.select(F.rawGrowthAnchor($"recent", $"prev").as("g"))
+      .filter($"g".isNull).count() == 0)
+  }
+
+  test("dedupLatest returns exactly one row per key, the max-order one") {
+    val rows = sample(Gen.zip(Gen.chooseNum(0, 20), Gen.chooseNum(0L, 1000000L)), 400)
+      .zipWithIndex.map { case ((k, ord), i) => (s"k$k", ord * 1000L + i, i) }
+    val df = rows.toDF("key", "ord", "payload")
+    val got = Core.dedupLatest(df, Seq("key"), Seq(col("ord")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = rows.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).max }
+    assert(got == expected)
+  }
+
+  test("asOfJoin agrees with the naive quadratic definition on random data") {
+    val lrows = sample(Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0L, 500L)), 120)
+      .zipWithIndex.map { case ((k, t), i) => (s"k$k", t * 1000 + 500, i.toLong) }
+    // right order values globally unique (t*1000+i): asOfJoin requires a
+    // total order per key for determinism, same as any window
+    val rrows = sample(Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0L, 500L)), 120)
+      .zipWithIndex.map { case ((k, t), i) => (s"k$k", t * 1000 + i, i * 1.5) }
+    val left = lrows.toDF("key", "t", "id")
+    val right = rrows.toDF("key", "t", "v")
+    val got = Core.asOfJoin(left, right, Seq("key"), "t", "t", Seq("v"))
+      .collect().map(r => r.getLong(2) -> Option(r.getAs[Any]("asof_v"))).toMap
+    // naive: for each left row, latest right (t, insertion order) with
+    // rt <= lt; ties among equal rt resolve to the largest v under the
+    // window's deterministic secondary order — dedupe by taking maxBy
+    val naive = lrows.map { case (k, lt, id) =>
+      val cands = rrows.filter(r => r._1 == k && r._2 <= lt)
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(c => (c._2, c._3))._3))
+    }.toMap
+    assert(got == naive)
+  }
+
+  test("engine-neutral rounding r2 is stable and order-of-magnitude safe") {
+    val rows = sample(finite, 500) ++ List(90.225, 2.675, -5.004, 0.005)
+    val df = rows.toDF("x")
+    val got = df.select($"x", (floor($"x" * 100 + 0.5) / 100).as("r")).collect()
+    got.foreach { r =>
+      val (x, v) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(v - x) <= 0.005 + math.ulp(x) * 100, s"$x -> $v")
+    }
+  }
+}
