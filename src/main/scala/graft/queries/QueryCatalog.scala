@@ -477,10 +477,12 @@ object QueryCatalog {
   private val q20 = Q(
     "q20_jaccard_neardup",
     (s, d) => {
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"),
-        substring(col("text"), 1, 30).as("pfx"),
-        array_distinct(split(col("text"), " ")).as("toks"))
+      val docs = Tables.documents(s, d)
+        .repartition(col("doc_id")) // single-file input: spread tokenization
+        .select(
+          col("doc_id"),
+          substring(col("text"), 1, 30).as("pfx"),
+          array_distinct(split(col("text"), " ")).as("toks"))
       val a = docs.as("a")
       val b = docs.as("b")
       val jac = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
@@ -523,6 +525,7 @@ object QueryCatalog {
       // formulation re-evaluates the inlined hash lambda per outer
       // iteration after CollapseProject — 16-64x duplicate md5 work.)
       val shingleRows = Tables.documents(s, d)
+        .repartition(col("doc_id")) // single-file input: spread the md5 work
         .select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(transform(
