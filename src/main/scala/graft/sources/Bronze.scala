@@ -21,6 +21,22 @@ object Bronze {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** P3 quarantine variant — PERMISSIVE read that routes malformed rows to
+    * `_corrupt_record` instead of failing the scan (the declarative twin of
+    * the reference's warn-and-skip loops, exchage_rate_crawler.py:281-298).
+    * Returns (clean rows, quarantined raw strings). */
+  def readJsonQuarantined(
+      spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    val df = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).json(path)
+      .cache() // PERMISSIVE corrupt-column reads require a materialized scan
+    (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      df.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+  }
+
   /** S6 — config-object scan: a single JSON object whose keys are dynamic
     * (country codes) and whose values share a struct shape
     * (config/master_country_crawler.json, loaded at

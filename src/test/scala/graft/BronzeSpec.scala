@@ -58,6 +58,21 @@ class BronzeSpec extends SparkSpec {
     assert(Bronze.readJson(spark, dir, schema).count() == 1)
   }
 
+  test("P3 quarantine: malformed JSON rows split out, clean rows survive") {
+    val dir = tmpDir("graft_quar")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"currency_code": "USD", "rate": 1380.5}
+        |{"currency_code": "EUR", "rate": broken!!
+        |{"currency_code": "JPY", "rate": 9.4}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("currency_code", StringType),
+      StructField("rate", DoubleType)))
+    val (clean, quarantined) = Bronze.readJsonQuarantined(spark, s"$dir/data.json", schema)
+    assert(clean.collect().map(_.getString(0)).toSet == Set("USD", "JPY"))
+    assert(quarantined.count() == 1)
+    assert(quarantined.head().getString(0).contains("broken"))
+  }
+
   test("F17 calendar helpers") {
     val d = Seq(Timestamp.valueOf("2025-08-12 10:30:00")).toDF("t")
     val got = d.select(

@@ -76,6 +76,31 @@ class MultimodalStreamingSpec extends SparkSpec {
       batchGot.map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSeq)
   }
 
+  test("T5 watermark: rows later than the horizon are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Events.tumblingCounts(sdf).writeStream
+      .format("memory").queryName("t5_late").outputMode("append").start()
+    // batch 1: one early window + an event far ahead that advances the
+    // watermark (10-minute delay) well past the early window
+    stream.addData(
+      ev(0, 1, "2024-01-01 00:01:00", "click", 1.0),
+      ev(1, 1, "2024-01-01 02:00:00", "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: a late row inside the already-finalized 00:00 window
+    stream.addData(ev(2, 1, "2024-01-01 00:02:00", "click", 99.0))
+    q.processAllAvailable()
+    // batch 3: advance far enough to flush every open window
+    stream.addData(ev(3, 1, "2024-01-01 05:00:00", "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM t5_late").collect()
+      .map(r => r.getAs[Timestamp]("window_start").toString -> r.getAs[Long]("n")).toMap
+    // the 00:00 window closed with n=1; the late 99.0 row never reappears
+    assert(rows("2024-01-01 00:00:00.0") == 1L)
+  }
+
   test("sessionize: custom state keeps sessions open until timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Events.Ev]

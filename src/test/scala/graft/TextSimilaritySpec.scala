@@ -91,6 +91,17 @@ class TextSimilaritySpec extends SparkSpec {
     assert(math.abs(top.head.getAs[Double]("sim") - 1.0) < 1e-12)
   }
 
+  test("real embeddings: IVF recall beats single-cell probing and finds true neighbors") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val queries = emb.filter($"vec_id" < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosineTopK(emb, queries, 5, nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"IVF recall vs brute force = $recall")
+  }
+
   test("real embeddings: LSH recall against brute force on sf0.001") {
     val emb = graft.sources.Tables.embeddings(spark, sf())
     val queries = emb.filter($"vec_id" < 5)
