@@ -10,16 +10,26 @@ import org.apache.spark.sql.functions._
   * scale path is LSH bucketing by random-hyperplane sign bits: at 100 TB the
   * corpus is bucketed once (narrow shuffle on the bucket key), queries probe
   * only their bucket (plus optional multi-probe neighbors), so the join is
-  * O(corpus) + O(queries × bucket size) instead of O(queries × corpus).
-  * All vector math is SQL higher-order functions — codegen'd, no UDF.
+  * O(corpus) + O(queries × bucket size) instead of O(queries × corpus);
+  * `ivfCosineTopK` is the centroid-cell alternative. Hot-path dot products
+  * use the native codegen'd `graft.functions.VectorDot`; the pure-builtin
+  * HOF forms remain for registration-free ad-hoc use.
   */
 object Similarity {
 
   /** Cast an array<float> embedding to array<double> for stable math. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Pure-builtin dot product (usable without function registration);
+    * interpreted (HOFs sit outside codegen). The DataFrame entry points
+    * below use the native codegen'd `VectorDot` instead. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Codegen'd dot (graft.functions.VectorDot); callers must have run
+    * GraftExtensions.install(spark) — the DataFrame entry points do. */
+  private def fastDot(a: Column, b: Column): Column =
+    graft.functions.VectorDot.vec_dot(a, b)
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -29,12 +39,13 @@ object Similarity {
     * Norms are precomputed once per side; ranking carries a unique
     * tiebreak so results are deterministic. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.install(corpus.sparkSession)
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
     val q = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
       .withColumn("qn", l2norm(col("qv")))
     val scored = q.join(c, col("vec_id") =!= col("q_id"))
-      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("sim", fastDot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .select(col("q_id"), col("vec_id"), col("sim"))
     Core.topKPerGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("vec_id").asc), k)
   }
@@ -67,6 +78,7 @@ object Similarity {
     * map-side via the broadcast centroid array. */
   def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.plans.GraftExtensions.install(corpus.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val train = corpus.select(
@@ -91,7 +103,7 @@ object Similarity {
         slice(cellRanks(col("qv")), 1, nProbe), s => s.getField("cell"))))
     val scored = q.join(c, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("sim", fastDot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .select(col("q_id"), col("vec_id"), col("sim"))
     Core.topKPerGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("vec_id").asc), k)
   }
@@ -102,6 +114,7 @@ object Similarity {
     * buckets, lower it for higher recall. */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    graft.plans.GraftExtensions.install(corpus.sparkSession)
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .withColumn("bucket", lshBucket(col("v"), numPlanes, dim))
@@ -110,7 +123,7 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("qv"), numPlanes, dim))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("sim", fastDot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .select(col("q_id"), col("vec_id"), col("sim"))
     Core.topKPerGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("vec_id").asc), k)
   }

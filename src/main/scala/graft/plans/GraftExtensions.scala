@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.RollingHash
+import graft.functions.{RollingHash, VectorDot}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * available in any session via
@@ -18,6 +18,7 @@ import graft.functions.RollingHash
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.rollingHashDescriptor)
+    e.injectFunction(GraftExtensions.vectorDotDescriptor)
   }
 }
 
@@ -28,7 +29,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
     (exprs: Seq[Expression]) => RollingHash(exprs.head))
 
-  /** Register everything on a live session. */
-  def install(spark: SparkSession): Unit =
+  private[plans] val vectorDotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[graft.functions.VectorDot].getName, "vec_dot"),
+    (exprs: Seq[Expression]) => graft.functions.VectorDot(exprs.head, exprs(1)))
+
+  /** Register everything on a live session (idempotent). */
+  def install(spark: SparkSession): Unit = {
     RollingHash.register(spark)
+    VectorDot.register(spark)
+  }
 }

@@ -655,16 +655,15 @@ object QueryCatalog {
   private val q23 = Q(
     "q23_cosine_topk",
     (s, d) => {
+      graft.plans.GraftExtensions.install(s)
       val e = Tables.embeddings(s, d).select(
         col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val n = e.withColumn("nrm",
-        sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)))
+        sqrt(graft.functions.VectorDot.vec_dot(col("v"), col("v"))))
       val q = n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val dot = aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = graft.functions.VectorDot.vec_dot(col("qv"), col("v"))
       val scored = q.join(n, col("vec_id") =!= col("q_id"))
         .withColumn("sim", dot / (col("qn") * col("nrm")))
       Core.topKPerGroup(
@@ -903,16 +902,15 @@ object QueryCatalog {
   private val q32 = Q(
     "q32_embedding_neardup",
     (s, d) => {
+      graft.plans.GraftExtensions.install(s)
       val e = Tables.embeddings(s, d).select(
         col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val n = e.withColumn("nrm",
-        sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)))
+        sqrt(graft.functions.VectorDot.vec_dot(col("v"), col("v"))))
       val a = n.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"), col("nrm").as("na"))
       val b = n.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"), col("nrm").as("nb"))
-      val sim = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb"))
+      val sim = graft.functions.VectorDot.vec_dot(col("va"), col("vb")) / (col("na") * col("nb"))
       a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("sim", sim)
