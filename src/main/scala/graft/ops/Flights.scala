@@ -18,15 +18,26 @@ import graft.ops.{RefFunctions => F}
   */
 object Flights {
 
-  /** F16 — flatten `itineraries[].sector.sectorSegments[].segment` into
-    * one row per segment, with F15 is_discounted.
+  /** F16 — flatten `itineraries[].sector.sectorSegments[]` into one row
+    * per segment, with F15 is_discounted. `priceBeforeDiscount` is
+    * optional in the API payload (flight_price_preprocessing.py:8-10
+    * defaults it to price) — tolerate sources whose schema lacks the
+    * field entirely, e.g. inferred reads over batches with no discounts.
     * Ref: _archive/flight_price_preprocessing.py:3-49. */
-  def flatten(raw: DataFrame): DataFrame =
+  def flatten(raw: DataFrame): DataFrame = {
+    val priceSchema = raw.schema("itineraries").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("price").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val before =
+      if (priceSchema.fieldNames.contains("priceBeforeDiscount"))
+        col("it.price.priceBeforeDiscount")
+      else lit(null).cast("double")
     raw
       .select(explode(col("itineraries")).as("it"))
       .select(
         col("it.price.amount").as("가격"),
-        F.isDiscounted(col("it.price.amount"), col("it.price.priceBeforeDiscount")).as("할인여부"),
+        F.isDiscounted(col("it.price.amount"), before).as("할인여부"),
         explode(col("it.sector.sectorSegments")).as("seg"))
       .select(
         col("seg.segment.source.station.code").as("출발_공항_코드"),
@@ -46,6 +57,7 @@ object Flights {
         col("seg.segment.cabinClass").as("좌석_등급"),
         col("seg.segment.duration").as("비행시간_초"),
         col("가격"), col("할인여부"))
+  }
 
   /** A4 — the monthly-average producer the reference consumes but does not
     * ship (flight_avg_merge.py:29-40 reads its output): per (city, month)
