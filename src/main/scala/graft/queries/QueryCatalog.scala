@@ -958,13 +958,40 @@ object QueryCatalog {
         FROM events)
       WHERE event_type = 'purchase'"""))
 
+  /** A3 map-typed pivot canonicalization (SURVEY §7.4.2): build the
+    * reference's `monthly_avg_rates`-style map column (sorted
+    * map_from_entries, as Rates.pivotRates does) and explode it back to
+    * sorted rows so the DuckDB oracle can mirror it — the documented
+    * pattern for hash-comparing map columns. */
+  private val q34 = Q(
+    "q34_pivot_map_roundtrip",
+    (s, d) => {
+      val perMonth = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), F.monthKey(col("o_orderdate")).as("month_key"))
+        .agg(r2(sum(col("o_totalprice"))).as("total"))
+      perMonth
+        .groupBy(col("n_name"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("month_key"), col("total"))))).as("monthly_totals"))
+        .select(col("n_name"), explode(col("monthly_totals")).as(Seq("month_key", "total")))
+    },
+    Some("""
+      SELECT n_name, strftime(o_orderdate, '%Y%m') AS month_key,
+        floor(sum(o_totalprice)*100 + 0.5)/100 AS total
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33)
+    q31, q32, q33, q34)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -63,12 +63,14 @@ class MultimodalStreamingSpec extends SparkSpec {
 
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    // enqueue BEFORE start: AvailableNow snapshots available offsets at
+    // query start, so later addData may be skipped (observed flake)
+    stream.addData(rows: _*)
     val sdf = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
     val q = Events.tumblingCounts(sdf).writeStream
       .format("memory").queryName("t5_out").outputMode("complete")
       .trigger(Trigger.AvailableNow()).start()
-    stream.addData(rows: _*)
-    q.processAllAvailable()
+    q.awaitTermination(60000)
     q.stop()
     val streamGot = spark.sql("SELECT * FROM t5_out")
       .orderBy($"window_start", $"event_type").collect()
