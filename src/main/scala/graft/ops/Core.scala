@@ -32,6 +32,12 @@ object Core {
     * _archive/function_app.py:183). Name-based so column order is free. */
   def unionAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_.unionByName(_))
 
+  /** F20 — bulk column rename (pandas `.rename(columns=...)` at
+    * _archive/flight_avg_merge.py:59-64,109); missing keys are ignored,
+    * matching pandas semantics. */
+  def renameColumns(df: DataFrame, renames: Map[String, String]): DataFrame =
+    df.withColumnsRenamed(renames)
+
   /** As-of join: for every left row, attach the single most recent right
     * row with the same key and `rightOrder <= leftOrder` (LEFT semantics —
     * left rows with no prior right row keep nulls).

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,28 @@ object Trends {
         F.rawGrowthAnchor(col("recent_mean"), col("prev_mean")))
         .otherwise(F.rawGrowthKeyword(col("recent_mean"), col("prev_mean"))))
 
+  /** J7 — attach the anchor keyword's growth/interest to every row as
+    * columns (`anchor_growth`, `anchor_interest` in the gold record,
+    * google_trends_processor.py:236-237). The anchor metrics row is a
+    * single record → broadcast cross join, no shuffle. Null columns when
+    * the batch carried no anchor rows (reference emits None then). */
+  def withAnchorMetrics(growth: DataFrame): DataFrame = {
+    val anchor = growth
+      .filter(col("keyword") === AnchorKeyword)
+      .select(
+        col("raw_growth").as("anchor_growth"),
+        col("current_interest").as("anchor_interest"))
+      .limit(1)
+    val spark = growth.sparkSession
+    val anchorOrNull =
+      if (anchor.isEmpty)
+        spark.range(1).select(
+          lit(null).cast("double").as("anchor_growth"),
+          lit(null).cast("int").as("anchor_interest"))
+      else anchor
+    growth.crossJoin(broadcast(anchorOrNull))
+  }
+
   /** F7→F9 — the processor scoring chain. */
   def scored(growth: DataFrame): DataFrame = {
     val scaled = F.logScaleGrowth(col("raw_growth"))
@@ -80,7 +102,14 @@ object Trends {
       .drop("english_name")
       .withColumn("dataType", lit("googleTrend"))
 
-  /** Full pipeline: long-form interest + standard map → gold records. */
-  def gold(interest: DataFrame, standardMap: DataFrame): DataFrame =
-    standardize(scored(withRawGrowth(keywordMetrics(interest))), standardMap)
+  /** Full pipeline: long-form interest + standard map → gold records
+    * (incl. the J7 anchor columns and the KST crawl timestamp —
+    * google_trends_processor.py:225-239; pass `asOf` for deterministic
+    * golden runs). */
+  def gold(
+      interest: DataFrame,
+      standardMap: DataFrame,
+      asOf: Column = current_timestamp()): DataFrame =
+    standardize(scored(withAnchorMetrics(withRawGrowth(keywordMetrics(interest)))), standardMap)
+      .withColumn("crawled_at_kst", RefFunctions.toKst(asOf))
 }

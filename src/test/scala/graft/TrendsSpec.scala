@@ -59,6 +59,23 @@ class TrendsSpec extends SparkSpec {
     assert(mars.getAs[String]("country_korean_name") == "화성")
   }
 
+  test("J7 anchor metrics attach to every row; absent anchor yields nulls") {
+    val gold = Trends.gold(interest, stdMap)
+    val jp = gold.filter($"keyword" === "일본 여행").head()
+    assert(jp.getAs[Double]("anchor_growth") == 1.0) // anchor zero-prev -> 1.0
+    assert(jp.getAs[Int]("anchor_interest") == 4)
+    assert(!jp.isNullAt(jp.fieldIndex("crawled_at_kst")))
+    val noAnchor = interest.filter($"keyword" =!= Trends.AnchorKeyword)
+    val g2 = Trends.gold(noAnchor, stdMap).filter($"keyword" === "일본 여행").head()
+    assert(g2.isNullAt(g2.fieldIndex("anchor_growth")))
+  }
+
+  test("F20 rename map ignores missing keys (pandas semantics)") {
+    val df = Seq((1, "a")).toDF("id", "v")
+    val renamed = graft.ops.Core.renameColumns(df, Map("v" -> "value", "nope" -> "x"))
+    assert(renamed.columns.toSeq == Seq("id", "value"))
+  }
+
   test("F7-F9 chain: scores clamped to [0,100]") {
     val gold = Trends.gold(interest, stdMap)
     val scores = gold.select($"final_trend_score").as[Double].collect()
