@@ -985,13 +985,40 @@ object QueryCatalog {
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY 1, 2"""))
 
+  /** Set operations beyond union (SURVEY §2.7 lists them absent in the
+    * reference; built-ins cover them): customers appearing in both the
+    * high-value and recent order sets (INTERSECT) vs only in the
+    * high-value set (EXCEPT), tagged and unioned. Distinct semantics in
+    * both engines. */
+  private val q35 = Q(
+    "q35_intersect_except",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val high = o.filter(col("o_totalprice") > 250000).select(col("o_custkey"))
+      val recent = o.filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")))
+        .select(col("o_custkey"))
+      val both = high.intersect(recent).withColumn("tag", lit("both"))
+      val onlyHigh = high.except(recent).withColumn("tag", lit("only_high"))
+      Core.unionAll(Seq(both, onlyHigh))
+    },
+    Some("""
+      SELECT o_custkey, 'both' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+      UNION ALL
+      SELECT o_custkey, 'only_high' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34)
+    q31, q32, q33, q34, q35)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

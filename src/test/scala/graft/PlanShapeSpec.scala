@@ -56,6 +56,6 @@ class PlanShapeSpec extends SparkSpec {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
     assert(os.subsetOf(qs))
-    assert(qs.size == 34)
+    assert(qs.size == 35)
   }
 }
