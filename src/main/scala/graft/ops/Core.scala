@@ -32,6 +32,14 @@ object Core {
     * _archive/function_app.py:183). Name-based so column order is free. */
   def unionAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_.unionByName(_))
 
+  /** T4/W2 formalized as an upsert: merge `updates` into `target` with
+    * latest-wins semantics per key (the reference's re-crawl + overwrite
+    * pattern; on a Delta deployment this is MERGE WHEN MATCHED UPDATE).
+    * Both sides must share a schema; `order` must totally order versions. */
+  def upsert(target: DataFrame, updates: DataFrame,
+      keys: Seq[String], order: Seq[Column]): DataFrame =
+    dedupLatest(target.unionByName(updates), keys, order)
+
   /** F20 — bulk column rename (pandas `.rename(columns=...)` at
     * _archive/flight_avg_merge.py:59-64,109); missing keys are ignored,
     * matching pandas semantics. */

@@ -39,5 +39,6 @@ object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     RollingHash.register(spark)
     VectorDot.register(spark)
+    graft.functions.FrequentItems.register(spark)
   }
 }

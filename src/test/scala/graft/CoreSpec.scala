@@ -24,6 +24,14 @@ class CoreSpec extends SparkSpec {
     assert(got == Set(("u1", 1L), ("u1", 2L), ("u2", 7L)))
   }
 
+  test("upsert: latest-wins merge of updates into target") {
+    val target = Seq(("USA", 1L, 1350.0), ("JPN", 1L, 9.2)).toDF("cc", "ver", "rate")
+    val updates = Seq(("USA", 2L, 1380.5), ("DEU", 1L, 1500.0)).toDF("cc", "ver", "rate")
+    val got = Core.upsert(target, updates, Seq("cc"), Seq(col("ver")))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == Map("USA" -> 1380.5, "JPN" -> 9.2, "DEU" -> 1500.0))
+  }
+
   test("asOfJoin attaches most recent right row per key, null when none") {
     val orders = Seq(
       ("u1", 10L, "o1"), ("u1", 25L, "o2"), ("u1", 5L, "o0"),
