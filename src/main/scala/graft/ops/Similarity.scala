@@ -108,23 +108,46 @@ object Similarity {
     Core.topKPerGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("vec_id").asc), k)
   }
 
+  /** Probe buckets for a query vector: its own sign-bit bucket plus, for
+    * multi-probe, the buckets reached by flipping the `extraProbes`
+    * hyperplane bits with the smallest |margin| — the planes the vector
+    * sits closest to, i.e. the flips most likely to hold true neighbors. */
+  def probeBuckets(v: Column, numPlanes: Int, dim: Int, extraProbes: Int): Column = {
+    val main = lshBucket(v, numPlanes, dim)
+    if (extraProbes <= 0) array(main)
+    else {
+      val ps = planes(numPlanes, dim)
+      val margins = array_sort(array(ps.zipWithIndex.map { case (plane, p) =>
+        struct(abs(dot(v, array(plane.map(lit): _*))).as("m"), lit(p).as("p"))
+      }: _*))
+      concat(
+        array(main),
+        transform(slice(margins, 1, extraProbes),
+          s => main.bitwiseXOR(pow(lit(2.0), s.getField("p")).cast("long"))))
+    }
+  }
+
   /** Approximate top-k: corpus and queries are bucketed by hyperplane sign
     * bits; cosine is computed only within matching buckets. Recall < 1 by
-    * construction (documented tradeoff); raise `numPlanes` for smaller
-    * buckets, lower it for higher recall. */
+    * construction; raise `numPlanes` for smaller buckets, and/or
+    * `extraProbes` (multi-probe) for higher recall at 1+extraProbes times
+    * the probe cost — the corpus is still bucketed exactly once. */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      numPlanes: Int = 8, dim: Int = 64, extraProbes: Int = 0): DataFrame = {
     graft.plans.GraftExtensions.install(corpus.sparkSession)
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .withColumn("bucket", lshBucket(col("v"), numPlanes, dim))
     val q = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
       .withColumn("qn", l2norm(col("qv")))
-      .withColumn("bucket", lshBucket(col("qv"), numPlanes, dim))
+      .withColumn("bucket",
+        explode(array_distinct(probeBuckets(col("qv"), numPlanes, dim, extraProbes))))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", fastDot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .select(col("q_id"), col("vec_id"), col("sim"))
+      // multi-probe can reach the same neighbor through several buckets
+      .dropDuplicates("q_id", "vec_id")
     Core.topKPerGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("vec_id").asc), k)
   }
 }

@@ -114,5 +114,10 @@ class TextSimilaritySpec extends SparkSpec {
     // are barely above chance); this pins the plumbing + the tradeoff's
     // direction, not production recall. numPlanes=2 -> 4 coarse buckets.
     assert(recall >= 0.2, s"LSH recall vs brute force = $recall")
+    // multi-probe expands the candidate set -> recall can only improve
+    val mp = Similarity.lshCosineTopK(emb, queries, 5, numPlanes = 2, extraProbes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mpRecall = (bf & mp).size.toDouble / bf.size
+    assert(mpRecall >= recall, s"multi-probe recall $mpRecall < single $recall")
   }
 }
