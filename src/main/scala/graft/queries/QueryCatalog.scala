@@ -1012,13 +1012,34 @@ object QueryCatalog {
         EXCEPT
         SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')"""))
 
+  /** The Misra-Gries frequent-items aggregate (graft.functions.
+    * FrequentItems, a TypedImperativeAggregate) under the oracle: with
+    * capacity (256) above the corpus vocabulary the sketch is provably
+    * exact, so plain GROUP BY counts mirror it. Exercises the custom
+    * aggregate's partial/merge path through ObjectHashAggregate. */
+  private val q36 = Q(
+    "q36_frequent_tokens",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .agg(graft.functions.FrequentItems.frequent_items(col("tok"), 256).as("fi"))
+        .select(explode(col("fi")).as("e"))
+        .select(col("e.item"), col("e.min_count"))
+    },
+    Some("""
+      SELECT token AS item, count(*) AS min_count FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '' GROUP BY token"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35)
+    q31, q32, q33, q34, q35, q36)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

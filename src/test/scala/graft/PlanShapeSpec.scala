@@ -52,10 +52,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p18.contains("BroadcastHashJoin") || p18.contains("BroadcastNestedLoopJoin"), p18)
   }
 
+  test("q36: custom TypedImperativeAggregate runs partial+final (ObjectHashAggregate)") {
+    val p = plan("q36_frequent_tokens")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial_frequent_items") || p.contains("frequent_items"), p)
+  }
+
   test("queries and oracles are consistently keyed") {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
     assert(os.subsetOf(qs))
-    assert(qs.size == 35)
+    assert(qs.size == 36)
   }
 }
