@@ -4,9 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Generic relational building blocks shared by the pipelines
-  * (SURVEY.md §2.5 W2/W3, §2.7). All are single-shuffle formulations:
-  * one `Window`/`groupBy` exchange on the partition key, nothing else —
+/** Generic relational building blocks shared by the pipelines:
+  * dedup-to-latest (W2), top-k per group (W3), union (§2.7), the
+  * MERGE-shaped latest-wins upsert (T4), bulk rename (F20), and the
+  * composed as-of join. All are single-shuffle formulations: one
+  * `Window`/`groupBy` exchange on the partition key, nothing else —
   * at 100 TB the shuffle on the key is unavoidable, everything around it
   * stays map-side.
   */
