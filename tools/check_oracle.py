@@ -16,7 +16,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(rows, cols):
-    """Sort columns by name, then rows; stringify floats at high precision."""
+    """Sort columns by name, then rows. Floats use full repr: every query
+    in the catalog is BIT-EXACT across Spark and DuckDB (verified at
+    sf0.01/sf0.1), so the harness asserts that strictest level and any
+    tolerance-dependent regression fails loudly."""
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
@@ -24,10 +27,7 @@ def canon(rows, cols):
         for i in idx:
             v = row[i]
             if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("nan")
-                else:
-                    vals.append(f"{v:.10g}")
+                vals.append("nan" if math.isnan(v) else repr(v))
             else:
                 vals.append(repr(v))
         out.append(tuple(vals))
