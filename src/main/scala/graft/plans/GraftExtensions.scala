@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.rollingHashDescriptor)
     e.injectFunction(GraftExtensions.vectorDotDescriptor)
+    e.injectFunction(GraftExtensions.frequentItemsDescriptor)
   }
 }
 
@@ -34,6 +35,18 @@ object GraftExtensions {
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[graft.functions.VectorDot].getName, "vec_dot"),
     (exprs: Seq[Expression]) => graft.functions.VectorDot(exprs.head, exprs(1)))
+
+  private[plans] val frequentItemsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("frequent_items"),
+    new ExpressionInfo(classOf[graft.functions.FrequentItemsAgg].getName, "frequent_items"),
+    (exprs: Seq[Expression]) => {
+      val cap = exprs.lift(1)
+        .map(_.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Number].intValue())
+        .getOrElse(100)
+      graft.functions.FrequentItemsAgg(exprs.head, cap).toAggregateExpression()
+    })
 
   /** Register everything on a live session (idempotent). */
   def install(spark: SparkSession): Unit = {
