@@ -24,6 +24,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Events {
 
+  /** T2 — file-source streaming reader for the events table shape: the
+    * bronze landing directory becomes a stream (new files = new
+    * micro-batches, the Spark analog of the reference's Blob raw dump,
+    * README.md:80-83). Same ns→µs timestamp handling as the batch reader
+    * (`Tables.events`); explicit schema (ts as long nanos) because
+    * streaming sources cannot infer. */
+  def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** T5 — tumbling event-time window + watermark: counts and value sums
     * per (window, event_type). Late rows beyond 10 minutes are dropped. */
   def tumblingCounts(events: DataFrame, window_ : String = "5 minutes"): DataFrame =

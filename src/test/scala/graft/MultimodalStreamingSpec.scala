@@ -78,6 +78,28 @@ class MultimodalStreamingSpec extends SparkSpec {
       batchGot.map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSeq)
   }
 
+  test("T2 file-source stream over the real events fixture matches batch") {
+    // stage the driver's events parquet as a streaming source directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf() + "/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = Events.readEventStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    val q = Events.tumblingCounts(stream, "1 hour").writeStream
+      .format("memory").queryName("t2_file").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamTotal = spark.sql("SELECT sum(n) FROM t2_file").head().getLong(0)
+    val batchTotal = graft.sources.Tables.events(spark, sf()).count()
+    assert(streamTotal == batchTotal)
+    val streamWindows = spark.sql("SELECT count(*) FROM t2_file").head().getLong(0)
+    val batchWindows = Events.tumblingCounts(
+      graft.sources.Tables.events(spark, sf()), "1 hour").count()
+    assert(streamWindows == batchWindows)
+  }
+
   test("T5 watermark: rows later than the horizon are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
