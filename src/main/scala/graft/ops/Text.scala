@@ -119,6 +119,43 @@ object Text {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** English stopword markers present in the synthetic corpus vocabulary;
+    * real deployments swap in per-language stopword lists. */
+  val EnglishMarkers: Seq[String] = Seq("the", "a")
+
+  private def markerCount(toks: Column): Column =
+    size(filter(toks, t => EnglishMarkers.map(t === _).reduce(_ || _)))
+
+  /** Language-ID heuristic: marker-token ratio → language code or "und".
+    * (n-gram frequency profiles are the production upgrade; the operator
+    * shape — per-row scoring, no shuffle — is identical.) */
+  def langId(text: Column, threshold: Double = 0.05): Column = {
+    val toks = tokens(text)
+    when(markerCount(toks).cast("double") / size(toks) >= threshold, lit("en"))
+      .otherwise(lit("und"))
+  }
+
+  /** Quality score 0-100: weighted blend of token count, average word
+    * length, and (1 - stopword ratio), clamped. `nChars` avoids re-scanning
+    * the string when the table already carries it. */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val toks = tokens(text)
+    val nt = size(toks).cast("double")
+    val stop = markerCount(toks).cast("double")
+    val awl = (nChars - (nt - 1)) / nt
+    RefFunctions.clamp(
+      lit(100.0) * (least(nt / 100, lit(1.0)) * 0.4 +
+        least(awl / 6, lit(1.0)) * 0.3 +
+        (lit(1.0) - stop / nt) * 0.3), 0.0, 100.0)
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** BPE-ish token estimate: greedy max-4-char chunks. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]{1,4}"), lit(0))).cast("long")
+
   /** 64-bit SimHash per document (token-level, xxhash64 bit votes). */
   def simHash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs

@@ -693,15 +693,11 @@ object QueryCatalog {
     * CASE over the marker-token ratio, confusion-matrix-style output. */
   private val q24 = Q(
     "q24_lang_id",
-    (s, d) => {
-      val toks = split(col("text"), " ")
-      val markers = size(filter(toks, t => t === "the" || t === "a"))
-      val ratio = markers.cast("double") / size(toks)
+    (s, d) =>
       Tables.documents(s, d)
-        .withColumn("predicted", when(ratio >= lit(0.05), lit("en")).otherwise(lit("und")))
+        .withColumn("predicted", graft.ops.Text.langId(col("text")))
         .groupBy(col("lang"), col("predicted"))
-        .agg(count(lit(1)).as("n"))
-    },
+        .agg(count(lit(1)).as("n")),
     Some("""
       WITH p AS (
         SELECT lang,
@@ -716,20 +712,11 @@ object QueryCatalog {
     * weighted clamp to 0-100, aggregated per source. */
   private val q25 = Q(
     "q25_quality_score",
-    (s, d) => {
-      val toks = split(col("text"), " ")
-      val nt = size(toks).cast("double")
-      val stop = size(filter(toks, t => t === "the" || t === "a")).cast("double")
-      val awl = (col("n_chars") - (nt - 1)) / nt
-      val quality = F.clamp(
-        lit(100.0) * (least(nt / 100, lit(1.0)) * 0.4 +
-          least(awl / 6, lit(1.0)) * 0.3 +
-          (lit(1.0) - stop / nt) * 0.3), 0.0, 100.0)
+    (s, d) =>
       Tables.documents(s, d)
-        .withColumn("q", r2(quality))
+        .withColumn("q", r2(graft.ops.Text.qualityScore(col("text"), col("n_chars"))))
         .groupBy(col("source"))
-        .agg(r2(avg(col("q"))).as("avg_quality"), count(lit(1)).as("n_docs"))
-    },
+        .agg(r2(avg(col("q"))).as("avg_quality"), count(lit(1)).as("n_docs")),
     Some("""
       WITH p AS (
         SELECT source,
@@ -751,9 +738,8 @@ object QueryCatalog {
     "q26_token_stats",
     (s, d) =>
       Tables.documents(s, d)
-        .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
-        .withColumn("bpe_tokens",
-          size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).cast("long"))
+        .withColumn("ws_tokens", graft.ops.Text.wsTokenCount(col("text")))
+        .withColumn("bpe_tokens", graft.ops.Text.bpeTokenCount(col("text")))
         .groupBy(col("lang"))
         .agg(
           sum(col("ws_tokens")).as("sum_ws_tokens"),
