@@ -5,8 +5,21 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line with per-query seconds over
   * SPARK_GRAFT_SF_DIR. An untimed warmup action per table loads file
   * indexes/footers and JIT-warms the parquet reader so the first timed
-  * query doesn't absorb session startup. */
+  * query doesn't absorb session startup.
+  *
+  * The timed action is a noop-format write (`format("noop")`): every
+  * output row and column is fully materialized through the physical plan
+  * and then discarded executor-side. A `count()` would let Catalyst prune
+  * all projection work for map-only queries (a fingerprint query would
+  * bench as a row-count over the scan), and a `collect()` would add
+  * driver transfer that a cluster sink never pays. Failures are NOT
+  * swallowed: a failing query is reported with value -1 and its error
+  * message in the `errors` map, and the process exits non-zero.
+  */
 object Bench {
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,19 +37,34 @@ object Bench {
     graft.sources.Tables.events(spark, sfDir).count() // ns-ts needs the reader
     // untimed warm-up pass: whole-stage codegen compiles per query plan the
     // first time; the timed pass below measures steady-state execution
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try materialize(fn(spark, sfDir)) catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] warm-up failed for $name: ${t.getMessage}")
+      }
     }
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        materialize(fn(spark, sfDir))
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] FAILED $name: ${t.getMessage}")
+          errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -59,12 +59,15 @@ object Similarity {
       (h % 1000) / 1000.0
     }
 
-  /** Sign-bit LSH bucket id for a vector: bit p = sign(v · plane_p). */
+  /** Sign-bit LSH bucket id for a vector: bit p = sign(v · plane_p).
+    * Uses the codegen'd vec_dot (plane components are literals folded into
+    * the generated code) — callers must have installed GraftExtensions;
+    * every DataFrame entry point in this object does. */
   def lshBucket(v: Column, numPlanes: Int, dim: Int): Column = {
     val ps = planes(numPlanes, dim)
     val bits = ps.zipWithIndex.map { case (plane, p) =>
       val planeCol = array(plane.map(lit): _*)
-      when(dot(v, planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(fastDot(v, planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -73,25 +76,32 @@ object Similarity {
     * corpus is assigned to its nearest cell once (one narrow shuffle), and
     * each query probes its `nProbe` nearest cells. Recall rises with
     * nProbe; cost is O(corpus/cells × nProbe) per query instead of
-    * O(corpus). Centroid training is spark.ml KMeans with a fixed seed —
-    * deterministic, and at 100 TB trained on a sample then applied
-    * map-side via the broadcast centroid array. */
+    * O(corpus). Centroid training is spark.ml KMeans with a fixed seed
+    * over a `trainFraction` sample of the corpus — never the full corpus
+    * (at 100 TB the sample is the only extra pass a fit may cost); the
+    * fitted centroids are then applied map-side as broadcast literals. */
   def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, trainFraction: Double = 0.25): DataFrame = {
     graft.plans.GraftExtensions.install(corpus.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(
+    val sampled =
+      if (trainFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, trainFraction, seed = 42L)
+    val train = sampled.select(
       array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
     val centers = model.clusterCenters.map(_.toArray)
     def centerCol(c: Array[Double]) = array(c.map(lit): _*)
-    // distance ranks to every centroid as a sorted struct array (computed
-    // per row from broadcast literals; no UDF)
+    // centroid ranks as a sorted struct array, computed per row from
+    // broadcast literals via the codegen'd vec_dot (no UDF). The ranking
+    // key is ||c||^2 - 2 v.c — the ||v||^2 term of the true squared
+    // distance is constant per row, so dropping it changes no ordering
+    // and saves a dot product per centroid.
     def cellRanks(v: Column): Column =
       array_sort(array(centers.zipWithIndex.map { case (c, i) =>
         val d = c.map(x => lit(x * x)).reduce[Column](_ + _) -
-          lit(2.0) * dot(v, centerCol(c)) + dot(v, v)
+          lit(2.0) * fastDot(v, centerCol(c))
         struct(d.as("dist"), lit(i).as("cell"))
       }: _*))
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -118,12 +128,15 @@ object Similarity {
     else {
       val ps = planes(numPlanes, dim)
       val margins = array_sort(array(ps.zipWithIndex.map { case (plane, p) =>
-        struct(abs(dot(v, array(plane.map(lit): _*))).as("m"), lit(p).as("p"))
+        struct(abs(fastDot(v, array(plane.map(lit): _*))).as("m"), lit(p).as("p"))
       }: _*))
+      // shiftleft, not pow(2,p).cast(long): pow is double math, inexact
+      // for p > 52 and wrong at p >= 63, which would silently corrupt
+      // probe buckets if numPlanes is raised toward 64
       concat(
         array(main),
         transform(slice(margins, 1, extraProbes),
-          s => main.bitwiseXOR(pow(lit(2.0), s.getField("p")).cast("long"))))
+          s => main.bitwiseXOR(call_function("shiftleft", lit(1L), s.getField("p")))))
     }
   }
 

@@ -21,21 +21,42 @@ object Text {
 
   /** Distinct (doc_a < doc_b) pairs of ids sharing a bucket key — the
     * LSH candidate generator. One shuffle on the key; pair fan-out happens
-    * inside each bucket (skew = genuinely-duplicated content, which any
-    * verify step must touch anyway). */
-  def bucketPairs(df: DataFrame, keys: Seq[String], idCol: String = "doc_id"): DataFrame =
+    * inside each bucket.
+    *
+    * Skew guard: a bucket of n ids would otherwise emit C(n,2) pairs — a
+    * boilerplate-heavy corpus where thousands of docs share a band hash
+    * turns one task quadratic. Buckets larger than `maxBucketSize` are
+    * split into deterministic sorted chunks of that size and pairs are
+    * emitted only within a chunk, bounding output at
+    * ceil(n/cap) × C(cap,2) ≈ n×cap/2 — linear in n. The recall
+    * trade-off (cross-chunk pairs inside an over-cap bucket are dropped)
+    * is mitigated in the LSH callers because true near-dups collide on
+    * several independent bands, each giving another chance to pair. */
+  def bucketPairs(df: DataFrame, keys: Seq[String], idCol: String = "doc_id",
+      maxBucketSize: Int = 1000): DataFrame = {
+    def chunkPairs(ids: Column): Column = {
+      val n = size(ids)
+      val nChunks = ceil(n.cast("double") / maxBucketSize).cast("int")
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        c => slice(ids, c * maxBucketSize + 1, lit(maxBucketSize)))
+      // a trailing chunk of size 1 must be dropped BEFORE sequence(1, n-1)
+      // — sequence(1, 0) counts DOWN in Spark (same trap as `shingles`)
+      flatten(transform(filter(chunks, ch => size(ch) >= 2), chunk =>
+        flatten(transform(
+          sequence(lit(1), size(chunk) - 1),
+          i => transform(
+            sequence(i + 1, size(chunk)),
+            j => struct(
+              element_at(chunk, i).as("doc_a"),
+              element_at(chunk, j).as("doc_b")))))))
+    }
     df.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("ids")) - 1),
-        i => transform(
-          sequence(i + 1, size(col("ids"))),
-          j => struct(
-            element_at(col("ids"), i).as("doc_a"),
-            element_at(col("ids"), j).as("doc_b")))))).as("p"))
+      .select(explode(chunkPairs(col("ids"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+  }
 
   /** Word n-gram shingles (default 3); empty array for short docs
     * (sequence(1, 0) would count DOWN in Spark, so guard explicitly). */
@@ -152,9 +173,15 @@ object Text {
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(split(text, " ")).cast("long")
 
-  /** BPE-ish token estimate: greedy max-4-char chunks. */
+  /** BPE-ish token estimate: greedy max-4-char letter chunks, max-3-digit
+    * number chunks (BPE vocabularies split long numbers), and one token
+    * per punctuation/symbol character; whitespace is free. The pattern is
+    * valid in both Java regex and RE2, so the DuckDB oracle twin (q26)
+    * uses it verbatim. */
+  val BpeTokenPattern = "[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"
+
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-z]{1,4}"), lit(0))).cast("long")
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
 
   /** 64-bit SimHash per document (token-level, xxhash64 bit votes). */
   def simHash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -61,20 +61,16 @@ object Trends {
     * single record → broadcast cross join, no shuffle. Null columns when
     * the batch carried no anchor rows (reference emits None then). */
   def withAnchorMetrics(growth: DataFrame): DataFrame = {
-    val anchor = growth
-      .filter(col("keyword") === AnchorKeyword)
-      .select(
-        col("raw_growth").as("anchor_growth"),
-        col("current_interest").as("anchor_interest"))
-      .limit(1)
-    val spark = growth.sparkSession
-    val anchorOrNull =
-      if (anchor.isEmpty)
-        spark.range(1).select(
-          lit(null).cast("double").as("anchor_growth"),
-          lit(null).cast("int").as("anchor_interest"))
-      else anchor
-    growth.crossJoin(broadcast(anchorOrNull))
+    // conditional aggregate, not filter+limit(1)+isEmpty: a global agg
+    // always yields exactly one row (nulls when the batch carried no
+    // anchor), so no driver-side action runs at plan-build time and the
+    // pipeline is evaluated once per branch, never a third time
+    val anchor = growth.agg(
+      max(when(col("keyword") === AnchorKeyword, col("raw_growth")))
+        .as("anchor_growth"),
+      max(when(col("keyword") === AnchorKeyword, col("current_interest")))
+        .as("anchor_interest"))
+    growth.crossJoin(broadcast(anchor))
   }
 
   /** F7→F9 — the processor scoring chain. */

@@ -749,7 +749,7 @@ object QueryCatalog {
     Some("""
       SELECT lang,
         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
-        CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS sum_bpe_tokens,
+        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens,
         floor(avg(n_chars)*100 + 0.5)/100 AS avg_chars,
         count(*) AS n_docs
       FROM documents GROUP BY lang"""))

@@ -14,8 +14,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Re-expressed Spark-first:
   *  - T2 → `tumblingCounts`: watermarked event-time tumbling window —
   *    the one streaming aggregation the driver's `events` fixture needs;
-  *  - T4 ("latest wins" idempotency) → `latestPerUser` via dropDuplicates
-  *    on a watermarked stream;
+  *  - T4 has two halves, implemented separately: `dedupDeliveries`
+  *    (at-least-once delivery dedup — drop re-deliveries of the same
+  *    event) and `latestPerUser` (true latest-wins state per user via
+  *    mapGroupsWithState, robust to out-of-order arrival);
   *  - beyond-reference: `sessionize` shows the custom-state path
   *    (flatMapGroupsWithState) a 100 TB pipeline uses for sessionization.
   *
@@ -56,12 +58,33 @@ object Events {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** T4 — at-least-once dedup: latest state per user on a watermarked
-    * stream (streaming analog of Core.dedupLatest). */
-  def latestPerUser(events: DataFrame): DataFrame =
+  /** T4a — at-least-once delivery dedup: a re-delivered (user_id,
+    * event_id) is dropped; every distinct event passes through once.
+    * State is bounded by the watermark. */
+  def dedupDeliveries(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicates(Seq("user_id", "event_id"))
+
+  /** T4b — true latest-wins: one row per user carrying the event-time-
+    * latest event seen so far, re-emitted whenever it changes
+    * (OutputMode.Update). Out-of-order or duplicate deliveries with an
+    * older ts never overwrite newer state — the idempotent upsert
+    * semantics the reference's "latest wins" ingestion relies on
+    * (streaming analog of Core.dedupLatest; ties broken by value to keep
+    * the comparison total). */
+  def latestPerUser(events: Dataset[Ev]): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Ev, Ev](GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Ev], state: GroupState[Ev]) =>
+          val newest = (state.getOption.iterator ++ rows)
+            .maxBy(e => (e.ts.getTime, e.value))
+          state.update(newest)
+          newest
+      }
+  }
 
   case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class Session(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)

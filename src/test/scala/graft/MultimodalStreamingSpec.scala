@@ -125,6 +125,54 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 00:00:00.0") == 1L)
   }
 
+  test("T4a dedupDeliveries: re-delivered events are dropped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Events.dedupDeliveries(sdf).writeStream
+      .format("memory").queryName("t4a_out").outputMode("append").start()
+    stream.addData(ev(0, 1, "2024-01-01 00:01:00", "click", 1.0))
+    q.processAllAvailable()
+    stream.addData(
+      ev(0, 1, "2024-01-01 00:01:00", "click", 1.0), // re-delivery: dropped
+      ev(1, 1, "2024-01-01 00:02:00", "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.sql("SELECT * FROM t4a_out").count() == 2)
+  }
+
+  test("T4b latestPerUser: out-of-order duplicates never roll state back") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Events.Ev]
+    val q = Events.latestPerUser(stream.toDS()).writeStream
+      .format("memory").queryName("t4b_out").outputMode("update").start()
+    stream.addData(Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:05:00"), "click", 5.0))
+    q.processAllAvailable()
+    // an out-of-order OLDER event plus an exact duplicate delivery: the
+    // emitted state must stay at 00:05, never regress to the stale row
+    stream.addData(
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:01:00"), "stale", 1.0),
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:05:00"), "click", 5.0))
+    q.processAllAvailable()
+    // a genuinely newer event advances the state
+    stream.addData(Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:09:00"), "purchase", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM t4b_out").collect()
+      .map(r => (r.getAs[Timestamp]("ts"), r.getAs[String]("event_type")))
+    assert(!rows.exists(_._2 == "stale"), s"stale state emitted: ${rows.mkString(",")}")
+    assert(rows.last == (Timestamp.valueOf("2024-01-01 00:09:00"), "purchase"))
+  }
+
+  test("T4b latestPerUser batch mode: one row per user, the newest") {
+    val ds = Seq(
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:01:00"), "a", 1.0),
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:03:00"), "b", 3.0),
+      Events.Ev(2L, Timestamp.valueOf("2024-01-01 00:02:00"), "c", 2.0)).toDS()
+    val got = Events.latestPerUser(ds).collect().map(e => e.user_id -> e.event_type).toMap
+    assert(got == Map(1L -> "b", 2L -> "c"))
+  }
+
   test("sessionize: custom state keeps sessions open until timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Events.Ev]

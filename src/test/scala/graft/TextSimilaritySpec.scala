@@ -43,6 +43,24 @@ class TextSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("bucketPairs: over-cap bucket is chunked — bounded fan-out, no nulls") {
+    // 25 ids in one pathological bucket, cap 10 -> chunks of 10/10/5 ->
+    // 45+45+10 = 100 pairs instead of the quadratic C(25,2) = 300
+    val df = ((0L until 25L).map(i => ("b0", i)) :+ ("b1", 100L))
+      .toDF("bucket", "doc_id")
+    val pairs = Text.bucketPairs(df, Seq("bucket"), maxBucketSize = 10).collect()
+    assert(pairs.length == 100)
+    assert(pairs.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && r.getLong(0) < r.getLong(1)))
+  }
+
+  test("bucketPairs: trailing singleton chunk emits nothing (11 ids, cap 10)") {
+    // guards the sequence(1, 0) counts-DOWN trap on a chunk of size 1
+    val df = (0L until 11L).map(i => ("b", i)).toDF("bucket", "doc_id")
+    val pairs = Text.bucketPairs(df, Seq("bucket"), maxBucketSize = 10).collect()
+    assert(pairs.length == 45)
+    assert(pairs.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
   test("simHash64: exact dups equal, near-dups within small hamming") {
     val sim = Text.simHash64(docs)
     val m = sim.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
@@ -96,10 +114,33 @@ class TextSimilaritySpec extends SparkSpec {
     val queries = emb.filter($"vec_id" < 5)
     val bf = Similarity.bruteForceTopK(emb, queries, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // centroids fit on a 25% sample (the 100 TB path), recall@5 at nProbe=4
     val ivf = Similarity.ivfCosineTopK(emb, queries, 5, nCells = 8, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
     assert(recall >= 0.4, s"IVF recall vs brute force = $recall")
+    // probing every cell makes IVF exhaustive -> must equal brute force
+    val full = Similarity.ivfCosineTopK(emb, queries, 5, nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf, s"full-probe IVF != brute force: ${(bf diff full).size} missing")
+  }
+
+  test("probeBuckets: flips are exact single bits at high plane indices") {
+    graft.plans.GraftExtensions.install(spark)
+    // 64 planes puts plane indices up to 63 in play — the old
+    // pow(2.0, p).cast(long) form saturates at p=63 (double 2^63 casts to
+    // Long.MaxValue, flipping 63 bits at once); shiftleft is exact
+    val df = Seq(Tuple1(Array.fill(8)(0.37f))).toDF("embedding")
+    val got = df.select(Similarity.probeBuckets(
+        Similarity.asDouble($"embedding"), numPlanes = 64, dim = 8,
+        extraProbes = 63).as("b"))
+      .head().getAs[scala.collection.Seq[Long]]("b")
+    val main = got.head
+    assert(got.size == 64)
+    got.tail.foreach { b =>
+      assert(java.lang.Long.bitCount(b ^ main) == 1,
+        s"probe $b differs from main $main in != 1 bit")
+    }
   }
 
   test("real embeddings: LSH recall against brute force on sf0.001") {

@@ -70,6 +70,25 @@ class TrendsSpec extends SparkSpec {
     assert(g2.isNullAt(g2.fieldIndex("anchor_growth")))
   }
 
+  test("J7 building withAnchorMetrics runs no Spark job (no driver action)") {
+    // the old form ran anchor.isEmpty at plan-build time — a whole extra
+    // pipeline evaluation before any action; the conditional-aggregate
+    // form is pure plan construction
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Trends.withAnchorMetrics(Trends.withRawGrowth(Trends.keywordMetrics(interest)))
+      Thread.sleep(500) // listener bus is async
+      assert(jobs.get() == 0, s"plan construction launched ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("F20 rename map ignores missing keys (pandas semantics)") {
     val df = Seq((1, "a")).toDF("id", "v")
     val renamed = graft.ops.Core.renameColumns(df, Map("v" -> "value", "nope" -> "x"))
