@@ -1019,13 +1019,290 @@ object QueryCatalog {
         SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       WHERE token <> '' GROUP BY token"""))
 
+  // ------------------------------------------- reference pipelines (gold)
+  // q37-q39 run the ACTUAL reference dataflows (Rates/Trends/Flights
+  // .gold) end-to-end over the bundled bronze fixtures
+  // (graft.sources.Fixtures; authored by tools/make_fixtures.py, country
+  // dims verbatim from the reference's public config). The DuckDB twins
+  // read the very same JSONL via read_json — absolute paths, since the
+  // driver's oracle connection only creates views for the sf tables.
+  // These queries ignore the sfDir argument by design: the input is the
+  // fixture, identical at every scale factor.
+
+  private val FX = "/root/repo/src/main/resources/graft/fixtures"
+
+  /** S1/S2+J1+A3+F3/F4/F5 — the exchange-rate pipeline (Rates.gold):
+    * EUR ×17 eurozone fan-out through the broadcast dim, the 4-rate-type
+    * conditional-aggregation pivot, change-percent + clamped score. The
+    * monthly map column is canonicalized for hashing by exploding its
+    * (sorted) entries — one output row per (country × month), countries
+    * with no monthly rows keep a null-month row (explode_outer ==
+    * LEFT JOIN). Ref: exchage_rate_crawler.py:338-426,611-649. */
+  private val q37 = Q(
+    "q37_rates_gold",
+    (s, _) => {
+      val gold = graft.ops.Rates.gold(
+        graft.sources.Fixtures.ratesRaw(s),
+        graft.sources.Fixtures.countryMaster(s))
+      gold
+        .select(col("*"), explode_outer(map_entries(col("monthly_avg_rates"))).as("me"))
+        .select(
+          col("country_code_3"), col("currency_code"),
+          col("country_korean_name"), col("country_english_name"),
+          col("country_code_2"), col("is_euro_zone"),
+          col("realtime_rate"), col("realtime_crawled_at_utc"),
+          col("realtime_crawled_at_kst"), col("daily_avg_rate"),
+          col("yearly_avg_rate"), col("exchange_rate_change_percent"),
+          col("exchange_rate_score"), col("dataType"),
+          col("me.key").as("month_key"), col("me.value").as("monthly_rate"))
+    },
+    Some(s"""
+      WITH dim AS (
+        SELECT currency_code, country_code_3,
+          country_name_kor AS country_korean_name,
+          country_name_eng AS country_english_name,
+          country_code_2, is_euro_zone
+        FROM read_json('$FX/country_master.jsonl', format='newline_delimited',
+          columns={"country_code_3":'VARCHAR',"country_name_eng":'VARCHAR',
+                   "country_name_kor":'VARCHAR',"country_code_2":'VARCHAR',
+                   "currency_code":'VARCHAR',"is_euro_zone":'BOOLEAN',
+                   "google_trend_keyword_kor":'VARCHAR'})),
+      enr AS (
+        SELECT r.*, d.country_code_3, d.country_korean_name,
+          d.country_english_name, d.country_code_2, d.is_euro_zone
+        FROM read_json('$FX/rates_raw.jsonl', format='newline_delimited',
+          columns={"currency_code":'VARCHAR',"rate_type":'VARCHAR',
+                   "month_key":'VARCHAR',"buy_rate":'DOUBLE',
+                   "sell_rate":'DOUBLE',"send_rate":'DOUBLE',
+                   "receive_rate":'DOUBLE',"standard_rate":'DOUBLE',
+                   "crawled_at_utc":'VARCHAR',"crawled_at_kst":'VARCHAR'}) r
+        JOIN dim d USING (currency_code)),
+      wide AS (
+        SELECT country_code_3,
+          max(currency_code) AS currency_code,
+          max(country_korean_name) AS country_korean_name,
+          max(country_english_name) AS country_english_name,
+          max(country_code_2) AS country_code_2,
+          bool_or(is_euro_zone) AS is_euro_zone,
+          max(CASE WHEN rate_type='realtime' THEN standard_rate END) AS realtime_rate,
+          max(CASE WHEN rate_type='realtime' THEN crawled_at_utc END) AS realtime_crawled_at_utc,
+          max(CASE WHEN rate_type='realtime' THEN crawled_at_kst END) AS realtime_crawled_at_kst,
+          max(CASE WHEN rate_type='daily_avg' THEN standard_rate END) AS daily_avg_rate,
+          max(CASE WHEN rate_type='yearly_avg' THEN standard_rate END) AS yearly_avg_rate
+        FROM enr GROUP BY country_code_3),
+      monthly AS (
+        SELECT DISTINCT country_code_3, month_key, standard_rate AS monthly_rate
+        FROM enr WHERE rate_type='monthly_avg' AND month_key IS NOT NULL),
+      pcts AS (
+        SELECT w.*,
+          CASE WHEN realtime_rate IS NOT NULL AND yearly_avg_rate IS NOT NULL
+                    AND yearly_avg_rate > 0
+            THEN (realtime_rate - yearly_avg_rate)/yearly_avg_rate*100 END AS pct
+        FROM wide w)
+      SELECT p.country_code_3, p.currency_code, p.country_korean_name,
+        p.country_english_name, p.country_code_2, p.is_euro_zone,
+        p.realtime_rate, p.realtime_crawled_at_utc, p.realtime_crawled_at_kst,
+        p.daily_avg_rate, p.yearly_avg_rate,
+        round(p.pct, 2) AS exchange_rate_change_percent,
+        round(CASE WHEN p.pct IS NULL THEN 0.0
+          ELSE least(100.0, greatest(0.0, (10.0 - p.pct)/20.0*100)) END, 2)
+          AS exchange_rate_score,
+        'exchangeRate' AS dataType,
+        m.month_key, m.monthly_rate
+      FROM pcts p LEFT JOIN monthly m USING (country_code_3)"""))
+
+  /** A1/A2+F6-F9+J2/J7 — the Google-Trends pipeline (Trends.gold): last-15
+    * vs previous-15 window means over the long-form series, the faithful
+    * asymmetric growth branches (keyword epsilon blow-up vs anchor 1.0),
+    * log-scale → normalize → clamped score, the broadcast anchor columns,
+    * and standardization against the 739-entry alias map with Unknown_*
+    * defaults. Ref: google_trends_crawler.py:71-111,
+    * google_trends_processor.py:140-239. */
+  private val q38 = Q(
+    "q38_trends_gold",
+    (s, _) => {
+      val gold = graft.ops.Trends.gold(
+        graft.sources.Fixtures.trendsInterest(s),
+        graft.sources.Fixtures.standardMap(s),
+        asOf = lit("2025-07-04 00:00:00").cast("timestamp"))
+      gold.select(
+        col("keyword"), col("recent_mean"), col("prev_mean"),
+        col("current_interest"), col("raw_growth"),
+        col("scaled_raw_growth"), col("final_trend_score"),
+        col("anchor_growth"), col("anchor_interest"), col("korean_name"),
+        col("country_korean_name"), col("country_english_name"),
+        col("country_code_3"), col("country_code_2"), col("dataType"),
+        col("crawled_at_kst"))
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT * FROM read_json('$FX/trends_interest.jsonl',
+          format='newline_delimited',
+          columns={"date":'DATE',"keyword":'VARCHAR',"interest":'INTEGER',
+                   "geo":'VARCHAR',"is_partial":'BOOLEAN',"batch_id":'INTEGER'})
+        WHERE NOT is_partial),
+      ranked AS (
+        SELECT keyword, interest,
+          row_number() OVER (PARTITION BY keyword ORDER BY "date" DESC) AS rn
+        FROM src),
+      m AS (
+        SELECT keyword,
+          avg(CASE WHEN rn <= 15 THEN interest END) AS recent_mean,
+          avg(CASE WHEN rn BETWEEN 16 AND 30 THEN interest END) AS prev_mean,
+          CAST(coalesce(max(CASE WHEN rn = 1 THEN interest END), 0) AS INTEGER)
+            AS current_interest
+        FROM ranked GROUP BY keyword),
+      g AS (
+        SELECT m.*,
+          CASE WHEN keyword = '해외여행' THEN
+            CASE WHEN prev_mean IS NOT NULL AND prev_mean > 0
+                   THEN (recent_mean - prev_mean)/prev_mean
+                 WHEN recent_mean IS NOT NULL AND recent_mean > 0 THEN 1.0
+                 ELSE 0.0 END
+          ELSE
+            CASE WHEN prev_mean IS NOT NULL AND prev_mean > 0
+                   THEN (recent_mean - prev_mean)/prev_mean
+                 WHEN recent_mean IS NOT NULL AND recent_mean > 0
+                   THEN recent_mean/1e-6
+                 ELSE 0.0 END
+          END AS raw_growth
+        FROM m),
+      anc AS (
+        SELECT
+          max(CASE WHEN keyword = '해외여행' THEN raw_growth END) AS anchor_growth,
+          max(CASE WHEN keyword = '해외여행' THEN current_interest END) AS anchor_interest
+        FROM g),
+      sc AS (
+        SELECT g.*, anc.anchor_growth, anc.anchor_interest,
+          CASE WHEN raw_growth > 0 THEN log10(1.0 + raw_growth)
+               WHEN raw_growth < 0 THEN raw_growth ELSE 0.0 END AS scaled
+        FROM g CROSS JOIN anc),
+      sc2 AS (
+        SELECT sc.*,
+          CASE WHEN scaled > 0 THEN least(scaled/10*100, 100.0) ELSE 0.0 END AS norm
+        FROM sc),
+      j AS (
+        SELECT sc2.*, regexp_replace(keyword, ' 여행$$', '') AS korean_name
+        FROM sc2)
+      SELECT j.keyword, j.recent_mean, j.prev_mean, j.current_interest,
+        j.raw_growth,
+        round(j.scaled, 2) AS scaled_raw_growth,
+        round(least(100.0, greatest(0.0, j.norm*0.7 + j.current_interest*0.3)), 2)
+          AS final_trend_score,
+        j.anchor_growth, j.anchor_interest, j.korean_name,
+        coalesce(j.korean_name, 'Unknown') AS country_korean_name,
+        coalesce(s.english_name, 'Unknown_English') AS country_english_name,
+        coalesce(s.country_code_3, 'N/A') AS country_code_3,
+        coalesce(s.country_code_2, 'N/A') AS country_code_2,
+        'googleTrend' AS dataType,
+        TIMESTAMP '2025-07-04 09:00:00' AS crawled_at_kst
+      FROM j LEFT JOIN read_json('$FX/standard_country_map.jsonl',
+        format='newline_delimited',
+        columns={"korean_name":'VARCHAR',"english_name":'VARCHAR',
+                 "country_code_3":'VARCHAR',"country_code_2":'VARCHAR'}) s
+        USING (korean_name)"""))
+
+  /** F16+A4+J3+F12/F13+F14/J4+J5 — the flight pipeline (Flights.flatten →
+    * Flights.gold): nested itinerary ×2 explode, monthly-average
+    * two-key left join, price delta/state/score (Korean categoricals),
+    * airport-list explode to city codes, 2→3-letter country map with VN
+    * deliberately missing. Output columns are ASCII-aliased for the
+    * cross-engine hash (SURVEY §7.4.4); the Korean VALUES (상승/하락/동일)
+    * hash fine, as q14 proved. Ref: _archive/flight_price_preprocessing
+    * .py:3-49, flight_avg_merge.py:26-118. */
+  private val q39 = Q(
+    "q39_flights_gold",
+    (s, _) => {
+      val flat = graft.ops.Flights.flatten(graft.sources.Fixtures.flightsRaw(s))
+      val gold = graft.ops.Flights.gold(
+        flat, graft.ops.Flights.monthlyAvgPrices(flat),
+        graft.sources.Fixtures.cityMeta(s), graft.sources.Fixtures.code2to3)
+      gold.select(
+        col("출발_공항_코드").as("dep_airport"),
+        col("출발_도시_이름").as("dep_city"),
+        col("출발_국가_코드").as("dep_country2"),
+        col("출발_국가_3자리").as("dep_country3"),
+        col("도착_공항_코드").as("arr_airport"),
+        col("도착_도시_이름").as("arr_city"),
+        col("도착_국가_코드").as("arr_country2"),
+        col("도착_국가_3자리").as("arr_country3"),
+        col("도착_도시코드_3자리").as("arr_city_code3"),
+        col("항공사_코드").as("carrier_code"),
+        col("좌석_등급").as("cabin_class"),
+        col("비행시간_초").as("duration_s"),
+        col("가격").as("price"),
+        col("할인여부").as("is_discounted"),
+        col("도착_월").as("arr_month"),
+        col("평균가격").as("avg_price"),
+        col("가격차이").as("price_diff"),
+        col("증감률(%)").as("pct_change"),
+        col("가격상태").as("price_state"),
+        col("점수").as("score"))
+    },
+    Some(s"""
+      WITH its AS (
+        SELECT unnest(itineraries) AS it FROM read_json('$FX/flights_raw.jsonl')),
+      segs AS (
+        SELECT it.price.amount AS price,
+          coalesce(it.price.priceBeforeDiscount, it.price.amount)
+            <> it.price.amount AS is_discounted,
+          unnest(it.sector.sectorSegments) AS ss
+        FROM its),
+      flat AS (
+        SELECT
+          ss.segment.source.station.code AS dep_airport,
+          ss.segment.source.station.city.name AS dep_city,
+          ss.segment.source.station.country.code AS dep_country2,
+          ss.segment.destination.station.code AS arr_airport,
+          ss.segment.destination.station.city.name AS arr_city,
+          ss.segment.destination.station.country.code AS arr_country2,
+          month(CAST(ss.segment.destination.localTime AS TIMESTAMP)) AS arr_month,
+          ss.segment.carrier.code AS carrier_code,
+          ss.segment.cabinClass AS cabin_class,
+          CAST(ss.segment.duration AS INTEGER) AS duration_s,
+          price, is_discounted
+        FROM segs),
+      avgp AS (
+        SELECT arr_airport AS city_code, arr_month AS mon,
+          avg(price) AS avg_price
+        FROM flat GROUP BY 1, 2),
+      joined AS (
+        SELECT f.*, a.avg_price
+        FROM flat f LEFT JOIN avgp a
+          ON f.arr_airport = a.city_code AND f.arr_month = a.mon),
+      city AS (
+        SELECT unnest(string_split(
+            regexp_replace(airport_codes, '[\\[\\]'' ]', '', 'g'), ',')) AS ap,
+          final_city_code
+        FROM read_json('$FX/city_meta.jsonl')
+        WHERE airport_codes IS NOT NULL AND final_city_code IS NOT NULL),
+      c23(c2, c3) AS (
+        SELECT * FROM (VALUES ('KR','KOR'),('JP','JPN'),('FR','FRA'),('TH','THA')))
+      SELECT j.dep_airport, j.dep_city, j.dep_country2, d23.c3 AS dep_country3,
+        j.arr_airport, j.arr_city, j.arr_country2, a23.c3 AS arr_country3,
+        city.final_city_code AS arr_city_code3,
+        j.carrier_code, j.cabin_class, j.duration_s, j.price,
+        j.is_discounted, j.arr_month,
+        j.avg_price, j.price - j.avg_price AS price_diff,
+        round((j.price - j.avg_price)/j.avg_price*100, 2) AS pct_change,
+        CASE WHEN j.price - j.avg_price > 0 THEN '상승'
+             WHEN j.price - j.avg_price < 0 THEN '하락'
+             ELSE '동일' END AS price_state,
+        CAST(CASE WHEN j.price - j.avg_price > 0 THEN -1
+                  WHEN j.price - j.avg_price < 0 THEN 1
+                  ELSE 0 END AS INTEGER) AS score
+      FROM joined j
+      LEFT JOIN city ON j.arr_airport = city.ap
+      LEFT JOIN c23 d23 ON j.dep_country2 = d23.c2
+      LEFT JOIN c23 a23 ON j.arr_country2 = a23.c2"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

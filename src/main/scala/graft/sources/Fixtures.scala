@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bundled reference-shaped bronze fixtures (FIXTURES.md §B) — the JSONL
+  * files under `src/main/resources/graft/fixtures/`, authored by
+  * `tools/make_fixtures.py`. The country master and standard map carry the
+  * reference's own public config data verbatim
+  * (`config/master_country_crawler.json`, 59 rows incl. the EUR ×17
+  * eurozone fan-out; `config/standard_country_map.json`, 739 alias
+  * entries); the rate/trends/flight rows are synthetic but shaped per the
+  * reference record literals. Every reader pins an explicit schema — no
+  * inference drift between runs, mirroring the streaming-source
+  * discipline.
+  */
+object Fixtures {
+
+  /** Resolve a bundled fixture to a filesystem path. Resources are plain
+    * files in sbt runs (target/classes); fall back to the repo-relative
+    * source path for tools running outside the build. */
+  def path(name: String): String = {
+    val url = getClass.getClassLoader.getResource(s"graft/fixtures/$name")
+    if (url != null && url.getProtocol == "file") url.getPath
+    else s"src/main/resources/graft/fixtures/$name"
+  }
+
+  /** B1 — parsed exchange-rate scrape rows (exchage_rate_crawler.py:
+    * 266-275). Crawl timestamps stay strings: the reference emits ISO
+    * strings (F18) and string max() is engine-portable. */
+  def ratesRaw(spark: SparkSession): DataFrame =
+    spark.read.schema(
+      "currency_code string, rate_type string, month_key string, " +
+        "buy_rate double, sell_rate double, send_rate double, " +
+        "receive_rate double, standard_rate double, " +
+        "crawled_at_utc string, crawled_at_kst string")
+      .json(path("rates_raw.jsonl"))
+
+  /** B2 — 59-row country master dim, renamed to the gold-record column
+    * names the Rates pipeline emits (exchage_rate_crawler.py:338-357). */
+  def countryMaster(spark: SparkSession): DataFrame =
+    spark.read.schema(
+      "country_code_3 string, country_name_eng string, " +
+        "country_name_kor string, country_code_2 string, " +
+        "currency_code string, is_euro_zone boolean, " +
+        "google_trend_keyword_kor string")
+      .json(path("country_master.jsonl"))
+      .select(
+        col("currency_code"), col("country_code_3"),
+        col("country_name_kor").as("country_korean_name"),
+        col("country_name_eng").as("country_english_name"),
+        col("country_code_2"), col("is_euro_zone"))
+
+  /** B3 — 739-entry standard country map; `korean_name` is the lookup
+    * alias key (google_trends_processor.py:32-34). */
+  def standardMap(spark: SparkSession): DataFrame =
+    spark.read.schema(
+      "korean_name string, english_name string, " +
+        "country_code_3 string, country_code_2 string")
+      .json(path("standard_country_map.jsonl"))
+
+  /** B4 — long-form trends interest series (google_trends_crawler.py:
+    * 56-72): 45 daily rows × 8 keywords incl. the anchor, an
+    * epsilon-branch keyword, and a standardization miss. */
+  def trendsInterest(spark: SparkSession): DataFrame =
+    spark.read.schema(
+      "date date, keyword string, interest int, geo string, " +
+        "is_partial boolean, batch_id int")
+      .json(path("trends_interest.jsonl"))
+
+  private val stationDdl =
+    "struct<station:struct<code:string," +
+      "city:struct<name:string,legacyId:int>," +
+      "country:struct<code:string>," +
+      "gps:struct<lat:double,lng:double>>,localTime:string>"
+
+  /** B5 — nested flight itineraries
+    * (_archive/flight_price_preprocessing.py:3-49). */
+  def flightsRaw(spark: SparkSession): DataFrame =
+    spark.read.schema(
+      "itineraries array<struct<" +
+        "price:struct<amount:double,priceBeforeDiscount:double>," +
+        "sector:struct<sectorSegments:array<struct<segment:struct<" +
+        s"source:$stationDdl,destination:$stationDdl," +
+        "carrier:struct<name:string,code:string>," +
+        "cabinClass:string,duration:int>>>>>>")
+      .json(path("flights_raw.jsonl"))
+
+  /** B6 — city metadata with the `"['ICN','GMP']"` list-string form
+    * (flight_avg_merge.py:91-98); one null row exercises the P8 drop. */
+  def cityMeta(spark: SparkSession): DataFrame =
+    spark.read.schema("airport_codes string, final_city_code string")
+      .json(path("city_meta.jsonl"))
+
+  /** J5 — the 2→3-letter country map for the flight fixture's countries;
+    * VN is deliberately absent (miss → null, pandas .map semantics). */
+  val code2to3: Map[String, String] =
+    Map("KR" -> "KOR", "JP" -> "JPN", "FR" -> "FRA", "TH" -> "THA")
+}

@@ -16,6 +16,31 @@ class GoldPipelineSpec extends SparkSpec {
 
   private val t0 = Timestamp.valueOf("2025-08-01 00:00:00")
 
+  test("EUR fan-out: one EUR rate set reaches all 17 eurozone countries") {
+    // the bundled master dim is the reference's verbatim 59-country config
+    // (EUR appears 17 times); q37's oracle twin hash-checks the values,
+    // this pins the fan-out shape itself
+    val gold = Rates.gold(
+      graft.sources.Fixtures.ratesRaw(spark),
+      graft.sources.Fixtures.countryMaster(spark))
+    val eur = gold.filter(col("currency_code") === "EUR")
+    assert(eur.count() == 17)
+    assert(eur.select("is_euro_zone").distinct().collect()
+      .map(_.getBoolean(0)).toSeq == Seq(true))
+    // unknown currency XXX dropped by the inner join (crawler :363-367)
+    assert(gold.filter(col("currency_code") === "XXX").isEmpty)
+  }
+
+  test("739-entry standard map joins 1:1 — no alias-dup fan-out") {
+    val gold = Trends.gold(
+      graft.sources.Fixtures.trendsInterest(spark),
+      graft.sources.Fixtures.standardMap(spark))
+    assert(gold.count() == 8) // one row per fixture keyword
+    val mars = gold.filter(col("keyword") === "화성 여행").head()
+    assert(mars.getAs[String]("country_english_name") == "Unknown_English")
+    assert(mars.getAs[Double]("raw_growth") > 1e6) // epsilon blow-up branch
+  }
+
   test("three pipelines -> J6 gold join keeps full master coverage") {
     // --- exchange pipeline (USA has data; JPN deliberately missing)
     val rates = Seq(

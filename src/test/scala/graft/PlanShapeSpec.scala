@@ -62,6 +62,6 @@ class PlanShapeSpec extends SparkSpec {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
     assert(os.subsetOf(qs))
-    assert(qs.size == 36)
+    assert(qs.size == 39)
   }
 }
