@@ -63,4 +63,33 @@ object Bronze {
     df.write.mode("overwrite").option("header", "true").csv(path)
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Gold Delta write — ENVIRONMENT-DEFERRED: the reference's downstream
+    * stores gold as Delta in a catalog (README.md:86-87,111). The call
+    * shape compiles against plain Spark (format is resolved at runtime),
+    * but this offline container has no delta-spark jar, so execution
+    * fails at DataSource lookup; on a cluster, add the delta-spark
+    * package + `spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension`
+    * and this method works unchanged. Partition by ingest date for
+    * partition pruning (SURVEY §4). */
+  def writeDelta(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.format("delta").mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+
+  /** Delta MERGE upsert — ENVIRONMENT-DEFERRED (same jar caveat). The W2
+    * "latest crawl wins" gold upsert (Core.dedupLatest's storage twin) as
+    * the SQL MERGE a cluster user runs: `updates` must be a registered
+    * temp view, `target` a Delta table name. Built as SQL text so the
+    * shape ships without the DeltaTable API on the compile classpath. */
+  def mergeLatestWins(
+      spark: SparkSession, target: String, updatesView: String,
+      keyCols: Seq[String], orderCol: String): Unit = {
+    val on = keyCols.map(k => s"t.$k = u.$k").mkString(" AND ")
+    spark.sql(
+      s"""MERGE INTO $target t USING $updatesView u ON $on
+         |WHEN MATCHED AND u.$orderCol > t.$orderCol THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    ()
+  }
 }

@@ -46,6 +46,30 @@ object Events {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** T2 (cluster path) — ENVIRONMENT-DEFERRED: the reference's hub is
+    * Event Hubs (README.md:66-69), whose Spark-native surface is the
+    * Kafka source (Event Hubs speaks the Kafka protocol). This is the
+    * exact call shape a cluster user runs; it compiles against plain
+    * Spark but needs the `spark-sql-kafka-0-10` package on the classpath
+    * at runtime, which this offline container cannot resolve (no jar in
+    * /opt/spark/jars, coursier offline) — so it is pinned by a spec that
+    * asserts the failure is connector-lookup, not plan construction.
+    * Value payloads are the reference's JSON event records (K1 shape);
+    * downstream transforms are shared with the file-source reader. */
+  def readKafkaStream(
+      spark: org.apache.spark.sql.SparkSession,
+      brokers: String,
+      topic: String,
+      valueSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .select(from_json(col("value").cast("string"), valueSchema).as("e"))
+      .select(col("e.*"))
+
   /** T5 — tumbling event-time window + watermark: counts and value sums
     * per (window, event_type). Late rows beyond 10 minutes are dropped. */
   def tumblingCounts(events: DataFrame, window_ : String = "5 minutes"): DataFrame =

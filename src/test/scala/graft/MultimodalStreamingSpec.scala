@@ -173,6 +173,24 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(got == Map(1L -> "b", 2L -> "c"))
   }
 
+  test("environment-deferred connectors fail at source lookup, not plan shape") {
+    // Kafka + Delta call shapes ship for cluster users (ARCHITECTURE.md
+    // §6); this container has neither jar, so the pinned behavior is:
+    // the failure names the missing connector — i.e. the code reached
+    // DataSource resolution with the right format string
+    val kafkaErr = intercept[Exception] {
+      Events.readKafkaStream(spark, "broker:9092", "events",
+        org.apache.spark.sql.types.StructType.fromDDL("event_id long, ts timestamp"))
+    }
+    assert(kafkaErr.getMessage.toLowerCase.contains("kafka"))
+    val deltaErr = intercept[Exception] {
+      graft.sources.Bronze.writeDelta(
+        Seq((1L, "a")).toDF("id", "v"),
+        java.nio.file.Files.createTempDirectory("graft_delta").toString)
+    }
+    assert(deltaErr.getMessage.toLowerCase.contains("delta"))
+  }
+
   test("sessionize: custom state keeps sessions open until timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Events.Ev]
