@@ -83,29 +83,38 @@ object Trends {
         F.round2(F.finalTrendScore(norm, col("current_interest"))))
   }
 
-  /** J2 — standardize keyword → country via the broadcast name map
-    * (korean_name, english_name, country_code_3, country_code_2); misses
-    * get the reference's Unknown_* and N/A defaults
-    * (google_trends_processor.py:152-160). */
+  /** J2 — standardize keyword → country via the broadcast name map. The
+    * stripped keyword is only the LOOKUP alias; the emitted
+    * `country_korean_name` is the map value's canonical `korean_name`
+    * (514/739 entries are aliases whose canonical differs from the key,
+    * e.g. "Argentina" → "아르헨티나"); misses get the reference's
+    * Unknown_Korean/Unknown_English/N/A defaults
+    * (google_trends_processor.py:146-159). */
   def standardize(scored: DataFrame, standardMap: DataFrame): DataFrame =
     scored
-      .withColumn("korean_name", F.stripTravelSuffix(col("keyword")))
-      .join(broadcast(standardMap), Seq("korean_name"), "left")
-      .withColumn("country_korean_name", coalesce(col("korean_name"), lit("Unknown")))
+      .withColumn("lookup_key", F.stripTravelSuffix(col("keyword")))
+      .join(broadcast(standardMap), Seq("lookup_key"), "left")
+      .withColumn("country_korean_name", coalesce(col("korean_name"), lit("Unknown_Korean")))
       .withColumn("country_english_name", coalesce(col("english_name"), lit("Unknown_English")))
       .withColumn("country_code_3", coalesce(col("country_code_3"), lit("N/A")))
       .withColumn("country_code_2", coalesce(col("country_code_2"), lit("N/A")))
-      .drop("english_name")
+      .drop("lookup_key", "korean_name", "english_name")
       .withColumn("dataType", lit("googleTrend"))
 
-  /** Full pipeline: long-form interest + standard map → gold records
-    * (incl. the J7 anchor columns and the KST crawl timestamp —
-    * google_trends_processor.py:225-239; pass `asOf` for deterministic
-    * golden runs). */
+  /** Full pipeline: long-form interest + standard map → gold records with
+    * the reference event literal's exact field names —
+    * `trend_score_raw_growth` (0.0 when growth is undefined, mirroring
+    * `raw_growth_val`'s pd.notna default) and
+    * `trend_score_current_interest` — plus the J7 anchor columns and the
+    * KST crawl timestamp (google_trends_processor.py:225-239; pass `asOf`
+    * for deterministic golden runs). */
   def gold(
       interest: DataFrame,
       standardMap: DataFrame,
       asOf: Column = current_timestamp()): DataFrame =
     standardize(scored(withAnchorMetrics(withRawGrowth(keywordMetrics(interest)))), standardMap)
+      .withColumn("trend_score_raw_growth", coalesce(col("raw_growth"), lit(0.0)))
+      .drop("raw_growth")
+      .withColumnRenamed("current_interest", "trend_score_current_interest")
       .withColumn("crawled_at_kst", RefFunctions.toKst(asOf))
 }

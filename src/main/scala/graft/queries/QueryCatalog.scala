@@ -1127,9 +1127,9 @@ object QueryCatalog {
         asOf = lit("2025-07-04 00:00:00").cast("timestamp"))
       gold.select(
         col("keyword"), col("recent_mean"), col("prev_mean"),
-        col("current_interest"), col("raw_growth"),
+        col("trend_score_current_interest"), col("trend_score_raw_growth"),
         col("scaled_raw_growth"), col("final_trend_score"),
-        col("anchor_growth"), col("anchor_interest"), col("korean_name"),
+        col("anchor_growth"), col("anchor_interest"),
         col("country_korean_name"), col("country_english_name"),
         col("country_code_3"), col("country_code_2"), col("dataType"),
         col("crawled_at_kst"))
@@ -1182,15 +1182,16 @@ object QueryCatalog {
           CASE WHEN scaled > 0 THEN least(scaled/10*100, 100.0) ELSE 0.0 END AS norm
         FROM sc),
       j AS (
-        SELECT sc2.*, regexp_replace(keyword, ' 여행$$', '') AS korean_name
+        SELECT sc2.*, regexp_replace(keyword, ' 여행$$', '') AS lookup_key
         FROM sc2)
-      SELECT j.keyword, j.recent_mean, j.prev_mean, j.current_interest,
-        j.raw_growth,
+      SELECT j.keyword, j.recent_mean, j.prev_mean,
+        j.current_interest AS trend_score_current_interest,
+        coalesce(j.raw_growth, 0.0) AS trend_score_raw_growth,
         round(j.scaled, 2) AS scaled_raw_growth,
         round(least(100.0, greatest(0.0, j.norm*0.7 + j.current_interest*0.3)), 2)
           AS final_trend_score,
-        j.anchor_growth, j.anchor_interest, j.korean_name,
-        coalesce(j.korean_name, 'Unknown') AS country_korean_name,
+        j.anchor_growth, j.anchor_interest,
+        coalesce(s.korean_name, 'Unknown_Korean') AS country_korean_name,
         coalesce(s.english_name, 'Unknown_English') AS country_english_name,
         coalesce(s.country_code_3, 'N/A') AS country_code_3,
         coalesce(s.country_code_2, 'N/A') AS country_code_2,
@@ -1198,9 +1199,10 @@ object QueryCatalog {
         TIMESTAMP '2025-07-04 09:00:00' AS crawled_at_kst
       FROM j LEFT JOIN read_json('$FX/standard_country_map.jsonl',
         format='newline_delimited',
-        columns={"korean_name":'VARCHAR',"english_name":'VARCHAR',
-                 "country_code_3":'VARCHAR',"country_code_2":'VARCHAR'}) s
-        USING (korean_name)"""))
+        columns={"lookup_key":'VARCHAR',"korean_name":'VARCHAR',
+                 "english_name":'VARCHAR',"country_code_3":'VARCHAR',
+                 "country_code_2":'VARCHAR'}) s
+        USING (lookup_key)"""))
 
   /** F16+A4+J3+F12/F13+F14/J4+J5 — the flight pipeline (Flights.flatten →
     * Flights.gold): nested itinerary ×2 explode, monthly-average

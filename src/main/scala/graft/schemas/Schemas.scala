@@ -39,9 +39,9 @@ object Schemas {
       country_code_3: String,
       country_code_2: String,
       final_trend_score: Double,
-      raw_growth: Double,
+      trend_score_raw_growth: Double,
       scaled_raw_growth: Double,
-      current_interest: Int,
+      trend_score_current_interest: Int,
       anchor_growth: Option[Double],
       anchor_interest: Option[Int],
       crawled_at_kst: Timestamp)

@@ -51,17 +51,20 @@ object Fixtures {
         col("country_name_eng").as("country_english_name"),
         col("country_code_2"), col("is_euro_zone"))
 
-  /** B3 — 739-entry standard country map; `korean_name` is the lookup
-    * alias key (google_trends_processor.py:32-34). */
+  /** B3 — 739-entry standard country map; `lookup_key` is the alias the
+    * processor looks up by, `korean_name` the canonical name the gold
+    * record emits — distinct for 514/739 entries
+    * (google_trends_processor.py:146-152). */
   def standardMap(spark: SparkSession): DataFrame =
     spark.read.schema(
-      "korean_name string, english_name string, " +
+      "lookup_key string, korean_name string, english_name string, " +
         "country_code_3 string, country_code_2 string")
       .json(path("standard_country_map.jsonl"))
 
   /** B4 — long-form trends interest series (google_trends_crawler.py:
-    * 56-72): 45 daily rows × 8 keywords incl. the anchor, an
-    * epsilon-branch keyword, and a standardization miss. */
+    * 56-72): 45 daily rows × 9 keywords incl. the anchor, an
+    * epsilon-branch keyword, a standardization miss, and an alias keyword
+    * whose canonical korean_name differs. */
   def trendsInterest(spark: SparkSession): DataFrame =
     spark.read.schema(
       "date date, keyword string, interest int, geo string, " +

@@ -35,10 +35,13 @@ class GoldPipelineSpec extends SparkSpec {
     val gold = Trends.gold(
       graft.sources.Fixtures.trendsInterest(spark),
       graft.sources.Fixtures.standardMap(spark))
-    assert(gold.count() == 8) // one row per fixture keyword
+    assert(gold.count() == 9) // one row per fixture keyword
     val mars = gold.filter(col("keyword") === "화성 여행").head()
     assert(mars.getAs[String]("country_english_name") == "Unknown_English")
-    assert(mars.getAs[Double]("raw_growth") > 1e6) // epsilon blow-up branch
+    assert(mars.getAs[Double]("trend_score_raw_growth") > 1e6) // epsilon blow-up
+    // the planted alias keyword resolves to the canonical korean_name
+    val alias = gold.filter(col("keyword") === "Japan 여행").head()
+    assert(alias.getAs[String]("country_korean_name") == "일본")
   }
 
   test("three pipelines -> J6 gold join keeps full master coverage") {
@@ -62,8 +65,8 @@ class GoldPipelineSpec extends SparkSpec {
       (Date.valueOf(java.time.LocalDate.of(2025, 6, 1).plusDays(i)),
         "일본 여행", if (i < 15) 10 else 20, false)
     }.toDF("date", "keyword", "interest", "is_partial")
-    val stdMap = Seq(("일본", "Japan", "JPN", "JP"))
-      .toDF("korean_name", "english_name", "country_code_3", "country_code_2")
+    val stdMap = Seq(("일본", "일본", "Japan", "JPN", "JP"))
+      .toDF("lookup_key", "korean_name", "english_name", "country_code_3", "country_code_2")
     val trendGold = Trends.gold(interest, stdMap)
       .select(col("country_code_3"), col("final_trend_score"))
 

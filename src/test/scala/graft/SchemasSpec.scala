@@ -38,14 +38,14 @@ class SchemasSpec extends SparkSpec {
       (java.sql.Date.valueOf(java.time.LocalDate.of(2025, 6, 1).plusDays(i)),
         "일본 여행", if (i < 15) 10 else 20, false)
     }.toDF("date", "keyword", "interest", "is_partial")
-    val stdMap = Seq(("일본", "Japan", "JPN", "JP"))
-      .toDF("korean_name", "english_name", "country_code_3", "country_code_2")
+    val stdMap = Seq(("일본", "일본", "Japan", "JPN", "JP"))
+      .toDF("lookup_key", "korean_name", "english_name", "country_code_3", "country_code_2")
     val typed = Schemas.asTrendGold(
       Trends.gold(interest, stdMap, lit(Timestamp.valueOf("2025-08-01 00:00:00")))).collect()
     val r = typed.head
     assert(r.dataType == "googleTrend" && r.country_code_3 == "JPN")
     assert(r.anchor_growth.isEmpty) // no anchor rows in this batch
-    assert(r.current_interest == 20)
+    assert(r.trend_score_current_interest == 20)
   }
 
   test("GraftSession registers native functions") {

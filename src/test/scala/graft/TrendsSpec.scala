@@ -22,14 +22,19 @@ class TrendsSpec extends SparkSpec {
   private def interest = (
     series("일본 여행", Seq.fill(15)(10) ++ Seq.fill(15)(20)) ++
       series("화성 여행", Seq.fill(15)(0) ++ Seq.fill(15)(5)) ++
+      series("Japan 여행", Seq.fill(15)(10) ++ Seq.fill(15)(30)) ++
       series(Trends.AnchorKeyword, Seq.fill(15)(0) ++ Seq.fill(15)(4)) ++
       // partial row must be dropped: without drop it would shift A's window
       series("일본 여행", Seq(99), partialLast = true).map(r => (Date.valueOf("2025-07-01"), r._2, r._3, true))
     ).toDF("date", "keyword", "interest", "is_partial")
 
+  // lookup_key is the alias; korean_name the canonical emitted value —
+  // the "Japan" row pins the alias->canonical rename (514/739 real map
+  // entries differ like this; google_trends_processor.py:146-152)
   private def stdMap = Seq(
-    ("일본", "Japan", "JPN", "JP")
-  ).toDF("korean_name", "english_name", "country_code_3", "country_code_2")
+    ("일본", "일본", "Japan", "JPN", "JP"),
+    ("Japan", "일본", "Japan", "JPN", "JP")
+  ).toDF("lookup_key", "korean_name", "english_name", "country_code_3", "country_code_2")
 
   test("A1/A2 window means with is_partial dropped") {
     val m = Trends.keywordMetrics(interest)
@@ -56,7 +61,17 @@ class TrendsSpec extends SparkSpec {
     val mars = gold.filter($"keyword" === "화성 여행").head()
     assert(mars.getAs[String]("country_english_name") == "Unknown_English")
     assert(mars.getAs[String]("country_code_3") == "N/A")
-    assert(mars.getAs[String]("country_korean_name") == "화성")
+    // miss emits the reference's Unknown_Korean literal, NOT the stripped
+    // keyword (google_trends_processor.py:153)
+    assert(mars.getAs[String]("country_korean_name") == "Unknown_Korean")
+  }
+
+  test("J2 alias keyword emits the CANONICAL korean_name, not the alias") {
+    val gold = Trends.gold(interest, stdMap)
+    val alias = gold.filter($"keyword" === "Japan 여행").head()
+    assert(alias.getAs[String]("country_korean_name") == "일본")
+    assert(alias.getAs[String]("country_english_name") == "Japan")
+    assert(alias.getAs[String]("country_code_3") == "JPN")
   }
 
   test("J7 anchor metrics attach to every row; absent anchor yields nulls") {

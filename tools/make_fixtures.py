@@ -31,9 +31,15 @@ master = json.load(open(f"{REF}/master_country_crawler.json"))
 dump("country_master.jsonl", [master[k] for k in sorted(master)])
 
 # --- B3: 739-entry standard country map (key = lookup alias) ------------
+# The dict KEY is the alias the processor looks up by; the VALUE carries
+# the canonical korean_name the gold record emits — 514/739 entries are
+# aliases whose canonical name differs from the key (e.g. "Argentina" ->
+# "아르헨티나"), so both must survive the flattening
+# (google_trends_processor.py:146-152).
 std = json.load(open(f"{REF}/standard_country_map.json"))
 dump("standard_country_map.jsonl", [
-    {"korean_name": k,  # the dict KEY is what the processor looks up by
+    {"lookup_key": k,
+     "korean_name": std[k]["korean_name"],
      "english_name": std[k]["english_name"],
      "country_code_3": std[k]["country_code_3"],
      "country_code_2": std[k]["country_code_2"]}
@@ -82,13 +88,18 @@ dump("rates_raw.jsonl", rates)
 # 화성 여행: zero until the last 10 days -> the keyword epsilon branch,
 # AND absent from the standard map -> Unknown_* defaults. The anchor
 # (해외여행) has prev>0 -> normal branch feeding anchor_growth.
+# Japan 여행: reaches the map through an ALIAS key whose canonical
+# korean_name differs ("Japan" -> "일본") — pins the alias->canonical
+# rename (google_trends_processor.py:152).
 keywords = ["일본 여행", "프랑스 여행", "미국 여행", "태국 여행",
-            "베트남 여행", "스페인 여행", "해외여행", "화성 여행"]
+            "베트남 여행", "스페인 여행", "해외여행", "화성 여행",
+            "Japan 여행"]
 std_keys = set(std)
 for kw in keywords:
     stripped = kw.removesuffix(" 여행")
     if kw not in ("화성 여행", "해외여행"):
         assert stripped in std_keys, f"{stripped} not in standard map"
+assert std["Japan"]["korean_name"] != "Japan"  # alias != canonical
 trends = []
 import datetime
 d0 = datetime.date(2025, 5, 20)
