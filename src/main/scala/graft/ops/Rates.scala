@@ -73,7 +73,30 @@ object Rates {
       .withColumn("exchange_rate_score", F.round2(F.exchangeRateScore(pct)))
   }
 
-  /** Full pipeline: bronze rates + country dim → scored gold records. */
-  def gold(rates: DataFrame, countryDim: DataFrame, joinMode: String = "inner"): DataFrame =
-    score(pivotRates(enrich(rates, countryDim, joinMode)))
+  /** Full pipeline: bronze rates + country dim → scored gold records.
+    *
+    * `joinMode="inner"` drops countries whose currency never scraped
+    * (crawler :363-376 semantics). `joinMode="left"` is the master-data
+    * coverage design (README.md:119 — "90% discarded → 100% analyzable"):
+    * EVERY master country survives; currency-less countries carry null
+    * rates, null change-percent, and score 0.0 (the reference's
+    * cannot-compute default, :642). Scale shape: the scored inner result
+    * is ≤1 row per country, so the coverage join broadcasts it against
+    * the master dim — no extra shuffle at any SF. */
+  def gold(rates: DataFrame, countryDim: DataFrame, joinMode: String = "inner"): DataFrame = {
+    val inner = score(pivotRates(enrich(rates, countryDim, "inner")))
+    if (joinMode != "left") inner
+    else {
+      val rateCols = Seq(
+        "realtime_rate", "realtime_crawled_at_utc", "realtime_crawled_at_kst",
+        "daily_avg_rate", "monthly_avg_rates", "yearly_avg_rate",
+        "exchange_rate_change_percent", "exchange_rate_score")
+      countryDim
+        .join(
+          broadcast(inner.select(col("country_code_3") +: rateCols.map(col): _*)),
+          Seq("country_code_3"), "left")
+        .withColumn("exchange_rate_score", coalesce(col("exchange_rate_score"), lit(0.0)))
+        .withColumn("dataType", lit("exchangeRate"))
+    }
+  }
 }

@@ -104,7 +104,10 @@ object QueryCatalog {
       val sup = Tables.supplier(s, d)
       val nat = Tables.nation(s, d)
       val reg = Tables.region(s, d)
-      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      // nation/region are FIXED-SIZE dims -> always hinted; supplier grows
+      // with SF, so it relies on autoBroadcastJoinThreshold/AQE (which
+      // picks broadcast at bench scale and shuffle at 100 TB, correctly)
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -130,7 +133,7 @@ object QueryCatalog {
     (s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+      o.join(c, col("o_custkey") === col("c_custkey"), "left")
         .withColumn("segment", coalesce(col("c_mktsegment"), lit("N/A")))
         .groupBy(col("segment"))
         .agg(
@@ -154,7 +157,7 @@ object QueryCatalog {
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
       def slot(p: String) = r2(sum(when(col("o_orderpriority") === p, col("o_totalprice"))))
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
@@ -368,7 +371,7 @@ object QueryCatalog {
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
       val diff = col("l_extendedprice") / col("l_quantity") - col("p_retailprice")
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
         .withColumn("diff", diff)
         .withColumn("state", F.priceState(col("diff")))
         .withColumn("score", F.priceScore(col("diff")))
@@ -430,7 +433,7 @@ object QueryCatalog {
     (s, d) => {
       val o = Tables.orders(s, d)
       val rich = Tables.customer(s, d).filter(col("c_acctbal") > 7000).select(col("c_custkey"))
-      o.join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left_semi")
+      o.join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))
     },
@@ -798,11 +801,11 @@ object QueryCatalog {
     (s, d) => {
       val nation = Tables.nation(s, d)
       val fx = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey").as("n_nationkey"))
         .agg(least(lit(100.0), avg(col("o_totalprice")) / 2000).as("score_fx"))
       val rev = Tables.lineitem(s, d)
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_nationkey").as("n_nationkey"))
         .agg(least(lit(100.0), sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) / 1e7).as("score_rev"))
       val trend = Tables.events(s, d)
@@ -848,7 +851,7 @@ object QueryCatalog {
     "q30_rollup",
     (s, d) =>
       Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
@@ -953,7 +956,7 @@ object QueryCatalog {
     "q34_pivot_map_roundtrip",
     (s, d) => {
       val perMonth = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), F.monthKey(col("o_orderdate")).as("month_key"))
         .agg(r2(sum(col("o_totalprice"))).as("total"))
@@ -1298,13 +1301,88 @@ object QueryCatalog {
       LEFT JOIN c23 d23 ON j.dep_country2 = d23.c2
       LEFT JOIN c23 a23 ON j.arr_country2 = a23.c2"""))
 
+  /** README.md:119 — the LEFT-join master-data coverage mode: every one
+    * of the 59 master countries survives, including those whose currency
+    * never scraped (null rates, null change-percent, score 0.0 — the
+    * reference's cannot-compute default, exchage_rate_crawler.py:642).
+    * Same monthly-map canonicalization as q37. */
+  private val q40 = Q(
+    "q40_rates_coverage",
+    (s, _) => {
+      val gold = graft.ops.Rates.gold(
+        graft.sources.Fixtures.ratesRaw(s),
+        graft.sources.Fixtures.countryMaster(s),
+        joinMode = "left")
+      gold
+        .select(col("*"), explode_outer(map_entries(col("monthly_avg_rates"))).as("me"))
+        .select(
+          col("country_code_3"), col("currency_code"),
+          col("country_korean_name"), col("country_english_name"),
+          col("country_code_2"), col("is_euro_zone"),
+          col("realtime_rate"), col("realtime_crawled_at_utc"),
+          col("realtime_crawled_at_kst"), col("daily_avg_rate"),
+          col("yearly_avg_rate"), col("exchange_rate_change_percent"),
+          col("exchange_rate_score"), col("dataType"),
+          col("me.key").as("month_key"), col("me.value").as("monthly_rate"))
+    },
+    Some(s"""
+      WITH dim AS (
+        SELECT currency_code, country_code_3,
+          country_name_kor AS country_korean_name,
+          country_name_eng AS country_english_name,
+          country_code_2, is_euro_zone
+        FROM read_json('$FX/country_master.jsonl', format='newline_delimited',
+          columns={"country_code_3":'VARCHAR',"country_name_eng":'VARCHAR',
+                   "country_name_kor":'VARCHAR',"country_code_2":'VARCHAR',
+                   "currency_code":'VARCHAR',"is_euro_zone":'BOOLEAN',
+                   "google_trend_keyword_kor":'VARCHAR'})),
+      enr AS (
+        SELECT r.*, d.country_code_3
+        FROM read_json('$FX/rates_raw.jsonl', format='newline_delimited',
+          columns={"currency_code":'VARCHAR',"rate_type":'VARCHAR',
+                   "month_key":'VARCHAR',"buy_rate":'DOUBLE',
+                   "sell_rate":'DOUBLE',"send_rate":'DOUBLE',
+                   "receive_rate":'DOUBLE',"standard_rate":'DOUBLE',
+                   "crawled_at_utc":'VARCHAR',"crawled_at_kst":'VARCHAR'}) r
+        JOIN dim d USING (currency_code)),
+      wide AS (
+        SELECT country_code_3,
+          max(CASE WHEN rate_type='realtime' THEN standard_rate END) AS realtime_rate,
+          max(CASE WHEN rate_type='realtime' THEN crawled_at_utc END) AS realtime_crawled_at_utc,
+          max(CASE WHEN rate_type='realtime' THEN crawled_at_kst END) AS realtime_crawled_at_kst,
+          max(CASE WHEN rate_type='daily_avg' THEN standard_rate END) AS daily_avg_rate,
+          max(CASE WHEN rate_type='yearly_avg' THEN standard_rate END) AS yearly_avg_rate
+        FROM enr GROUP BY country_code_3),
+      monthly AS (
+        SELECT DISTINCT country_code_3, month_key, standard_rate AS monthly_rate
+        FROM enr WHERE rate_type='monthly_avg' AND month_key IS NOT NULL),
+      pcts AS (
+        SELECT w.*,
+          CASE WHEN realtime_rate IS NOT NULL AND yearly_avg_rate IS NOT NULL
+                    AND yearly_avg_rate > 0
+            THEN (realtime_rate - yearly_avg_rate)/yearly_avg_rate*100 END AS pct
+        FROM wide w)
+      SELECT d.country_code_3, d.currency_code, d.country_korean_name,
+        d.country_english_name, d.country_code_2, d.is_euro_zone,
+        p.realtime_rate, p.realtime_crawled_at_utc, p.realtime_crawled_at_kst,
+        p.daily_avg_rate, p.yearly_avg_rate,
+        round(p.pct, 2) AS exchange_rate_change_percent,
+        coalesce(round(CASE WHEN p.pct IS NULL THEN 0.0
+          ELSE least(100.0, greatest(0.0, (10.0 - p.pct)/20.0*100)) END, 2), 0.0)
+          AS exchange_rate_score,
+        'exchangeRate' AS dataType,
+        m.month_key, m.monthly_rate
+      FROM dim d
+      LEFT JOIN pcts p USING (country_code_3)
+      LEFT JOIN monthly m ON d.country_code_3 = m.country_code_3"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -13,9 +13,27 @@ class PlanShapeSpec extends SparkSpec {
     QueryCatalog.queries(name)(spark, sf()).queryExecution.executedPlan.toString
 
   test("q03: dim chain compiles to broadcast hash joins, not shuffle joins") {
+    // at test SF every table clears autoBroadcastJoinThreshold, so the
+    // whole chain stays broadcast even though only nation/region carry an
+    // explicit hint (the supplier join picks broadcast via the threshold)
     val p = plan("q03_broadcast_enrich")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("broadcast hints exist only on fixed-size dims, never scale tables") {
+    // customer/supplier/part grow linearly with SF: a forced broadcast()
+    // overrides the threshold and would collect a multi-GB build side to
+    // the driver at the 100-TB target. Only genuine dims (nation 25 rows,
+    // region 5, the bundled fixture masters) may carry the hint.
+    def hints(name: String) =
+      QueryCatalog.queries(name)(spark, sf()).queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    Seq("q04_left_join_defaults", "q14_price_state", "q17_semi_join")
+      .foreach(q => assert(hints(q).isEmpty, s"$q carries a forced hint"))
+    assert(hints("q03_broadcast_enrich").size == 2) // nation + region only
+    assert(hints("q30_rollup").size == 2)
   }
 
   test("q02: both predicates reach the parquet scan as pushed filters") {
@@ -62,6 +80,6 @@ class PlanShapeSpec extends SparkSpec {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
     assert(os.subsetOf(qs))
-    assert(qs.size == 39)
+    assert(qs.size == 40)
   }
 }

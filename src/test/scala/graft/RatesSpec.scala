@@ -48,6 +48,25 @@ class RatesSpec extends SparkSpec {
     assert(e.filter($"currency_code" === "XXX").count() == 1)
   }
 
+  test("gold left mode: every master country survives; currency-less gets score 0.0") {
+    // JPY has no rate rows at all — the inner mode drops Japan, the
+    // master-data coverage mode (README.md:119) keeps it with null rates
+    val dimPlus = dim.union(Seq(("JPY", "JPN", "일본", "Japan", "JP", false))
+      .toDF("currency_code", "country_code_3", "country_korean_name",
+        "country_english_name", "country_code_2", "is_euro_zone"))
+    assert(Rates.gold(rates, dimPlus).filter($"country_code_3" === "JPN").isEmpty)
+    val cov = Rates.gold(rates, dimPlus, joinMode = "left")
+    assert(cov.count() == dimPlus.count())
+    val jpn = cov.filter($"country_code_3" === "JPN").head()
+    assert(jpn.isNullAt(jpn.fieldIndex("realtime_rate")))
+    assert(jpn.isNullAt(jpn.fieldIndex("exchange_rate_change_percent")))
+    assert(jpn.getAs[Double]("exchange_rate_score") == 0.0)
+    assert(jpn.getAs[String]("dataType") == "exchangeRate")
+    // matched countries keep their inner-mode scores untouched
+    val usa = cov.filter($"country_code_3" === "USA").head()
+    assert(usa.getAs[Double]("realtime_rate") == 1380.5)
+  }
+
   test("A3 pivot: one wide row per country, monthly map sorted") {
     val wide = Rates.pivotRates(Rates.enrich(rates, dim))
     assert(wide.count() == 4) // USA + 3 eurozone
