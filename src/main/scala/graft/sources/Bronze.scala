@@ -64,6 +64,15 @@ object Bronze {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** K2 at scale — parquet laid out by low-cardinality partition columns
+    * (bronze by `rate_type`/`dt`, ARCHITECTURE §2): equality/range filters
+    * on them become PartitionFilters (directory pruning) so a day's query
+    * never lists, let alone reads, the other days' files. PlanShapeSpec
+    * pins the pruning. */
+  def writeParquetPartitioned(
+      df: DataFrame, path: String, partitionBy: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+
   /** Gold Delta write — ENVIRONMENT-DEFERRED: the reference's downstream
     * stores gold as Delta in a catalog (README.md:86-87,111). The call
     * shape compiles against plain Spark (format is resolved at runtime),
@@ -81,14 +90,22 @@ object Bronze {
     * "latest crawl wins" gold upsert (Core.dedupLatest's storage twin) as
     * the SQL MERGE a cluster user runs: `updates` must be a registered
     * temp view, `target` a Delta table name. Built as SQL text so the
-    * shape ships without the DeltaTable API on the compile classpath. */
+    * shape ships without the DeltaTable API on the compile classpath.
+    *
+    * PRECONDITION: `updatesView` must carry at most ONE row per key —
+    * Delta MERGE throws on multiple source matches. Apply
+    * `Core.dedupLatest(updates, keyCols, orderCol)` before registering
+    * the view. Column identifiers are backtick-quoted; the target/view
+    * names are caller-controlled table identifiers (possibly
+    * catalog.schema.table) and pass through verbatim. */
   def mergeLatestWins(
       spark: SparkSession, target: String, updatesView: String,
       keyCols: Seq[String], orderCol: String): Unit = {
-    val on = keyCols.map(k => s"t.$k = u.$k").mkString(" AND ")
+    def q(c: String) = "`" + c.replace("`", "``") + "`"
+    val on = keyCols.map(k => s"t.${q(k)} = u.${q(k)}").mkString(" AND ")
     spark.sql(
       s"""MERGE INTO $target t USING $updatesView u ON $on
-         |WHEN MATCHED AND u.$orderCol > t.$orderCol THEN UPDATE SET *
+         |WHEN MATCHED AND u.${q(orderCol)} > t.${q(orderCol)} THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     ()
   }

@@ -76,6 +76,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_frequent_items") || p.contains("frequent_items"), p)
   }
 
+  test("bronze partitioned by rate_type/dt prunes partitions at the scan") {
+    // ARCHITECTURE §2's claim, pinned: a filter on the partition layout
+    // columns must appear under PartitionFilters (directory pruning, no
+    // data read) — if it degrades to a post-scan Filter this fails
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toFile
+    try {
+      val rates = graft.sources.Fixtures.ratesRaw(spark)
+        .withColumn("dt", to_date(substring(col("crawled_at_utc"), 1, 10)))
+      graft.sources.Bronze.writeParquetPartitioned(
+        rates, dir.getPath, Seq("rate_type", "dt"))
+      val read = spark.read.parquet(dir.getPath)
+        .filter(col("rate_type") === "realtime" && col("dt") >= "2025-07-01")
+        .select(col("currency_code"), col("standard_rate"))
+      val p = read.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+      assert(pf.contains("rate_type") && pf.contains("dt"), p)
+      // and the partition columns never reach the data-read schema
+      val rs = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+      assert(!rs.contains("rate_type"), p)
+      assert(read.count() ==
+        graft.sources.Fixtures.ratesRaw(spark)
+          .filter(col("rate_type") === "realtime" &&
+            substring(col("crawled_at_utc"), 1, 10) >= "2025-07-01").count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("queries and oracles are consistently keyed") {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
