@@ -1,0 +1,190 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Mergeable distinct-count sketch (HLL with an exact sparse phase) as a
+  * `TypedImperativeAggregate` — the 100 TB path for distinct counting:
+  * one pass, bounded memory (`2^precision` byte registers per group),
+  * mergeable partial states, and — unlike `countDistinct` — NO Expand
+  * multiplication when several distinct aggregates share a query (q31's
+  * two exact distincts triple the scanned rows; two sketches don't).
+  *
+  * Two-phase state, after HyperLogLog++ (Heule et al., EDB 2013; the
+  * algorithm itself is Flajolet et al. 2007):
+  *  - SPARSE: an exact hash set of xxhash64 values while
+  *    `size <= sparseLimit`. Counts are EXACT here (modulo 64-bit hash
+  *    collisions, ~n²/2⁶⁵) — which is what lets the DuckDB oracle check
+  *    the sketch against true `count(DISTINCT ...)` whenever
+  *    sparseLimit > true cardinality, the same capacity>vocab trick q36
+  *    uses for Misra-Gries.
+  *  - DENSE: `m = 2^precision` max-rank registers with the standard
+  *    bias-corrected estimate and linear-counting small-range correction;
+  *    64-bit hashes need no large-range correction.
+  *
+  * Merging never loses information: sparse∪sparse (spilling to dense on
+  * overflow), sparse folded into dense, dense register-max dense.
+  *
+  * Usage: `DistinctSketch.register(spark)` then
+  * `SELECT hll_distinct(col[, precision[, sparseLimit]])`, or the Column
+  * API `DistinctSketch.hll_distinct(col, precision, sparseLimit)`.
+  */
+final class HllBuffer(val precision: Int, val sparseLimit: Int) {
+  val m: Int = 1 << precision
+  // sparse until the exact set outgrows sparseLimit, then dense forever
+  var sparse: mutable.HashSet[Long] = mutable.HashSet.empty
+  var registers: Array[Byte] = _
+
+  def isSparse: Boolean = registers == null
+
+  def add(h: Long): Unit =
+    if (isSparse) {
+      sparse.add(h)
+      if (sparse.size > sparseLimit) toDense()
+    } else addDense(h)
+
+  private def addDense(h: Long): Unit = {
+    val idx = (h >>> (64 - precision)).toInt
+    val w = h << precision
+    val rank = (if (w == 0L) 64 - precision else java.lang.Long.numberOfLeadingZeros(w)) + 1
+    if (rank > registers(idx).toInt) registers(idx) = rank.toByte
+  }
+
+  def toDense(): Unit = {
+    registers = new Array[Byte](m)
+    val it = sparse.iterator
+    while (it.hasNext) addDense(it.next())
+    sparse = null
+  }
+
+  def mergeIn(other: HllBuffer): Unit =
+    if (other.isSparse) {
+      if (isSparse) {
+        sparse ++= other.sparse
+        if (sparse.size > sparseLimit) toDense()
+      } else other.sparse.foreach(addDense)
+    } else {
+      if (isSparse) toDense()
+      var i = 0
+      while (i < m) {
+        if (other.registers(i) > registers(i)) registers(i) = other.registers(i)
+        i += 1
+      }
+    }
+
+  /** Exact size in sparse phase; bias-corrected HLL estimate in dense. */
+  def estimate(): Long =
+    if (isSparse) sparse.size.toLong
+    else {
+      val alpha = m match {
+        case 16 => 0.673
+        case 32 => 0.697
+        case 64 => 0.709
+        case _ => 0.7213 / (1.0 + 1.079 / m)
+      }
+      var invSum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        invSum += java.lang.Math.scalb(1.0, -registers(i))
+        if (registers(i) == 0) zeros += 1
+        i += 1
+      }
+      val raw = alpha * m * m / invSum
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+        else raw
+      math.round(est)
+    }
+}
+
+case class HllDistinctAgg(
+    child: Expression,
+    precision: Int = 14,
+    sparseLimit: Int = 4096,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuffer] {
+
+  require(precision >= 4 && precision <= 18, "precision must be in [4,18]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_distinct"
+
+  override def createAggregationBuffer(): HllBuffer =
+    new HllBuffer(precision, sparseLimit)
+
+  override def update(buf: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(XxHash64Function.hash(v, child.dataType, 42L))
+    buf
+  }
+
+  override def merge(a: HllBuffer, b: HllBuffer): HllBuffer = { a.mergeIn(b); a }
+
+  override def eval(buf: HllBuffer): Any = buf.estimate()
+
+  override def serialize(buf: HllBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    if (buf.isSparse) {
+      out.writeByte(0)
+      out.writeInt(buf.sparse.size)
+      buf.sparse.foreach(out.writeLong)
+    } else {
+      out.writeByte(1)
+      out.write(buf.registers)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): HllBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new HllBuffer(precision, sparseLimit)
+    if (in.readByte() == 0) {
+      val n = in.readInt()
+      (0 until n).foreach(_ => buf.sparse.add(in.readLong()))
+    } else {
+      buf.registers = new Array[Byte](buf.m)
+      in.readFully(buf.registers)
+      buf.sparse = null
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllDistinctAgg =
+    copy(child = newChildren.head)
+}
+
+object DistinctSketch {
+  private[graft] def build(exprs: Seq[Expression]): Expression = {
+    def intArg(i: Int, dflt: Int) = exprs.lift(i)
+      .map(_.eval(InternalRow.empty).asInstanceOf[Number].intValue())
+      .getOrElse(dflt)
+    HllDistinctAgg(exprs.head, intArg(1, 14), intArg(2, 4096)).toAggregateExpression()
+  }
+
+  /** Column API — requires `register(spark)` (or GraftExtensions) first. */
+  def hll_distinct(c: Column, precision: Int = 14, sparseLimit: Int = 4096): Column =
+    org.apache.spark.sql.functions.call_function(
+      "hll_distinct", c,
+      org.apache.spark.sql.functions.lit(precision),
+      org.apache.spark.sql.functions.lit(sparseLimit))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_distinct", build, "built-in")
+}

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.rollingHashDescriptor)
     e.injectFunction(GraftExtensions.vectorDotDescriptor)
     e.injectFunction(GraftExtensions.frequentItemsDescriptor)
+    e.injectFunction(GraftExtensions.hllDistinctDescriptor)
   }
 }
 
@@ -48,10 +49,17 @@ object GraftExtensions {
       graft.functions.FrequentItemsAgg(exprs.head, cap).toAggregateExpression()
     })
 
+  private[plans] val hllDistinctDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hll_distinct"),
+    new ExpressionInfo(classOf[graft.functions.HllDistinctAgg].getName, "hll_distinct"),
+    (exprs: Seq[Expression]) => graft.functions.DistinctSketch.build(exprs))
+
   /** Register everything on a live session (idempotent). */
   def install(spark: SparkSession): Unit = {
     RollingHash.register(spark)
     VectorDot.register(spark)
     graft.functions.FrequentItems.register(spark)
+    graft.functions.DistinctSketch.register(spark)
   }
 }

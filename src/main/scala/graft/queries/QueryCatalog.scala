@@ -1376,13 +1376,39 @@ object QueryCatalog {
       LEFT JOIN pcts p USING (country_code_3)
       LEFT JOIN monthly m ON d.country_code_3 = m.country_code_3"""))
 
+  /** Mergeable HLL distinct-count sketch (DistinctSketch) in its
+    * oracle-exact sparse regime: sparseLimit 2^21 far exceeds the true
+    * cardinalities at verify SFs, so the values equal exact
+    * count(DISTINCT) — the q36 capacity>vocab trick — while the plan
+    * stays ONE ObjectHashAggregate pass with no Expand (q31's two exact
+    * distincts multiply the scanned rows 3x; at 100 TB the sketch form
+    * is the one that survives, and its partial states merge across any
+    * partitioning). */
+  private val q41 = Q(
+    "q41_distinct_sketch",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.DistinctSketch.hll_distinct(col("l_orderkey"), 14, 1 << 21).as("n_orders"),
+          graft.functions.DistinctSketch.hll_distinct(col("l_partkey"), 14, 1 << 21).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      SELECT l_returnflag,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        count(*) AS n_rows
+      FROM lineitem GROUP BY 1"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

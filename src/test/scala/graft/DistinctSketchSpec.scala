@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DistinctSketch, HllBuffer}
+
+/** HLL distinct sketch: exact sparse regime, dense estimate accuracy,
+  * sparse→dense spill, and the distributed merge path. */
+class DistinctSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sparse regime is exact and survives the partial/final merge path") {
+    DistinctSketch.register(spark)
+    // 32 partitions force partial aggregates + cross-partition merges,
+    // including sparse∪sparse merges of disjoint and overlapping sets
+    val df = (1 to 20000).map(i => i % 3000).toDF("v").repartition(32)
+    val got = df.agg(DistinctSketch.hll_distinct(col("v"), 14, 4096)).head().getLong(0)
+    assert(got == 3000L)
+  }
+
+  test("dense estimate within 3% at 100k distinct (p=14, rse ~0.8%)") {
+    DistinctSketch.register(spark)
+    val n = 100000
+    val df = (1 to n).toDF("v").repartition(16)
+    // sparseLimit 64 forces dense conversion early, so the merge path
+    // also exercises sparse-into-dense and dense-register-max merges
+    val got = df.agg(DistinctSketch.hll_distinct(col("v"), 14, 64)).head().getLong(0)
+    assert(math.abs(got - n).toDouble / n < 0.03, s"estimate $got vs $n")
+  }
+
+  test("buffer spills sparse to dense at the limit; merge never loses info") {
+    val a = new HllBuffer(12, 10)
+    (1 to 10).foreach(i => a.add(i.toLong * 0x9E3779B97F4A7C15L))
+    assert(a.isSparse && a.estimate() == 10L)
+    a.add(11L * 0x9E3779B97F4A7C15L) // 11th distinct hash crosses the limit
+    assert(!a.isSparse)
+    // sparse b merges into dense a
+    val b = new HllBuffer(12, 10)
+    (100 to 105).foreach(i => b.add(i.toLong * 0x9E3779B97F4A7C15L))
+    a.mergeIn(b)
+    assert(!a.isSparse)
+    val est = a.estimate()
+    assert(math.abs(est - 17L) <= 2, s"dense small-range estimate $est") // linear counting regime
+  }
+
+  test("SQL surface: hll_distinct(col, p, limit) via the function registry") {
+    graft.plans.GraftExtensions.install(spark)
+    (1 to 500).map(i => i % 77).toDF("v").createOrReplaceTempView("hll_in")
+    assert(spark.sql("SELECT hll_distinct(v, 14, 4096) FROM hll_in").head().getLong(0) == 77L)
+  }
+
+  test("q41 plan: one aggregate pass, no Expand (unlike exact countDistinct)") {
+    val p41 = graft.queries.QueryCatalog.queries("q41_distinct_sketch")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p41.contains("Expand"), p41)
+    val p31 = graft.queries.QueryCatalog.queries("q31_distinct_agg")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(p31.contains("Expand"), p31) // the cost q41 removes
+  }
+}
