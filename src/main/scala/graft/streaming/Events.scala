@@ -95,8 +95,15 @@ object Events {
     * (OutputMode.Update). Out-of-order or duplicate deliveries with an
     * older ts never overwrite newer state — the idempotent upsert
     * semantics the reference's "latest wins" ingestion relies on
-    * (streaming analog of Core.dedupLatest; ties broken by value to keep
-    * the comparison total). */
+    * (streaming analog of Core.dedupLatest). The maxBy key includes every
+    * Ev field so ties resolve deterministically across retries, never by
+    * iterator order.
+    *
+    * STATE CONTRACT: NoTimeout keeps one Ev per user forever — state
+    * grows with all-time user cardinality. That is the correct trade for
+    * a latest-value store (dropping a user's state silently forgets their
+    * latest event); when the downstream can tolerate expiry of inactive
+    * users, use `latestPerUserExpiring`. */
   def latestPerUser(events: Dataset[Ev]): Dataset[Ev] = {
     import events.sparkSession.implicits._
     events
@@ -104,14 +111,101 @@ object Events {
       .mapGroupsWithState[Ev, Ev](GroupStateTimeout.NoTimeout()) {
         (_: Long, rows: Iterator[Ev], state: GroupState[Ev]) =>
           val newest = (state.getOption.iterator ++ rows)
-            .maxBy(e => (e.ts.getTime, e.value))
+            .maxBy(e => (e.ts.getTime, e.value, e.event_type))
           state.update(newest)
           newest
       }
   }
 
+  /** T4b with a state TTL: identical latest-wins semantics while a user
+    * stays active; a user silent for `ttlMs` of processing time has their
+    * state dropped (the next event restarts from scratch). Bounds state
+    * by ACTIVE-user cardinality — the 100 TB deployment choice when the
+    * gold table downstream already persists the last emitted value. */
+  def latestPerUserExpiring(events: Dataset[Ev], ttlMs: Long = 3600000L): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Ev, Ev](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_: Long, rows: Iterator[Ev], state: GroupState[Ev]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val newest = (state.getOption.iterator ++ rows)
+              .maxBy(e => (e.ts.getTime, e.value, e.event_type))
+            state.update(newest)
+            state.setTimeoutDuration(ttlMs)
+            Iterator.single(newest)
+          }
+      }
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class Session(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
+  case class EvSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+  /** Open-session state for `sessionizeEventTime` (millis, not Timestamp,
+    * to keep the state encoder primitive-flat). */
+  case class SessState(startMs: Long, endMs: Long, n: Long, total: Double)
+
+  /** Event-time sessionization: sessions close when the EVENT-TIME gap
+    * between a user's consecutive events exceeds `gapMs`, with closure
+    * driven by the watermark (EventTimeTimeout) — so a replay of the same
+    * input produces the same sessions regardless of arrival pacing, which
+    * the processing-time variant below cannot promise. Out-of-order rows
+    * within the watermark merge into the right session (spans extend
+    * backward); rows whose gap to the open session exceeds `gapMs` close
+    * it immediately, so one batch can emit several sessions.
+    *
+    * `events` must carry an `Ev`-shaped schema; the watermark is applied
+    * here (`wmDelay`) since EventTimeTimeout requires one. */
+  def sessionizeEventTime(
+      events: Dataset[Ev],
+      gapMs: Long = 60000,
+      wmDelay: String = "10 minutes"): Dataset[EvSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", wmDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, EvSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          def emit(s: SessState) = EvSession(
+            userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(s))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessState]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t > s.endMs + gapMs =>
+                  closed += s
+                  cur = Some(SessState(t, t, 1L, e.value))
+                case Some(s) =>
+                  cur = Some(SessState(
+                    math.min(s.startMs, t), math.max(s.endMs, t),
+                    s.n + 1L, s.total + e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the close deadline is event-time; it must sit above the
+              // current watermark or Spark rejects it — if the session is
+              // already older than the watermark it closes next batch
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator.map(emit)
+          }
+      }
+  }
 
   /** Custom-state sessionization: per-user running aggregate that emits a
     * closed session after `gapMs` of processing-time silence. */

@@ -191,6 +191,70 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(deltaErr.getMessage.toLowerCase.contains("delta"))
   }
 
+  test("sessionizeEventTime: out-of-order events close on the EVENT-TIME gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Events.Ev]
+    val q = Events.sessionizeEventTime(stream.toDS(), gapMs = 60000, wmDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_et").outputMode("append").start()
+    // batch 1: user 1's two events arrive OUT OF ORDER (00:00:30 first);
+    // they must merge into one [00:00:00, 00:00:30] session
+    stream.addData(
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:00:30"), "b", 2.0),
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sess_et").count() == 0) // still open
+    // batch 2 advances the watermark past the close deadline (00:01:30);
+    // batch 3 runs with that watermark, so the EventTimeTimeout fires —
+    // wall-clock time is irrelevant throughout (deterministic on replay)
+    stream.addData(Events.Ev(2L, Timestamp.valueOf("2024-01-01 01:00:00"), "x", 5.0))
+    q.processAllAvailable()
+    stream.addData(Events.Ev(2L, Timestamp.valueOf("2024-01-01 02:00:00"), "x", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM sess_et WHERE user_id = 1").collect()
+    assert(rows.length == 1, rows.mkString(","))
+    val r = rows.head
+    assert(r.getAs[Timestamp]("session_start") == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(r.getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-01-01 00:00:30"))
+    assert(r.getAs[Long]("n_events") == 2L)
+    assert(r.getAs[Double]("total_value") == 3.0)
+  }
+
+  test("sessionizeEventTime: one batch spanning the gap closes the earlier session at once") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Events.Ev]
+    stream.addData(
+      Events.Ev(3L, Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1.0),
+      Events.Ev(3L, Timestamp.valueOf("2024-01-01 00:00:10"), "a", 2.0),
+      Events.Ev(3L, Timestamp.valueOf("2024-01-01 00:10:00"), "a", 4.0))
+    val q = Events.sessionizeEventTime(stream.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("sess_et2").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // the 00:10 event is > gap past 00:00:10 -> first session emitted in
+    // the same batch, no timeout needed; the second stays open (unemitted)
+    val rows = spark.sql("SELECT * FROM sess_et2").collect()
+    assert(rows.length == 1, rows.mkString(","))
+    assert(rows.head.getAs[Long]("n_events") == 2L)
+    assert(rows.head.getAs[Double]("total_value") == 3.0)
+  }
+
+  test("latestPerUserExpiring: active-path semantics match latestPerUser") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Events.Ev]
+    // both batches queued up front + AvailableNow: processAllAvailable
+    // never settles under ProcessingTimeTimeout's continuous batch clock
+    stream.addData(Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:05:00"), "click", 5.0))
+    stream.addData(Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:01:00"), "stale", 1.0))
+    val q = Events.latestPerUserExpiring(stream.toDS(), ttlMs = 3600000L).writeStream
+      .format("memory").queryName("t4b_ttl_out").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(20000)
+    q.stop()
+    val rows = spark.sql("SELECT * FROM t4b_ttl_out").collect().map(_.getAs[String]("event_type"))
+    assert(!rows.contains("stale") && rows.contains("click"))
+  }
+
   test("sessionize: custom state keeps sessions open until timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Events.Ev]
