@@ -88,8 +88,18 @@ object Similarity {
     val sampled =
       if (trainFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, trainFraction, seed = 42L)
-    val train = sampled.select(
-      array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
+    // sample() is probabilistic: on a small corpus it can yield fewer rows
+    // than KMeans needs (degenerate or failing fit). The limit+count guard
+    // short-circuits once it sees 4*nCells rows, so it stays cheap on a
+    // 100 TB corpus while falling back to the full corpus exactly when the
+    // corpus is small enough for that to be free. (A corpus itself smaller
+    // than nCells is a caller error — fewer points than cells.)
+    val minTrain = 4L * nCells
+    val train = {
+      val enough = sampled.limit(minTrain.toInt).count() >= minTrain
+      (if (enough) sampled else corpus).select(
+        array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
+    }
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
     val centers = model.clusterCenters.map(_.toArray)
     def centerCol(c: Array[Double]) = array(c.map(lit): _*)

@@ -143,6 +143,27 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("recall@10 floors at fixed parameters on real embeddings (regression gate)") {
+    // numeric floors pinned at these EXACT parameter settings on the
+    // committed sf0.001 fixture: a refactor that silently degrades either
+    // index (bucket math, probe selection, centroid assignment) fails here
+    // even if the weaker directional tests still pass
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val queries = emb.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(emb, queries, 10))
+    val lsh = pairs(Similarity.lshCosineTopK(emb, queries, 10, numPlanes = 4, extraProbes = 2))
+    val ivf = pairs(Similarity.ivfCosineTopK(emb, queries, 10, nCells = 8, nProbe = 4))
+    val lshRecall = (bf & lsh).size.toDouble / bf.size
+    val ivfRecall = (bf & ivf).size.toDouble / bf.size
+    info(f"recall@10: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f")
+    // measured 0.355 / 0.815 on the committed fixture (deterministic:
+    // fixed planes, fixed KMeans seed); floors leave regression margin
+    assert(lshRecall >= 0.30, f"LSH recall@10 $lshRecall%.3f under floor")
+    assert(ivfRecall >= 0.70, f"IVF recall@10 $ivfRecall%.3f under floor")
+  }
+
   test("real embeddings: LSH recall against brute force on sf0.001") {
     val emb = graft.sources.Tables.embeddings(spark, sf())
     val queries = emb.filter($"vec_id" < 5)
