@@ -12,11 +12,18 @@ import org.apache.spark.sql.SparkSession
   * and then discarded executor-side. A `count()` would let Catalyst prune
   * all projection work for map-only queries (a fingerprint query would
   * bench as a row-count over the scan), and a `collect()` would add
-  * driver transfer that a cluster sink never pays. Failures are NOT
-  * swallowed: a failing query is reported with value -1 and its error
-  * message in the `errors` map, and the process exits non-zero.
+  * driver transfer that a cluster sink never pays.
+  *
+  * Each query reports the MEDIAN of `Passes` (3) timed runs — single-pass
+  * timings on a busy box swing enough (~±30% observed round-over-round on
+  * unchanged code) to drown real regressions; the total is the sum of the
+  * medians. Failures are NOT swallowed: a failing query is reported with
+  * value -1 and its error message in the `errors` map, and the process
+  * exits non-zero.
   */
 object Bench {
+  private val Passes = 3
+
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -46,20 +53,29 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        materialize(fn(spark, sfDir))
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case t: Throwable =>
-          System.err.println(s"[bench] FAILED $name: ${t.getMessage}")
-          errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
-          name -> -1.0
+      val times = (1 to Passes).flatMap { _ =>
+        if (errors.contains(name)) None // first failure wins, skip reruns
+        else {
+          val t0 = System.nanoTime()
+          try {
+            materialize(fn(spark, sfDir))
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case t: Throwable =>
+              System.err.println(s"[bench] FAILED $name: ${t.getMessage}")
+              errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
+              None
+          }
+        }
       }
+      if (errors.contains(name)) name -> -1.0
+      else name -> times.sorted.apply(times.size / 2) // median of the passes
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    // \p{Cntrl} (not just \n\r\t): ANY control character in an exception
+    // message would otherwise break the one-line JSON contract
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\p{Cntrl}]", " ") + "\""
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
