@@ -1023,16 +1023,17 @@ object QueryCatalog {
       WHERE token <> '' GROUP BY token"""))
 
   // ------------------------------------------- reference pipelines (gold)
-  // q37-q39 run the ACTUAL reference dataflows (Rates/Trends/Flights
+  // q37-q40 run the ACTUAL reference dataflows (Rates/Trends/Flights
   // .gold) end-to-end over the bundled bronze fixtures
   // (graft.sources.Fixtures; authored by tools/make_fixtures.py, country
   // dims verbatim from the reference's public config). The DuckDB twins
-  // read the very same JSONL via read_json — absolute paths, since the
-  // driver's oracle connection only creates views for the sf tables.
-  // These queries ignore the sfDir argument by design: the input is the
-  // fixture, identical at every scale factor.
+  // read the very same JSONL via read_json — Fixtures.dir resolves the
+  // one absolute path both engines share (the driver's oracle connection
+  // only creates views for the sf tables). These queries ignore the
+  // sfDir argument by design: the input is the fixture, identical at
+  // every scale factor.
 
-  private val FX = "/root/repo/src/main/resources/graft/fixtures"
+  private val FX = graft.sources.Fixtures.dir
 
   /** S1/S2+J1+A3+F3/F4/F5 — the exchange-rate pipeline (Rates.gold):
     * EUR ×17 eurozone fan-out through the broadcast dim, the 4-rate-type

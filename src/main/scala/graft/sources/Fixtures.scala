@@ -16,14 +16,48 @@ import org.apache.spark.sql.functions._
   */
 object Fixtures {
 
-  /** Resolve a bundled fixture to a filesystem path. Resources are plain
-    * files in sbt runs (target/classes); fall back to the repo-relative
-    * source path for tools running outside the build. */
-  def path(name: String): String = {
-    val url = getClass.getClassLoader.getResource(s"graft/fixtures/$name")
-    if (url != null && url.getProtocol == "file") url.getPath
-    else s"src/main/resources/graft/fixtures/$name"
+  private val names = Seq(
+    "country_master.jsonl", "standard_country_map.jsonl", "rates_raw.jsonl",
+    "trends_interest.jsonl", "flights_raw.jsonl", "city_meta.jsonl")
+
+  /** The filesystem directory holding the fixtures, resolved ONCE and
+    * shared by the Spark readers and the DuckDB oracle SQL (which embeds
+    * it as an absolute path — both engines, possibly in DIFFERENT
+    * processes, must read the same bytes at a path that outlives this
+    * JVM):
+    *  1. `-Dgraft.fixtures.dir` override;
+    *  2. the classpath resource when it is a plain `file:` URL;
+    *  3. the in-repo source directory when the cwd is the repo (sbt's
+    *     layered classloader does not expose file: resource URLs);
+    *  4. otherwise (packaged in an assembly jar, arbitrary cwd) the
+    *     bundled resources are materialized to a STABLE tmpdir path —
+    *     idempotent overwrite, not deleted on exit, so an oracle process
+    *     started later can still read it. */
+  lazy val dir: String = sys.props.getOrElse("graft.fixtures.dir", {
+    val probe = getClass.getClassLoader.getResource("graft/fixtures/" + names.head)
+    val srcDir = new java.io.File("src/main/resources/graft/fixtures")
+    if (probe != null && probe.getProtocol == "file")
+      new java.io.File(probe.getPath).getParent
+    else if (srcDir.isDirectory) srcDir.getAbsolutePath
+    else materializeToTemp()
+  })
+
+  private def materializeToTemp(): String = {
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-fixtures")
+    java.nio.file.Files.createDirectories(tmp)
+    names.foreach { n =>
+      val in = getClass.getClassLoader.getResourceAsStream(s"graft/fixtures/$n")
+      if (in != null)
+        try java.nio.file.Files.copy(in, tmp.resolve(n),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+    }
+    tmp.toString
   }
+
+  /** Resolve a bundled fixture to a filesystem path under [[dir]]. */
+  def path(name: String): String = s"$dir/$name"
 
   /** B1 — parsed exchange-rate scrape rows (exchage_rate_crawler.py:
     * 266-275). Crawl timestamps stay strings: the reference emits ISO
