@@ -481,7 +481,10 @@ object QueryCatalog {
     "q20_jaccard_neardup",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(col("doc_id")) // single-file input: spread tokenization
+        // deliberate full shuffle ONLY because the fixture is one parquet
+        // file (one input partition); on splittable production input the
+        // scan already parallelizes and this line should be dropped
+        .repartition(col("doc_id"))
         .select(
           col("doc_id"),
           substring(col("text"), 1, 30).as("pfx"),
@@ -528,7 +531,9 @@ object QueryCatalog {
       // formulation re-evaluates the inlined hash lambda per outer
       // iteration after CollapseProject — 16-64x duplicate md5 work.)
       val shingleRows = Tables.documents(s, d)
-        .repartition(col("doc_id")) // single-file input: spread the md5 work
+        // deliberate full shuffle ONLY for the single-file fixture scan
+        // (spreads the md5 work); drop on splittable production input
+        .repartition(col("doc_id"))
         .select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(transform(
