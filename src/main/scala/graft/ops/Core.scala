@@ -48,6 +48,27 @@ object Core {
   def renameColumns(df: DataFrame, renames: Map[String, String]): DataFrame =
     df.withColumnsRenamed(renames)
 
+  /** Skew escape hatch (ARCHITECTURE §4): equi-join where the fact side's
+    * hot keys are spread over `salt` shuffle sub-keys and the dim side is
+    * replicated `salt`×. Result-identical to `fact.join(dim, keys,
+    * joinType)` for inner/left joins when `dim` is unique per key (the
+    * usual dim contract); each hot key's rows now land on `salt` reducers
+    * instead of one. Use ONLY when AQE's skew splitting isn't enough and
+    * the dim is too big to broadcast — the replication multiplies the
+    * dim-side shuffle by `salt`.
+    *
+    * The fact salt is `pmod(xxhash64(whole row), salt)` — deterministic
+    * (replay-stable) and uniform even when one key dominates. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val sfact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salt.toLong)))
+    val sdim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    sfact.join(sdim, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** As-of join: for every left row, attach the single most recent right
     * row with the same key and `rightOrder <= leftOrder` (LEFT semantics —
     * left rows with no prior right row keep nulls).

@@ -1408,13 +1408,43 @@ object QueryCatalog {
         count(*) AS n_rows
       FROM lineitem GROUP BY 1"""))
 
+  /** S6 under the oracle — the dynamic-key config-object scan
+    * (Bronze.readConfigMap): one JSON object keyed by country code,
+    * transposed to rows via the map round-trip; the twin reads the
+    * flattened JSONL form of the SAME reference config, so a green row
+    * proves the transpose emits exactly one correct row per dynamic key
+    * (exchage_rate_crawler.py:45-47 config load). */
+  private val q42 = Q(
+    "q42_config_map",
+    (s, _) => {
+      val valueSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "country_name_eng string, country_name_kor string, " +
+          "country_code_2 string, country_code_3 string, " +
+          "currency_code string, is_euro_zone boolean, " +
+          "google_trend_keyword_kor string")
+      graft.sources.Bronze.readConfigMap(
+        s, graft.sources.Fixtures.path("country_config.json"), valueSchema)
+        .select(
+          col("key"), col("country_code_3"), col("country_name_eng"),
+          col("country_name_kor"), col("country_code_2"),
+          col("currency_code"), col("is_euro_zone"))
+    },
+    Some(s"""
+      SELECT country_code_3 AS key, country_code_3, country_name_eng,
+        country_name_kor, country_code_2, currency_code, is_euro_zone
+      FROM read_json('$FX/country_master.jsonl', format='newline_delimited',
+        columns={"country_code_3":'VARCHAR',"country_name_eng":'VARCHAR',
+                 "country_name_kor":'VARCHAR',"country_code_2":'VARCHAR',
+                 "currency_code":'VARCHAR',"is_euro_zone":'BOOLEAN',
+                 "google_trend_keyword_kor":'VARCHAR'})"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -18,7 +18,8 @@ object Fixtures {
 
   private val names = Seq(
     "country_master.jsonl", "standard_country_map.jsonl", "rates_raw.jsonl",
-    "trends_interest.jsonl", "flights_raw.jsonl", "city_meta.jsonl")
+    "trends_interest.jsonl", "flights_raw.jsonl", "city_meta.jsonl",
+    "country_config.json")
 
   /** The filesystem directory holding the fixtures, resolved ONCE and
     * shared by the Spark readers and the DuckDB oracle SQL (which embeds

@@ -63,4 +63,25 @@ class CoreSpec extends SparkSpec {
     val got = Core.unionAll(Seq(a, b)).collect().map(r => (r.getInt(0), r.getString(1))).toSet
     assert(got == Set((1, "x"), (2, "y")))
   }
+
+  test("saltedJoin equals the plain join on a skewed fact, inner and left") {
+    // 90% of fact rows share one hot key — the shape salting exists for
+    val fact = ((1 to 900).map(i => ("hot", i.toDouble)) ++
+      (1 to 100).map(i => (s"k${i % 10}", i.toDouble)))
+      .toDF("key", "v")
+    val dim = (Seq("hot") ++ (0 until 5).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, s"attr$i") }
+      .toDF("key", "attr")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "v", "attr").collect()
+        .map(r => (r.getString(0), r.getDouble(1), Option(r.getString(2)))).sorted.toSeq
+    val plainInner = canon(fact.join(dim, Seq("key")))
+    val saltedInner = canon(Core.saltedJoin(fact, dim, Seq("key"), salt = 8))
+    assert(saltedInner == plainInner)
+    // left join: unmatched fact keys (k5..k9) must survive with nulls
+    val plainLeft = canon(fact.join(dim, Seq("key"), "left"))
+    val saltedLeft = canon(Core.saltedJoin(fact, dim, Seq("key"), salt = 8, "left"))
+    assert(saltedLeft == plainLeft)
+    assert(plainLeft.size == 1000 && plainInner.size < 1000)
+  }
 }

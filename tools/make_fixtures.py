@@ -45,6 +45,14 @@ dump("standard_country_map.jsonl", [
      "country_code_2": std[k]["country_code_2"]}
     for k in sorted(std)])
 
+# --- B2b: the same master data in its native dynamic-key {code3: {...}}
+# object form — the S6 surface Bronze.readConfigMap transposes; its rows
+# must equal the flattened country_master.jsonl (q42 pins that).
+with open(os.path.join(OUT, "country_config.json"), "w") as f:
+    json.dump({k: master[k] for k in sorted(master)}, f,
+              ensure_ascii=False, sort_keys=True, indent=1)
+print(f"country_config.json: 1 object, {len(master)} keys")
+
 # --- B1: parsed exchange-rate scrape rows -------------------------------
 # scenario per currency: (yearly, realtime, daily, {month_key: rate})
 # USD: +4% -> score 30 | EUR: -2% -> 60, fans out to every eurozone member
