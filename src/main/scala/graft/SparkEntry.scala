@@ -20,7 +20,9 @@ object SparkEntry {
     val sup = Tables.supplier(spark, d)
     val nat = Tables.nation(spark, d)
     val reg = Tables.region(spark, d)
-    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    // supplier grows with SF -> no forced hint (threshold/AQE decides);
+    // nation/region are fixed dims -> always broadcast
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
