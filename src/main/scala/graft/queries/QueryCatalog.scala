@@ -1438,13 +1438,48 @@ object QueryCatalog {
                  "currency_code":'VARCHAR',"is_euro_zone":'BOOLEAN',
                  "google_trend_keyword_kor":'VARCHAR'})"""))
 
+  /** Event-time sessionization SEMANTICS under the oracle — the batch
+    * twin of `Events.sessionizeEventTime` (q43 ↔ the MemoryStream specs
+    * cover the streaming state machine; this covers the session algebra
+    * itself): 1-hour gap over the events table, session spans exported
+    * as unix micros for engine-neutral hashing. */
+  private val q43 = Q(
+    "q43_sessionize_batch",
+    (s, d) => {
+      val sess = graft.streaming.Events.sessionizeBatch(
+        Tables.events(s, d), gapMs = 3600L * 1000L)
+      sess.select(
+        col("user_id"), col("session_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"), r2(col("total_value")).as("total_value"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT user_id, ts, value, event_id,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN pts IS NULL
+            OR epoch_us(ts) - epoch_us(pts) > 3600000000 THEN 1 ELSE 0 END AS newf
+        FROM l),
+      g AS (
+        SELECT *, CAST(sum(newf) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM f)
+      SELECT user_id, session_id,
+        epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        count(*) AS n_events,
+        floor(sum(value)*100 + 0.5)/100 AS total_value
+      FROM g GROUP BY 1, 2"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -207,6 +207,33 @@ object Events {
       }
   }
 
+  /** Batch twin of `sessionizeEventTime`: the same event-time-gap session
+    * semantics as a declarative window query (lag → gap flag → running
+    * sum = session id → per-session aggregate) — the form a backfill or
+    * replay job runs over landed bronze, DuckDB-mirrorable so the
+    * sessionization SEMANTICS sit under the oracle (q43), not only under
+    * MemoryStream specs. One shuffle on user_id; the two window passes
+    * and the aggregate share it. `tieBreak` must make (ts, tieBreak)
+    * unique per user for deterministic session ids. */
+  def sessionizeBatch(
+      events: DataFrame, gapMs: Long = 60000, tieBreak: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col(tieBreak))
+    events
+      .withColumn("__pts", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__pts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("__pts")) > gapMs * 1000L, 1L)
+        .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+  }
+
   /** Custom-state sessionization: per-user running aggregate that emits a
     * closed session after `gapMs` of processing-time silence. */
   def sessionize(events: Dataset[Ev], gapMs: Long = 60000): Dataset[Session] = {

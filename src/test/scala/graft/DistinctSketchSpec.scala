@@ -47,6 +47,12 @@ class DistinctSketchSpec extends SparkSpec {
     graft.plans.GraftExtensions.install(spark)
     (1 to 500).map(i => i % 77).toDF("v").createOrReplaceTempView("hll_in")
     assert(spark.sql("SELECT hll_distinct(v, 14, 4096) FROM hll_in").head().getLong(0) == 77L)
+    // string child: the UTF8String hash path (grouped, multi-partition)
+    val byGroup = (1 to 300).map(i => (i % 2, s"tok${i % 30}")).toDF("g", "s")
+      .repartition(8)
+      .groupBy(col("g")).agg(DistinctSketch.hll_distinct(col("s")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byGroup == Map(0 -> 15L, 1 -> 15L))
   }
 
   test("q41 plan: one aggregate pass, no Expand (unlike exact countDistinct)") {

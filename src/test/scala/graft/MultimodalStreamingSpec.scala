@@ -255,6 +255,37 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(!rows.contains("stale") && rows.contains("click"))
   }
 
+  test("sessionizeBatch agrees with streaming sessionizeEventTime on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // user 1: two sessions separated by a 5-minute gap (gapMs = 60s)
+    val evs = Seq(
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1.0),
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:00:30"), "a", 2.0),
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:05:30"), "a", 4.0))
+    val stream = MemoryStream[Events.Ev]
+    val q = Events.sessionizeEventTime(stream.toDS(), gapMs = 60000, wmDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_agree").outputMode("append").start()
+    stream.addData(evs: _*)
+    q.processAllAvailable()
+    // sentinel events push the watermark so user 1's open session closes
+    stream.addData(Events.Ev(9L, Timestamp.valueOf("2024-01-01 12:00:00"), "x", 0.0))
+    q.processAllAvailable()
+    stream.addData(Events.Ev(9L, Timestamp.valueOf("2024-01-02 00:00:00"), "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT session_start, session_end, n_events, total_value FROM sess_agree WHERE user_id = 1")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Events.sessionizeBatch(
+      evs.toDF().withColumn("event_id", col("value")), gapMs = 60000)
+      .filter($"user_id" === 1L)
+      .select($"session_start", $"session_end", $"n_events", $"total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch.size == 2)
+  }
+
   test("sessionize: custom state keeps sessions open until timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Events.Ev]
