@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vectorDotDescriptor)
     e.injectFunction(GraftExtensions.frequentItemsDescriptor)
     e.injectFunction(GraftExtensions.hllDistinctDescriptor)
+    GraftExtensions.thetaDescriptors.foreach(e.injectFunction)
   }
 }
 
@@ -55,11 +56,27 @@ object GraftExtensions {
     new ExpressionInfo(classOf[graft.functions.HllDistinctAgg].getName, "hll_distinct"),
     (exprs: Seq[Expression]) => graft.functions.DistinctSketch.build(exprs))
 
+  private[plans] val thetaDescriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import graft.functions.{ThetaSketch => T}
+    def info(n: String) = new ExpressionInfo(T.getClass.getName, n)
+    Seq(
+      (FunctionIdentifier("theta_sketch"), info("theta_sketch"),
+        (es: Seq[Expression]) => T.buildAgg(es)),
+      (FunctionIdentifier("theta_estimate"), info("theta_estimate"),
+        (es: Seq[Expression]) => graft.functions.ThetaEstimate(es.head)),
+      (FunctionIdentifier("theta_intersect_estimate"), info("theta_intersect_estimate"),
+        (es: Seq[Expression]) => graft.functions.ThetaSetEstimate(es.head, es(1), intersect = true)),
+      (FunctionIdentifier("theta_union_estimate"), info("theta_union_estimate"),
+        (es: Seq[Expression]) => graft.functions.ThetaSetEstimate(es.head, es(1), intersect = false)))
+  }
+
   /** Register everything on a live session (idempotent). */
   def install(spark: SparkSession): Unit = {
     RollingHash.register(spark)
     VectorDot.register(spark)
     graft.functions.FrequentItems.register(spark)
     graft.functions.DistinctSketch.register(spark)
+    graft.functions.ThetaSketch.register(spark)
   }
 }

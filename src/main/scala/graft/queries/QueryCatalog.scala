@@ -1473,13 +1473,51 @@ object QueryCatalog {
         floor(sum(value)*100 + 0.5)/100 AS total_value
       FROM g GROUP BY 1, 2"""))
 
+  /** Theta-sketch set operations in the oracle-exact regime — the
+    * cross-cohort question HLL cannot answer: per-event_type user
+    * sketches built in ONE pass, then distinct/intersection/union user
+    * counts for every type pair computed from the SKETCHES alone (no
+    * re-read). k=4096 > 150 users ⇒ θ=1 ⇒ every estimate is exact, so
+    * DuckDB's true distinct/overlap counts hash-match. */
+  private val q44 = Q(
+    "q44_theta_cohorts",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      import graft.functions.{ThetaSketch => T}
+      val sk = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(T.theta_sketch(col("user_id"), 4096).as("sk"))
+      val a = sk.select(col("event_type").as("et_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("event_type").as("et_b"), col("sk").as("sk_b"))
+      a.join(b, col("et_a") < col("et_b"))
+        .select(
+          col("et_a"), col("et_b"),
+          T.theta_estimate(col("sk_a")).as("n_a"),
+          T.theta_estimate(col("sk_b")).as("n_b"),
+          T.theta_intersect_estimate(col("sk_a"), col("sk_b")).as("n_both"),
+          T.theta_union_estimate(col("sk_a"), col("sk_b")).as("n_either"))
+    },
+    Some("""
+      WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+      c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+      i AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+              count(*) AS n_both
+            FROM d a JOIN d b USING (user_id)
+            WHERE a.event_type < b.event_type GROUP BY 1, 2)
+      SELECT ca.event_type AS et_a, cb.event_type AS et_b,
+        CAST(ca.n AS DOUBLE) AS n_a, CAST(cb.n AS DOUBLE) AS n_b,
+        CAST(coalesce(i.n_both, 0) AS DOUBLE) AS n_both,
+        CAST(ca.n + cb.n - coalesce(i.n_both, 0) AS DOUBLE) AS n_either
+      FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+      LEFT JOIN i ON i.et_a = ca.event_type AND i.et_b = cb.event_type"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
