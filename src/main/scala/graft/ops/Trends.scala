@@ -73,14 +73,19 @@ object Trends {
     growth.crossJoin(broadcast(anchor))
   }
 
-  /** F7→F9 — the processor scoring chain. */
+  /** F7→F9 — the processor scoring chain. UNROUNDED, matching the
+    * reference event literal exactly: unlike the exchange pipeline
+    * (which rounds pct/score to 2, crawler :645-649), the trends
+    * processor emits raw `scaled_raw_growth` and `final_trend_score`
+    * (google_trends_processor.py:187-239 — no round anywhere). Consumers
+    * needing fixed-precision output round at the sink. */
   def scored(growth: DataFrame): DataFrame = {
     val scaled = F.logScaleGrowth(col("raw_growth"))
     val norm = F.normalizeGrowth(scaled)
     growth
-      .withColumn("scaled_raw_growth", F.round2(scaled))
+      .withColumn("scaled_raw_growth", scaled)
       .withColumn("final_trend_score",
-        F.round2(F.finalTrendScore(norm, col("current_interest"))))
+        F.finalTrendScore(norm, col("current_interest")))
   }
 
   /** J2 — standardize keyword → country via the broadcast name map. The

@@ -1134,10 +1134,14 @@ object QueryCatalog {
         graft.sources.Fixtures.trendsInterest(s),
         graft.sources.Fixtures.standardMap(s),
         asOf = lit("2025-07-04 00:00:00").cast("timestamp"))
+      // the PIPELINE emits unrounded scores (reference literal has no
+      // round); the comparison projection rounds to 2 as engine-neutral
+      // canonicalization so log10 ULP differences can't flake the hash
       gold.select(
         col("keyword"), col("recent_mean"), col("prev_mean"),
         col("trend_score_current_interest"), col("trend_score_raw_growth"),
-        col("scaled_raw_growth"), col("final_trend_score"),
+        r2(col("scaled_raw_growth")).as("scaled_raw_growth"),
+        r2(col("final_trend_score")).as("final_trend_score"),
         col("anchor_growth"), col("anchor_interest"),
         col("country_korean_name"), col("country_english_name"),
         col("country_code_3"), col("country_code_2"), col("dataType"),
@@ -1196,8 +1200,8 @@ object QueryCatalog {
       SELECT j.keyword, j.recent_mean, j.prev_mean,
         j.current_interest AS trend_score_current_interest,
         coalesce(j.raw_growth, 0.0) AS trend_score_raw_growth,
-        round(j.scaled, 2) AS scaled_raw_growth,
-        round(least(100.0, greatest(0.0, j.norm*0.7 + j.current_interest*0.3)), 2)
+        floor(j.scaled*100 + 0.5)/100 AS scaled_raw_growth,
+        floor(least(100.0, greatest(0.0, j.norm*0.7 + j.current_interest*0.3))*100 + 0.5)/100
           AS final_trend_score,
         j.anchor_growth, j.anchor_interest,
         coalesce(s.korean_name, 'Unknown_Korean') AS country_korean_name,
