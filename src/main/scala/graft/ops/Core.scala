@@ -62,6 +62,12 @@ object Core {
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
+    // fact-preserving types only: a right/full join would emit each
+    // UNMATCHED dim row once per salt replica — silently wrong results
+    require(Set("inner", "cross", "left", "leftouter", "left_outer",
+      "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports fact-preserving join types only, got $joinType")
     val sfact = fact.withColumn("__salt",
       pmod(xxhash64(fact.columns.map(col): _*), lit(salt.toLong)))
     val sdim = dim.withColumn("__salt",

@@ -83,5 +83,9 @@ class CoreSpec extends SparkSpec {
     val saltedLeft = canon(Core.saltedJoin(fact, dim, Seq("key"), salt = 8, "left"))
     assert(saltedLeft == plainLeft)
     assert(plainLeft.size == 1000 && plainInner.size < 1000)
+    // dim-preserving types would duplicate unmatched dim rows salt times
+    intercept[IllegalArgumentException] {
+      Core.saltedJoin(fact, dim, Seq("key"), salt = 8, "right")
+    }
   }
 }
