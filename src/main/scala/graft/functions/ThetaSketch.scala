@@ -57,9 +57,12 @@ object ThetaSketch {
 
     def mergeIn(other: Buffer): Unit = {
       if (ult(other.theta, theta)) theta = other.theta
-      other.values.foreach(add)
-      // a shrunken θ from either side may strand values at/above it
+      // purge own values stranded at/above the shrunken θ BEFORE adding:
+      // a stray above θ would otherwise be evicted by an overflow during
+      // the adds, and the eviction would RAISE θ to the stray — silently
+      // inflating the survivors' estimate weight
       values.filterInPlace(v => ult(v, theta))
+      other.values.foreach(add)
     }
 
     def estimate: Double =

@@ -76,6 +76,45 @@ class PropertySpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("HLL sparse phase is exact; merge order never changes the estimate") {
+    import graft.functions.HllBuffer
+    val xs = sample(Gen.chooseNum(Long.MinValue, Long.MaxValue), 3000)
+    val a = new HllBuffer(12, 4096)
+    xs.foreach(a.add)
+    assert(a.estimate() == xs.distinct.size.toLong) // sparse regime: exact
+    // commutativity through the dense path (limit 64 forces conversion)
+    def build(vals: Seq[Long]) = {
+      val b = new HllBuffer(12, 64); vals.foreach(b.add); b
+    }
+    val (l, r) = xs.splitAt(xs.size / 3)
+    val ab = build(l); ab.mergeIn(build(r))
+    val ba = build(r); ba.mergeIn(build(l))
+    assert(ab.estimate() == ba.estimate())
+  }
+
+  test("theta sketch: exact below k; partitioned build merges losslessly") {
+    import graft.functions.ThetaSketch
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    val xs = sample(Gen.chooseNum(0L, 5000L), 2000) // duplicates likely
+      .map(x => XxHash64Function.hash(x, LongType, 42L))
+    val whole = new ThetaSketch.Buffer(4096)
+    xs.foreach(whole.add)
+    assert(whole.estimate == xs.distinct.size.toDouble) // θ=1: exact
+    // KMV mergeability is EXACT: the sketch of a union is recoverable
+    // from the partition sketches — any split must equal the single pass
+    val single = new ThetaSketch.Buffer(128)
+    xs.foreach(single.add)
+    Seq(1, 700, 1999).foreach { cut =>
+      val (p1, p2) = xs.splitAt(cut)
+      val m = new ThetaSketch.Buffer(128)
+      val m2 = new ThetaSketch.Buffer(128)
+      p1.foreach(m.add); p2.foreach(m2.add)
+      m.mergeIn(m2)
+      assert(m.estimate == single.estimate, s"split at $cut diverged")
+    }
+  }
+
   test("engine-neutral rounding r2 is stable and order-of-magnitude safe") {
     val rows = sample(finite, 500) ++ List(90.225, 2.675, -5.004, 0.005)
     val df = rows.toDF("x")
