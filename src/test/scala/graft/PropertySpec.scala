@@ -115,6 +115,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries guarantee: items over N/capacity survive distributed merges") {
+    graft.plans.GraftExtensions.install(spark)
+    // noise tail + one genuinely heavy item: N = 4500, capacity 64 ⇒
+    // guarantee threshold N/64 ≈ 70; "heavy" at 500 must NEVER drop,
+    // whatever order or partitioning the 32-way shuffle imposes
+    val noise = sample(Gen.chooseNum(0, 5000), 4000).map(i => s"t$i")
+    val data = (noise ++ List.fill(500)("heavy"))
+      .sortBy(s => graft.functions.RollingHash.hashString(s)) // deterministic interleave
+    val items = data.toDF("t").repartition(32)
+      .agg(graft.functions.FrequentItems.frequent_items(col("t"), 64).as("fi"))
+      .select(explode(col("fi")).as("e")).select(col("e.item"))
+      .as[String].collect().toSet
+    assert(items.contains("heavy"))
+  }
+
   test("engine-neutral rounding r2 is stable and order-of-magnitude safe") {
     val rows = sample(finite, 500) ++ List(90.225, 2.675, -5.004, 0.005)
     val df = rows.toDF("x")
