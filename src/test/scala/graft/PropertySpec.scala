@@ -130,6 +130,31 @@ class PropertySpec extends SparkSpec {
     assert(items.contains("heavy"))
   }
 
+  test("sessionizeBatch agrees with a naive fold on random event data") {
+    val gap = 5000L
+    val rows = sample(Gen.zip(Gen.chooseNum(0, 10), Gen.chooseNum(0L, 100000L)), 300)
+      .zipWithIndex.map { case ((u, t), i) =>
+        (u.toLong, new java.sql.Timestamp(t), i.toLong, (i % 7).toDouble)
+      }
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val got = graft.streaming.Events.sessionizeBatch(df, gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime,
+        r.getLong(4), r.getDouble(5))).toSet
+    val naive = rows.groupBy(_._1).flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2.getTime, e._3))
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+        if (e._2.getTime - acc.head.head._2.getTime > gap) List(e) :: acc
+        else (e :: acc.head) :: acc.tail // head of inner list = latest ts
+      }.reverse
+      sessions.zipWithIndex.map { case (s, i) =>
+        val ts = s.map(_._2.getTime)
+        (u, (i + 1).toLong, ts.min, ts.max, s.size.toLong, s.map(_._4).sum)
+      }
+    }.toSet
+    assert(got == naive)
+  }
+
   test("engine-neutral rounding r2 is stable and order-of-magnitude safe") {
     val rows = sample(finite, 500) ++ List(90.225, 2.675, -5.004, 0.005)
     val df = rows.toDF("x")
