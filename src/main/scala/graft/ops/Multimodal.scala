@@ -95,4 +95,44 @@ object Multimodal {
     val media = attachPayload(docs).as[MediaRecord]
     features(decode(media)).toDF()
   }
+
+  /** Perceptual hash (aHash-style) over the decoded feature: bit i set
+    * when histogram bin i exceeds the mean bin mass. On a real decode the
+    * same function runs over downsampled pixel intensities — only
+    * `decodeOne` changes. */
+  def perceptualHash(feats: Dataset[MediaFeatures]): DataFrame = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      val mean = f.feature.sum / f.feature.length
+      val bits = f.feature.zipWithIndex
+        .foldLeft(0)((acc, bi) => if (bi._1 > mean) acc | (1 << bi._2) else acc)
+      (f.doc_id, bits, f.feature)
+    }.toDF("doc_id", "phash", "feature")
+  }
+
+  /** Media near-dup — the dedup family applied to the multimodal path,
+    * with the same banded scale shape as Text near-dup: candidates must
+    * share one of the `bands` nibble bands of the perceptual hash
+    * (band-bucket groupBy join, NEVER all-pairs), then verified by exact
+    * L1 distance over the 16-dim features (builtin HOF — 16 elements per
+    * pair, not a hot loop). */
+  def nearDupPairs(hashed: DataFrame, maxL1: Double = 0.1): DataFrame = {
+    val bands = 4 // 16-bit hash -> 4 nibbles
+    def banded(side: String) = hashed
+      .select(col("doc_id").as(s"id_$side"),
+        col("phash").as(s"ph_$side"), col("feature").as(s"f_$side"))
+      .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("key",
+        call_function("shiftright", col(s"ph_$side"), col("band") * 4)
+          .bitwiseAND(lit(0xF)))
+    val l1 = aggregate(
+      zip_with(col("f_a"), col("f_b"), (x, y) => abs(x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    banded("a").join(banded("b"), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b") // several shared bands, one pair
+      .withColumn("l1", l1)
+      .filter(col("l1") <= maxL1)
+      .select(col("id_a"), col("id_b"), col("l1"))
+  }
 }

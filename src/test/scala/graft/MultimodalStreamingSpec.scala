@@ -43,6 +43,21 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(h.forall(_.length == 1))
   }
 
+  test("multimodal: perceptual-hash near-dup finds the duplicate, prunes the rest") {
+    val media = Seq(
+      (100L, "aaaa bbbb cccc dddd eeee"),
+      (101L, "aaaa bbbb cccc dddd eeee!"), // near-identical byte histogram
+      (102L, "zzzzzzzzzzzzzzzzzzzzzzzzz")  // disjoint byte range
+    ).toDF("doc_id", "text")
+    val feats = Multimodal.features(Multimodal.decode(
+      Multimodal.attachPayload(media).as[Multimodal.MediaRecord]))
+    val pairs = Multimodal.nearDupPairs(Multimodal.perceptualHash(feats), maxL1 = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // band-sharing candidates include (100,102) via empty nibbles; the
+    // exact L1 verification must prune them, keeping only the true dup
+    assert(pairs == Set((100L, 101L)))
+  }
+
   // ------------------------------------------------------------- streaming
 
   private def ev(id: Long, user: Long, t: String, typ: String, v: Double) =
