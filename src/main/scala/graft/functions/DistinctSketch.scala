@@ -1,7 +1,5 @@
 package graft.functions
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
@@ -34,10 +32,50 @@ import org.apache.spark.sql.types._
   * `SELECT hll_distinct(col[, precision[, sparseLimit]])`, or the Column
   * API `DistinctSketch.hll_distinct(col, precision, sparseLimit)`.
   */
+/** Minimal primitive open-addressed hash set for the sparse phase: ~8-16
+  * bytes per entry vs ~48+ for a boxed HashSet[Long] — at q41's 2^21
+  * sparseLimit that is the difference between tens of MB and hundreds
+  * per aggregation buffer. Zero is tracked by a sentinel flag since the
+  * backing array uses 0 as the empty marker. */
+final class LongSet(initialCapacity: Int = 64) {
+  private var cap = Integer.highestOneBit(math.max(64, initialCapacity * 2 - 1) * 2 - 1)
+  private var table = new Array[Long](cap)
+  private var hasZero = false
+  private var n = 0
+
+  def size: Int = n + (if (hasZero) 1 else 0)
+
+  def add(v: Long): Unit = {
+    if (v == 0L) { hasZero = true; return }
+    var i = (v * -0x61c8864680b583ebL >>> 40).toInt & (cap - 1) // fibonacci scramble
+    var cur = table(i)
+    while (cur != v && cur != 0L) { i = (i + 1) & (cap - 1); cur = table(i) }
+    if (cur == 0L) {
+      table(i) = v; n += 1
+      if (n.toLong * 4 >= cap.toLong * 3) grow()
+    }
+  }
+
+  def foreach(f: Long => Unit): Unit = {
+    if (hasZero) f(0L)
+    var i = 0
+    while (i < cap) { if (table(i) != 0L) f(table(i)); i += 1 }
+  }
+
+  private def grow(): Unit = {
+    val old = table
+    cap <<= 1
+    table = new Array[Long](cap)
+    val keep = n; n = 0
+    old.foreach(v => if (v != 0L) add(v))
+    assert(n == keep)
+  }
+}
+
 final class HllBuffer(val precision: Int, val sparseLimit: Int) {
   val m: Int = 1 << precision
   // sparse until the exact set outgrows sparseLimit, then dense forever
-  var sparse: mutable.HashSet[Long] = mutable.HashSet.empty
+  var sparse: LongSet = new LongSet()
   var registers: Array[Byte] = _
 
   def isSparse: Boolean = registers == null
@@ -57,15 +95,14 @@ final class HllBuffer(val precision: Int, val sparseLimit: Int) {
 
   def toDense(): Unit = {
     registers = new Array[Byte](m)
-    val it = sparse.iterator
-    while (it.hasNext) addDense(it.next())
+    sparse.foreach(addDense)
     sparse = null
   }
 
   def mergeIn(other: HllBuffer): Unit =
     if (other.isSparse) {
       if (isSparse) {
-        sparse ++= other.sparse
+        other.sparse.foreach(sparse.add)
         if (sparse.size > sparseLimit) toDense()
       } else other.sparse.foreach(addDense)
     } else {
@@ -170,12 +207,27 @@ case class HllDistinctAgg(
 }
 
 object DistinctSketch {
-  private[graft] def build(exprs: Seq[Expression]): Expression = {
-    def intArg(i: Int, dflt: Int) = exprs.lift(i)
-      .map(_.eval(InternalRow.empty).asInstanceOf[Number].intValue())
-      .getOrElse(dflt)
-    HllDistinctAgg(exprs.head, intArg(1, 14), intArg(2, 4096)).toAggregateExpression()
-  }
+  /** Evaluate an optional literal-integer argument with a clear error —
+    * `eval(InternalRow.empty)` on a non-foldable expression (a column,
+    * say) throws an opaque attribute-binding exception otherwise. Shared
+    * by every sketch builder. */
+  private[functions] def litIntArg(
+      exprs: Seq[Expression], i: Int, dflt: Int, fn: String): Int =
+    exprs.lift(i).map { e =>
+      if (!e.foldable)
+        throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} must be a literal integer, got ${e.sql}")
+      val v = e.eval(InternalRow.empty)
+      if (v == null)
+        throw new IllegalArgumentException(s"$fn: argument ${i + 1} must not be null")
+      v.asInstanceOf[Number].intValue()
+    }.getOrElse(dflt)
+
+  private[graft] def build(exprs: Seq[Expression]): Expression =
+    HllDistinctAgg(
+      exprs.head,
+      litIntArg(exprs, 1, 14, "hll_distinct"),
+      litIntArg(exprs, 2, 4096, "hll_distinct")).toAggregateExpression()
 
   /** Column API — requires `register(spark)` (or GraftExtensions) first. */
   def hll_distinct(c: Column, precision: Int = 14, sparseLimit: Int = 4096): Column =

@@ -121,12 +121,9 @@ case class FrequentItemsAgg(
 }
 
 object FrequentItems {
-  private def build(exprs: Seq[Expression]): Expression = {
-    val cap = exprs.lift(1)
-      .map(_.eval(InternalRow.empty).asInstanceOf[Number].intValue())
-      .getOrElse(100)
-    FrequentItemsAgg(exprs.head, cap).toAggregateExpression()
-  }
+  private[graft] def build(exprs: Seq[Expression]): Expression =
+    FrequentItemsAgg(exprs.head,
+      DistinctSketch.litIntArg(exprs, 1, 100, "frequent_items")).toAggregateExpression()
 
   /** Column API — requires `register(spark)` (or GraftExtensions) first. */
   def frequent_items(c: Column, capacity: Int): Column =

@@ -101,12 +101,9 @@ object ThetaSketch {
 
   // ------------------------------------------------------------ SQL glue
 
-  private[graft] def buildAgg(exprs: Seq[Expression]): Expression = {
-    val k = exprs.lift(1)
-      .map(_.eval(InternalRow.empty).asInstanceOf[Number].intValue())
-      .getOrElse(4096)
-    ThetaSketchAgg(exprs.head, k).toAggregateExpression()
-  }
+  private[graft] def buildAgg(exprs: Seq[Expression]): Expression =
+    ThetaSketchAgg(exprs.head,
+      DistinctSketch.litIntArg(exprs, 1, 4096, "theta_sketch")).toAggregateExpression()
 
   def theta_sketch(c: Column, k: Int = 4096): Column =
     org.apache.spark.sql.functions.call_function(

@@ -68,8 +68,23 @@ object Core {
       "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
       .contains(joinType.toLowerCase),
       s"saltedJoin supports fact-preserving join types only, got $joinType")
-    val sfact = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(salt.toLong)))
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name")
+    // salt from the hashable fact columns only — xxhash64 rejects MapType
+    // (and salting must not crash on exactly the wide fact rows it
+    // targets); any non-empty hashable subset keeps the salt uniform
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = fact.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+    val saltCol =
+      if (hashable.nonEmpty) pmod(xxhash64(hashable.toIndexedSeq: _*), lit(salt.toLong))
+      else pmod(monotonically_increasing_id(), lit(salt.toLong))
+    val sfact = fact.withColumn("__salt", saltCol)
     val sdim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     sfact.join(sdim, keys :+ "__salt", joinType).drop("__salt")

@@ -111,20 +111,24 @@ object Multimodal {
   }
 
   /** Media near-dup — the dedup family applied to the multimodal path,
-    * with the same banded scale shape as Text near-dup: candidates must
-    * share one of the `bands` nibble bands of the perceptual hash
-    * (band-bucket groupBy join, NEVER all-pairs), then verified by exact
-    * L1 distance over the 16-dim features (builtin HOF — 16 elements per
-    * pair, not a hot loop). */
-  def nearDupPairs(hashed: DataFrame, maxL1: Double = 0.1): DataFrame = {
-    val bands = 4 // 16-bit hash -> 4 nibbles
+    * with the banded shape of Text near-dup: candidates must share one
+    * 16-BIT band of the perceptual hash (2^16 buckets per band — narrow
+    * bands would degenerate toward all-pairs: 4-bit nibbles give only 16
+    * buckets, Θ(n²/16) candidates), then verified by exact L1 distance
+    * over the features (builtin HOF — 16 elements per pair, not a hot
+    * loop). `featureDim` sets the hash width: the 16-bin stub yields ONE
+    * band (exact-hash blocking); a real decode's 64+ bins yield multiple
+    * bands, i.e. multi-probe recall, like Text's SimHash banding. */
+  def nearDupPairs(hashed: DataFrame, featureDim: Int = 16, maxL1: Double = 0.1): DataFrame = {
+    val bandBits = 16
+    val bands = math.max(1, featureDim / bandBits)
     def banded(side: String) = hashed
       .select(col("doc_id").as(s"id_$side"),
         col("phash").as(s"ph_$side"), col("feature").as(s"f_$side"))
       .withColumn("band", explode(array((0 until bands).map(lit): _*)))
       .withColumn("key",
-        call_function("shiftright", col(s"ph_$side"), col("band") * 4)
-          .bitwiseAND(lit(0xF)))
+        call_function("shiftright", col(s"ph_$side"), col("band") * bandBits)
+          .bitwiseAND(lit(0xFFFF)))
     val l1 = aggregate(
       zip_with(col("f_a"), col("f_b"), (x, y) => abs(x - y)),
       lit(0.0), (acc, x) => acc + x)

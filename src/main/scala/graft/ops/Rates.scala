@@ -84,8 +84,13 @@ object Rates {
     * is ≤1 row per country, so the coverage join broadcasts it against
     * the master dim — no extra shuffle at any SF. */
   def gold(rates: DataFrame, countryDim: DataFrame, joinMode: String = "inner"): DataFrame = {
+    // validate eagerly: a misspelled mode silently falling back to inner
+    // would reintroduce the exact coverage loss the left mode prevents
+    val isLeft = Set("left", "leftouter", "left_outer").contains(joinMode.toLowerCase)
+    require(isLeft || joinMode.equalsIgnoreCase("inner"),
+      s"joinMode must be inner or left, got $joinMode")
     val inner = score(pivotRates(enrich(rates, countryDim, "inner")))
-    if (joinMode != "left") inner
+    if (!isLeft) inner
     else {
       val rateCols = Seq(
         "realtime_rate", "realtime_crawled_at_utc", "realtime_crawled_at_kst",

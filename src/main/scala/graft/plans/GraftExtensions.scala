@@ -42,13 +42,7 @@ object GraftExtensions {
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("frequent_items"),
     new ExpressionInfo(classOf[graft.functions.FrequentItemsAgg].getName, "frequent_items"),
-    (exprs: Seq[Expression]) => {
-      val cap = exprs.lift(1)
-        .map(_.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          .asInstanceOf[Number].intValue())
-        .getOrElse(100)
-      graft.functions.FrequentItemsAgg(exprs.head, cap).toAggregateExpression()
-    })
+    (exprs: Seq[Expression]) => graft.functions.FrequentItems.build(exprs))
 
   private[plans] val hllDistinctDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

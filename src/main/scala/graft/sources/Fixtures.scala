@@ -38,21 +38,27 @@ object Fixtures {
     val probe = getClass.getClassLoader.getResource("graft/fixtures/" + names.head)
     val srcDir = new java.io.File("src/main/resources/graft/fixtures")
     if (probe != null && probe.getProtocol == "file")
-      new java.io.File(probe.getPath).getParent
+      // toURI decodes URL escapes (a %20 in getPath would 404 the file)
+      new java.io.File(probe.toURI).getParent
     else if (srcDir.isDirectory) srcDir.getAbsolutePath
     else materializeToTemp()
   })
 
   private def materializeToTemp(): String = {
-    val tmp = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-fixtures")
-    java.nio.file.Files.createDirectories(tmp)
+    import java.nio.file.{Files, Paths, StandardCopyOption => Copy}
+    val tmp = Paths.get(sys.props("java.io.tmpdir"), "graft-fixtures")
+    Files.createDirectories(tmp)
     names.foreach { n =>
       val in = getClass.getClassLoader.getResourceAsStream(s"graft/fixtures/$n")
       if (in != null)
-        try java.nio.file.Files.copy(in, tmp.resolve(n),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        finally in.close()
+        try {
+          // write-then-atomic-rename: a concurrent process must never
+          // read a torn half-copied fixture
+          val staged = Files.createTempFile(tmp, s".$n.", ".part")
+          Files.copy(in, staged, Copy.REPLACE_EXISTING)
+          Files.move(staged, tmp.resolve(n),
+            Copy.ATOMIC_MOVE, Copy.REPLACE_EXISTING)
+        } finally in.close()
     }
     tmp.toString
   }

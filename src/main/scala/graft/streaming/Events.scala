@@ -178,30 +178,29 @@ object Events {
             state.remove()
             Iterator.single(emit(s))
           } else {
+            // fold the open state and the batch as INTERVALS sorted by
+            // start: the same session algebra as sessionizeBatch however
+            // the events are packed into batches. In particular a late
+            // event preceding the open session's start by more than the
+            // gap forms (and immediately closes) its own earlier session
+            // — the forward-only formulation would silently merge it.
+            val items = (state.getOption.toSeq ++
+              rows.map(e => SessState(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+              .sortBy(s => (s.startMs, s.endMs))
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessState]
-            var cur = state.getOption
-            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t > s.endMs + gapMs =>
-                  closed += s
-                  cur = Some(SessState(t, t, 1L, e.value))
-                case Some(s) =>
-                  cur = Some(SessState(
-                    math.min(s.startMs, t), math.max(s.endMs, t),
-                    s.n + 1L, s.total + e.value))
-                case None =>
-                  cur = Some(SessState(t, t, 1L, e.value))
-              }
+            var cur = items.head // rows is non-empty when not timed out
+            items.tail.foreach { s =>
+              if (s.startMs > cur.endMs + gapMs) { closed += cur; cur = s }
+              else cur = SessState(
+                cur.startMs, math.max(cur.endMs, s.endMs),
+                cur.n + s.n, cur.total + s.total)
             }
-            cur.foreach { s =>
-              state.update(s)
-              // the close deadline is event-time; it must sit above the
-              // current watermark or Spark rejects it — if the session is
-              // already older than the watermark it closes next batch
-              state.setTimeoutTimestamp(
-                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
+            state.update(cur)
+            // the close deadline is event-time; it must sit above the
+            // current watermark or Spark rejects it — if the session is
+            // already older than the watermark it closes next batch
+            state.setTimeoutTimestamp(
+              math.max(cur.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
             closed.iterator.map(emit)
           }
       }

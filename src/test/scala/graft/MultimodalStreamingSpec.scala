@@ -51,10 +51,11 @@ class MultimodalStreamingSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val feats = Multimodal.features(Multimodal.decode(
       Multimodal.attachPayload(media).as[Multimodal.MediaRecord]))
-    val pairs = Multimodal.nearDupPairs(Multimodal.perceptualHash(feats), maxL1 = 0.2)
+    val pairs = Multimodal.nearDupPairs(
+      Multimodal.perceptualHash(feats), featureDim = 16, maxL1 = 0.2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // band-sharing candidates include (100,102) via empty nibbles; the
-    // exact L1 verification must prune them, keeping only the true dup
+    // the 16-bin stub gives one 16-bit band: only the identical-hash pair
+    // is a candidate, and its exact L1 confirms it
     assert(pairs == Set((100L, 101L)))
   }
 
@@ -268,6 +269,27 @@ class MultimodalStreamingSpec extends SparkSpec {
     q.stop()
     val rows = spark.sql("SELECT * FROM t4b_ttl_out").collect().map(_.getAs[String]("event_type"))
     assert(!rows.contains("stale") && rows.contains("click"))
+  }
+
+  test("sessionizeEventTime: a late event far BEFORE the open session closes as its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Events.Ev]
+    val q = Events.sessionizeEventTime(stream.toDS(), gapMs = 60000, wmDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    stream.addData(Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:10:00"), "a", 2.0))
+    q.processAllAvailable()
+    // 5 minutes BEFORE the open session's start — inside the watermark
+    // (which sits at 00:00:00 after batch 1) but more than the gap away:
+    // must become its own (already gap-closed) session, not merge into
+    // [00:10:00, …] — batch packing must not change the sessions
+    stream.addData(Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:05:00"), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM sess_late WHERE user_id = 1").collect()
+    assert(rows.length == 1, rows.mkString(","))
+    assert(rows.head.getAs[Timestamp]("session_start") == Timestamp.valueOf("2024-01-01 00:05:00"))
+    assert(rows.head.getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-01-01 00:05:00"))
+    assert(rows.head.getAs[Long]("n_events") == 1L)
   }
 
   test("sessionizeBatch agrees with streaming sessionizeEventTime on closed sessions") {
