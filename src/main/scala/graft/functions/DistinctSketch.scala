@@ -188,6 +188,7 @@ case class HllDistinctAgg(
     val buf = new HllBuffer(precision, sparseLimit)
     if (in.readByte() == 0) {
       val n = in.readInt()
+      buf.sparse = new LongSet(n) // size known up front: no grow/rehash churn
       (0 until n).foreach(_ => buf.sparse.add(in.readLong()))
     } else {
       buf.registers = new Array[Byte](buf.m)
@@ -217,10 +218,20 @@ object DistinctSketch {
       if (!e.foldable)
         throw new IllegalArgumentException(
           s"$fn: argument ${i + 1} must be a literal integer, got ${e.sql}")
-      val v = e.eval(InternalRow.empty)
-      if (v == null)
-        throw new IllegalArgumentException(s"$fn: argument ${i + 1} must not be null")
-      v.asInstanceOf[Number].intValue()
+      e.eval(InternalRow.empty) match {
+        case n: java.lang.Number
+            if n.isInstanceOf[java.lang.Byte] || n.isInstanceOf[java.lang.Short] ||
+              n.isInstanceOf[java.lang.Integer] || n.isInstanceOf[java.lang.Long] =>
+          val v = n.intValue()
+          if (v <= 0)
+            throw new IllegalArgumentException(
+              s"$fn: argument ${i + 1} must be positive, got $v")
+          v
+        case other =>
+          throw new IllegalArgumentException(
+            s"$fn: argument ${i + 1} must be a literal integer, got ${e.sql}" +
+              (if (other == null) " (null)" else ""))
+      }
     }.getOrElse(dflt)
 
   private[graft] def build(exprs: Seq[Expression]): Expression =

@@ -57,8 +57,13 @@ object Core {
     * the dim is too big to broadcast — the replication multiplies the
     * dim-side shuffle by `salt`.
     *
-    * The fact salt is `pmod(xxhash64(whole row), salt)` — deterministic
-    * (replay-stable) and uniform even when one key dominates. */
+    * The fact salt hashes the non-key hashable columns MIXED WITH a
+    * per-row id: payload columns alone could be constant within a hot
+    * key (or absent entirely when the only non-key columns are maps,
+    * which xxhash64 rejects), which would put every hot-key row back on
+    * one reducer. The per-row id makes the salt uniform unconditionally;
+    * it is not replay-stable, which is fine — the JOIN RESULT is
+    * identical for every salt assignment, only row placement varies. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
@@ -70,9 +75,6 @@ object Core {
       s"saltedJoin supports fact-preserving join types only, got $joinType")
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "saltedJoin reserves the __salt column name")
-    // salt from the hashable fact columns only — xxhash64 rejects MapType
-    // (and salting must not crash on exactly the wide fact rows it
-    // targets); any non-empty hashable subset keeps the salt uniform
     import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
     def hasMap(dt: DataType): Boolean = dt match {
       case _: MapType => true
@@ -80,10 +82,12 @@ object Core {
       case a: ArrayType => hasMap(a.elementType)
       case _ => false
     }
-    val hashable = fact.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
-    val saltCol =
-      if (hashable.nonEmpty) pmod(xxhash64(hashable.toIndexedSeq: _*), lit(salt.toLong))
-      else pmod(monotonically_increasing_id(), lit(salt.toLong))
+    val hashable = fact.schema.fields
+      .filter(f => !hasMap(f.dataType) && !keys.contains(f.name))
+      .map(f => col(f.name))
+    val saltCol = pmod(
+      xxhash64((hashable :+ monotonically_increasing_id()).toIndexedSeq: _*),
+      lit(salt.toLong))
     val sfact = fact.withColumn("__salt", saltCol)
     val sdim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))

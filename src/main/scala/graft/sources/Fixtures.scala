@@ -55,9 +55,21 @@ object Fixtures {
           // write-then-atomic-rename: a concurrent process must never
           // read a torn half-copied fixture
           val staged = Files.createTempFile(tmp, s".$n.", ".part")
-          Files.copy(in, staged, Copy.REPLACE_EXISTING)
-          Files.move(staged, tmp.resolve(n),
-            Copy.ATOMIC_MOVE, Copy.REPLACE_EXISTING)
+          try {
+            Files.copy(in, staged, Copy.REPLACE_EXISTING)
+            // createTempFile makes 0600 files and the rename keeps the
+            // mode — restore world-readable so another user's oracle
+            // process (the whole point of the stable path) can read it
+            try {
+              import java.nio.file.attribute.PosixFilePermissions
+              Files.setPosixFilePermissions(
+                staged, PosixFilePermissions.fromString("rw-r--r--"))
+            } catch { case _: UnsupportedOperationException => () }
+            Files.move(staged, tmp.resolve(n),
+              Copy.ATOMIC_MOVE, Copy.REPLACE_EXISTING)
+          } catch {
+            case t: Throwable => Files.deleteIfExists(staged); throw t
+          }
         } finally in.close()
     }
     tmp.toString

@@ -145,9 +145,15 @@ object Events {
   case class EvSession(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, total_value: Double)
-  /** Open-session state for `sessionizeEventTime` (millis, not Timestamp,
-    * to keep the state encoder primitive-flat). */
+  /** Session interval for `sessionizeEventTime` state (millis, not
+    * Timestamp, to keep the state encoder primitive-flat). */
   case class SessState(startMs: Long, endMs: Long, n: Long, total: Double)
+  /** `sessionizeEventTime` keeps EVERY interval the watermark has not
+    * yet sealed (end+gap > watermark) — gap-closed ones included, since a
+    * late row inside the watermark may still merge into them. Size is
+    * bounded by the watermark delay: at most ceil(delay/gap)+1 intervals
+    * per active user. */
+  case class SessList(sessions: Seq[SessState])
 
   /** Event-time sessionization: sessions close when the EVENT-TIME gap
     * between a user's consecutive events exceeds `gapMs`, with closure
@@ -155,8 +161,12 @@ object Events {
     * input produces the same sessions regardless of arrival pacing, which
     * the processing-time variant below cannot promise. Out-of-order rows
     * within the watermark merge into the right session (spans extend
-    * backward); rows whose gap to the open session exceeds `gapMs` close
-    * it immediately, so one batch can emit several sessions.
+    * backward); gap-separated rows split into distinct intervals; and a
+    * session is EMITTED only once the watermark passes its end+gap — the
+    * point after which no non-late row can still merge into it. Batch
+    * packing therefore never changes the emitted sessions: for rows
+    * inside the watermark, output equals `sessionizeBatch` on the same
+    * input.
     *
     * `events` must carry an `Ev`-shaped schema; the watermark is applied
     * here (`wmDelay`) since EventTimeTimeout requires one. */
@@ -168,41 +178,43 @@ object Events {
     events
       .withWatermark("ts", wmDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, EvSession](
+      .flatMapGroupsWithState[SessList, EvSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessList]) =>
           def emit(s: SessState) = EvSession(
             userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(emit(s))
-          } else {
-            // fold the open state and the batch as INTERVALS sorted by
-            // start: the same session algebra as sessionizeBatch however
-            // the events are packed into batches. In particular a late
-            // event preceding the open session's start by more than the
-            // gap forms (and immediately closes) its own earlier session
-            // — the forward-only formulation would silently merge it.
-            val items = (state.getOption.toSeq ++
-              rows.map(e => SessState(e.ts.getTime, e.ts.getTime, 1L, e.value)))
-              .sortBy(s => (s.startMs, s.endMs))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessState]
-            var cur = items.head // rows is non-empty when not timed out
-            items.tail.foreach { s =>
-              if (s.startMs > cur.endMs + gapMs) { closed += cur; cur = s }
-              else cur = SessState(
-                cur.startMs, math.max(cur.endMs, s.endMs),
-                cur.n + s.n, cur.total + s.total)
-            }
-            state.update(cur)
-            // the close deadline is event-time; it must sit above the
-            // current watermark or Spark rejects it — if the session is
-            // already older than the watermark it closes next batch
-            state.setTimeoutTimestamp(
-              math.max(cur.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
-            closed.iterator.map(emit)
+          val wm = state.getCurrentWatermarkMs()
+          // fold the kept state intervals and the batch as INTERVALS
+          // sorted by start — the same session algebra as sessionizeBatch
+          // however the events are packed into batches (a late event
+          // preceding an interval by more than the gap starts its own
+          // session; one within the gap merges, extending the span
+          // backward). Intervals stay in STATE — even gap-closed ones —
+          // until the watermark passes end+gap, because only then can no
+          // non-late row still merge into them; emitting earlier would
+          // split one true session across batches.
+          val items = (state.getOption.map(_.sessions).getOrElse(Seq.empty) ++
+            rows.map(e => SessState(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+            .sortBy(s => (s.startMs, s.endMs))
+          val merged = scala.collection.mutable.ArrayBuffer.empty[SessState]
+          items.foreach { s =>
+            if (merged.nonEmpty && s.startMs <= merged.last.endMs + gapMs) {
+              val p = merged.last
+              merged(merged.size - 1) = SessState(
+                p.startMs, math.max(p.endMs, s.endMs), p.n + s.n, p.total + s.total)
+            } else merged += s
           }
+          // final: nothing beyond the watermark can extend these
+          val (done, kept) = merged.partition(_.endMs + gapMs <= wm)
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(SessList(kept.toSeq))
+            // earliest close deadline; must sit above the watermark or
+            // Spark rejects the timestamp
+            state.setTimeoutTimestamp(
+              math.max(kept.map(_.endMs + gapMs).min, wm + 1))
+          }
+          done.iterator.map(emit)
       }
   }
 

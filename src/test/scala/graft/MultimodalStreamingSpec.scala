@@ -236,7 +236,7 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(r.getAs[Double]("total_value") == 3.0)
   }
 
-  test("sessionizeEventTime: one batch spanning the gap closes the earlier session at once") {
+  test("sessionizeEventTime: one batch spanning the gap yields two distinct sessions") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Events.Ev]
     stream.addData(
@@ -246,13 +246,22 @@ class MultimodalStreamingSpec extends SparkSpec {
     val q = Events.sessionizeEventTime(stream.toDS(), gapMs = 60000)
       .writeStream.format("memory").queryName("sess_et2").outputMode("append").start()
     q.processAllAvailable()
+    // nothing emits until the watermark seals the intervals
+    assert(spark.sql("SELECT * FROM sess_et2").count() == 0)
+    stream.addData(Events.Ev(9L, Timestamp.valueOf("2024-01-01 01:00:00"), "x", 0.0))
+    q.processAllAvailable()
+    stream.addData(Events.Ev(9L, Timestamp.valueOf("2024-01-01 02:00:00"), "x", 0.0))
+    q.processAllAvailable()
     q.stop()
-    // the 00:10 event is > gap past 00:00:10 -> first session emitted in
-    // the same batch, no timeout needed; the second stays open (unemitted)
-    val rows = spark.sql("SELECT * FROM sess_et2").collect()
-    assert(rows.length == 1, rows.mkString(","))
-    assert(rows.head.getAs[Long]("n_events") == 2L)
-    assert(rows.head.getAs[Double]("total_value") == 3.0)
+    // the 00:10 event is > gap past 00:00:10 -> the batch split into two
+    // intervals; both sealed once the watermark passed their end+gap
+    val rows = spark.sql(
+      "SELECT * FROM sess_et2 WHERE user_id = 3 ORDER BY session_start").collect()
+    assert(rows.length == 2, rows.mkString(","))
+    assert(rows(0).getAs[Long]("n_events") == 2L)
+    assert(rows(0).getAs[Double]("total_value") == 3.0)
+    assert(rows(1).getAs[Long]("n_events") == 1L)
+    assert(rows(1).getAs[Double]("total_value") == 4.0)
   }
 
   test("latestPerUserExpiring: active-path semantics match latestPerUser") {
@@ -280,16 +289,53 @@ class MultimodalStreamingSpec extends SparkSpec {
     q.processAllAvailable()
     // 5 minutes BEFORE the open session's start — inside the watermark
     // (which sits at 00:00:00 after batch 1) but more than the gap away:
-    // must become its own (already gap-closed) session, not merge into
-    // [00:10:00, …] — batch packing must not change the sessions
+    // must become its own session, not merge into [00:10:00, …] — batch
+    // packing must not change the sessions. Emission waits for the
+    // watermark to seal each interval (sentinels advance it).
     stream.addData(Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:05:00"), "a", 1.0))
     q.processAllAvailable()
+    stream.addData(Events.Ev(9L, Timestamp.valueOf("2024-01-01 01:00:00"), "x", 0.0))
+    q.processAllAvailable()
+    stream.addData(Events.Ev(9L, Timestamp.valueOf("2024-01-01 02:00:00"), "x", 0.0))
+    q.processAllAvailable()
     q.stop()
-    val rows = spark.sql("SELECT * FROM sess_late WHERE user_id = 1").collect()
-    assert(rows.length == 1, rows.mkString(","))
-    assert(rows.head.getAs[Timestamp]("session_start") == Timestamp.valueOf("2024-01-01 00:05:00"))
-    assert(rows.head.getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-01-01 00:05:00"))
-    assert(rows.head.getAs[Long]("n_events") == 1L)
+    val rows = spark.sql(
+      "SELECT * FROM sess_late WHERE user_id = 1 ORDER BY session_start").collect()
+    assert(rows.length == 2, rows.mkString(","))
+    assert(rows(0).getAs[Timestamp]("session_start") == Timestamp.valueOf("2024-01-01 00:05:00"))
+    assert(rows(0).getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-01-01 00:05:00"))
+    assert(rows(0).getAs[Long]("n_events") == 1L)
+    assert(rows(1).getAs[Timestamp]("session_start") == Timestamp.valueOf("2024-01-01 00:10:00"))
+    assert(rows(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("sessionizeEventTime: late events in DIFFERENT batches still merge into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Events.Ev]
+    val q = Events.sessionizeEventTime(stream.toDS(), gapMs = 60000, wmDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_rejoin").outputMode("append").start()
+    stream.addData(Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:10:00"), "a", 2.0))
+    q.processAllAvailable()
+    stream.addData(Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:05:00"), "a", 1.0))
+    q.processAllAvailable()
+    // arrives one batch later but within the gap of the 00:05:00 event:
+    // must MERGE into that session — emitting sessions before the
+    // watermark seals them would make this pair un-joinable
+    stream.addData(Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:05:30"), "a", 4.0))
+    q.processAllAvailable()
+    stream.addData(Events.Ev(9L, Timestamp.valueOf("2024-01-01 01:00:00"), "x", 0.0))
+    q.processAllAvailable()
+    stream.addData(Events.Ev(9L, Timestamp.valueOf("2024-01-01 02:00:00"), "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT * FROM sess_rejoin WHERE user_id = 1 ORDER BY session_start").collect()
+    assert(rows.length == 2, rows.mkString(","))
+    assert(rows(0).getAs[Timestamp]("session_start") == Timestamp.valueOf("2024-01-01 00:05:00"))
+    assert(rows(0).getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-01-01 00:05:30"))
+    assert(rows(0).getAs[Long]("n_events") == 2L)
+    assert(rows(0).getAs[Double]("total_value") == 5.0)
+    assert(rows(1).getAs[Long]("n_events") == 1L) // the 00:10 session
   }
 
   test("sessionizeBatch agrees with streaming sessionizeEventTime on closed sessions") {
