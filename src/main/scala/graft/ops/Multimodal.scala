@@ -97,30 +97,41 @@ object Multimodal {
   }
 
   /** Perceptual hash (aHash-style) over the decoded feature: bit i set
-    * when histogram bin i exceeds the mean bin mass. On a real decode the
-    * same function runs over downsampled pixel intensities — only
-    * `decodeOne` changes. */
+    * when histogram bin i exceeds the mean bin mass. A LONG hash, so a
+    * real decode's up-to-64-bin feature widens it without the silent
+    * `1 << i` Int wrap-around that would corrupt bits past 31 (features
+    * wider than 64 bins need a multi-word hash — rejected, not folded).
+    * On a real decode the same function runs over downsampled pixel
+    * intensities — only `decodeOne` changes. */
   def perceptualHash(feats: Dataset[MediaFeatures]): DataFrame = {
     import feats.sparkSession.implicits._
     feats.map { f =>
+      require(f.feature.length <= 64,
+        s"perceptualHash supports up to 64 feature dims, got ${f.feature.length}")
       val mean = f.feature.sum / f.feature.length
       val bits = f.feature.zipWithIndex
-        .foldLeft(0)((acc, bi) => if (bi._1 > mean) acc | (1 << bi._2) else acc)
+        .foldLeft(0L)((acc, bi) => if (bi._1 > mean) acc | (1L << bi._2) else acc)
       (f.doc_id, bits, f.feature)
     }.toDF("doc_id", "phash", "feature")
   }
 
   /** Media near-dup — the dedup family applied to the multimodal path,
-    * with the banded shape of Text near-dup: candidates must share one
-    * 16-BIT band of the perceptual hash (2^16 buckets per band — narrow
-    * bands would degenerate toward all-pairs: 4-bit nibbles give only 16
-    * buckets, Θ(n²/16) candidates), then verified by exact L1 distance
-    * over the features (builtin HOF — 16 elements per pair, not a hot
-    * loop). `featureDim` sets the hash width: the 16-bin stub yields ONE
-    * band (exact-hash blocking); a real decode's 64+ bins yield multiple
-    * bands, i.e. multi-probe recall, like Text's SimHash banding. */
-  def nearDupPairs(hashed: DataFrame, featureDim: Int = 16, maxL1: Double = 0.1): DataFrame = {
-    val bandBits = 16
+    * with the banded shape of Text near-dup: candidates must share ONE
+    * band of the perceptual hash, then exact L1 over the features
+    * verifies (builtin HOF — 16 elements per pair, not a hot loop).
+    *
+    * `bandBits` is the recall/cost dial, exactly like SimHash banding:
+    * a pair survives blocking iff SOME band is bit-identical, so smaller
+    * bands tolerate more hash-bit flips (more recall) at 2^bandBits
+    * buckets per band (worst-case Θ(n²/2^bandBits) candidates — the
+    * reason 4-bit nibbles, 16 buckets, are not offered). With the 16-bin
+    * stub: bandBits=16 is exact-hash blocking, bandBits=8 tolerates
+    * flips confined to one byte. A real decode's 64-bin feature gives 4
+    * bands of 16 bits. */
+  def nearDupPairs(hashed: DataFrame, featureDim: Int = 16, maxL1: Double = 0.1,
+      bandBits: Int = 16): DataFrame = {
+    require(featureDim >= 1 && featureDim <= 64, s"featureDim must be in [1,64], got $featureDim")
+    require(bandBits == 8 || bandBits == 16, s"bandBits must be 8 or 16, got $bandBits")
     val bands = math.max(1, featureDim / bandBits)
     def banded(side: String) = hashed
       .select(col("doc_id").as(s"id_$side"),
@@ -128,7 +139,7 @@ object Multimodal {
       .withColumn("band", explode(array((0 until bands).map(lit): _*)))
       .withColumn("key",
         call_function("shiftright", col(s"ph_$side"), col("band") * bandBits)
-          .bitwiseAND(lit(0xFFFF)))
+          .bitwiseAND(lit((1L << bandBits) - 1L)))
     val l1 = aggregate(
       zip_with(col("f_a"), col("f_b"), (x, y) => abs(x - y)),
       lit(0.0), (acc, x) => acc + x)

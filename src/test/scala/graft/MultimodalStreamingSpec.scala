@@ -59,6 +59,21 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(pairs == Set((100L, 101L)))
   }
 
+  test("multimodal: 8-bit bands tolerate a hash-bit flip that 16-bit blocking misses") {
+    // hand-built hashed frame: a/b differ in ONE low-byte hash bit with
+    // near-identical features; c is far from both
+    val fa = Array(0.5, 0.5) ++ Array.fill(14)(0.0)
+    val fb = Array(0.52, 0.48) ++ Array.fill(14)(0.0)
+    val fc = Array.fill(14)(0.0) ++ Array(0.5, 0.5)
+    val hashed = Seq(
+      (1L, 0x00FFL, fa.toSeq), (2L, 0x00FEL, fb.toSeq), (3L, 0xFF00L, fc.toSeq)
+    ).toDF("doc_id", "phash", "feature")
+    def run(bb: Int) = Multimodal.nearDupPairs(hashed, featureDim = 16, maxL1 = 0.2, bandBits = bb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(16) == Set.empty) // single 16-bit band: the flip blocks the pair
+    assert(run(8) == Set((1L, 2L))) // shared high byte -> candidate -> L1 verifies
+  }
+
   // ------------------------------------------------------------- streaming
 
   private def ev(id: Long, user: Long, t: String, typ: String, v: Double) =
