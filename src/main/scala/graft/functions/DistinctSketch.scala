@@ -234,11 +234,21 @@ object DistinctSketch {
       }
     }.getOrElse(dflt)
 
-  private[graft] def build(exprs: Seq[Expression]): Expression =
+  /** Arity check with the function name in the message — a bare
+    * `exprs(1)` would throw an opaque IndexOutOfBoundsException. */
+  private[functions] def arity(
+      exprs: Seq[Expression], fn: String, min: Int, max: Int): Unit =
+    if (exprs.size < min || exprs.size > max)
+      throw new IllegalArgumentException(
+        s"$fn expects $min to $max arguments, got ${exprs.size}")
+
+  private[graft] def build(exprs: Seq[Expression]): Expression = {
+    arity(exprs, "hll_distinct", 1, 3)
     HllDistinctAgg(
       exprs.head,
       litIntArg(exprs, 1, 14, "hll_distinct"),
       litIntArg(exprs, 2, 4096, "hll_distinct")).toAggregateExpression()
+  }
 
   /** Column API — requires `register(spark)` (or GraftExtensions) first. */
   def hll_distinct(c: Column, precision: Int = 14, sparseLimit: Int = 4096): Column =

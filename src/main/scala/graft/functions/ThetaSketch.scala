@@ -101,9 +101,23 @@ object ThetaSketch {
 
   // ------------------------------------------------------------ SQL glue
 
-  private[graft] def buildAgg(exprs: Seq[Expression]): Expression =
+  private[graft] def buildAgg(exprs: Seq[Expression]): Expression = {
+    DistinctSketch.arity(exprs, "theta_sketch", 1, 2)
     ThetaSketchAgg(exprs.head,
       DistinctSketch.litIntArg(exprs, 1, 4096, "theta_sketch")).toAggregateExpression()
+  }
+
+  private[graft] def buildEstimate(exprs: Seq[Expression]): Expression = {
+    DistinctSketch.arity(exprs, "theta_estimate", 1, 1)
+    ThetaEstimate(exprs.head)
+  }
+
+  private[graft] def buildSetEstimate(
+      exprs: Seq[Expression], intersect: Boolean): Expression = {
+    val fn = if (intersect) "theta_intersect_estimate" else "theta_union_estimate"
+    DistinctSketch.arity(exprs, fn, 2, 2)
+    ThetaSetEstimate(exprs.head, exprs(1), intersect)
+  }
 
   def theta_sketch(c: Column, k: Int = 4096): Column =
     org.apache.spark.sql.functions.call_function(
@@ -118,12 +132,11 @@ object ThetaSketch {
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction("theta_sketch", buildAgg, "built-in")
-    r.createOrReplaceTempFunction("theta_estimate",
-      es => ThetaEstimate(es.head), "built-in")
+    r.createOrReplaceTempFunction("theta_estimate", buildEstimate, "built-in")
     r.createOrReplaceTempFunction("theta_intersect_estimate",
-      es => ThetaSetEstimate(es.head, es(1), intersect = true), "built-in")
+      buildSetEstimate(_, intersect = true), "built-in")
     r.createOrReplaceTempFunction("theta_union_estimate",
-      es => ThetaSetEstimate(es.head, es(1), intersect = false), "built-in")
+      buildSetEstimate(_, intersect = false), "built-in")
   }
 }
 

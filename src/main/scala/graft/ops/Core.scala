@@ -57,13 +57,15 @@ object Core {
     * the dim is too big to broadcast — the replication multiplies the
     * dim-side shuffle by `salt`.
     *
-    * The fact salt hashes the non-key hashable columns MIXED WITH a
-    * per-row id: payload columns alone could be constant within a hot
-    * key (or absent entirely when the only non-key columns are maps,
-    * which xxhash64 rejects), which would put every hot-key row back on
-    * one reducer. The per-row id makes the salt uniform unconditionally;
-    * it is not replay-stable, which is fine — the JOIN RESULT is
-    * identical for every salt assignment, only row placement varies. */
+    * The fact salt is a DETERMINISTIC function of the whole row
+    * (map-typed columns ride through to_json, since xxhash64 rejects
+    * MapType): a nondeterministic salt (rand, monotonic id) would be the
+    * SPARK-23207 hazard — a shuffle-map retry recomputes different salts
+    * while surviving reducers keep data fetched under the old assignment,
+    * silently losing or duplicating join rows. The residual: rows that
+    * are LITERAL duplicates share a salt, so a hot key consisting of
+    * millions of byte-identical rows still skews — dedup first (exact
+    * duplicates carry no information for most joins) or pre-aggregate. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
@@ -82,12 +84,10 @@ object Core {
       case a: ArrayType => hasMap(a.elementType)
       case _ => false
     }
-    val hashable = fact.schema.fields
-      .filter(f => !hasMap(f.dataType) && !keys.contains(f.name))
-      .map(f => col(f.name))
-    val saltCol = pmod(
-      xxhash64((hashable :+ monotonically_increasing_id()).toIndexedSeq: _*),
-      lit(salt.toLong))
+    val saltInputs = fact.schema.fields.map { f =>
+      if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+    }
+    val saltCol = pmod(xxhash64(saltInputs.toIndexedSeq: _*), lit(salt.toLong))
     val sfact = fact.withColumn("__salt", saltCol)
     val sdim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))

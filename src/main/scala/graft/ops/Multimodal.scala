@@ -106,8 +106,10 @@ object Multimodal {
   def perceptualHash(feats: Dataset[MediaFeatures]): DataFrame = {
     import feats.sparkSession.implicits._
     feats.map { f =>
-      require(f.feature.length <= 64,
-        s"perceptualHash supports up to 64 feature dims, got ${f.feature.length}")
+      // empty features (a failed decode) must FAIL, not hash to 0 and
+      // pair every broken record with every other as an exact dup
+      require(f.feature.nonEmpty && f.feature.length <= 64,
+        s"perceptualHash needs 1..64 feature dims, got ${f.feature.length}")
       val mean = f.feature.sum / f.feature.length
       val bits = f.feature.zipWithIndex
         .foldLeft(0L)((acc, bi) => if (bi._1 > mean) acc | (1L << bi._2) else acc)

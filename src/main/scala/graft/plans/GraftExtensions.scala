@@ -58,11 +58,11 @@ object GraftExtensions {
       (FunctionIdentifier("theta_sketch"), info("theta_sketch"),
         (es: Seq[Expression]) => T.buildAgg(es)),
       (FunctionIdentifier("theta_estimate"), info("theta_estimate"),
-        (es: Seq[Expression]) => graft.functions.ThetaEstimate(es.head)),
+        (es: Seq[Expression]) => T.buildEstimate(es)),
       (FunctionIdentifier("theta_intersect_estimate"), info("theta_intersect_estimate"),
-        (es: Seq[Expression]) => graft.functions.ThetaSetEstimate(es.head, es(1), intersect = true)),
+        (es: Seq[Expression]) => T.buildSetEstimate(es, intersect = true)),
       (FunctionIdentifier("theta_union_estimate"), info("theta_union_estimate"),
-        (es: Seq[Expression]) => graft.functions.ThetaSetEstimate(es.head, es(1), intersect = false)))
+        (es: Seq[Expression]) => T.buildSetEstimate(es, intersect = false)))
   }
 
   /** Register everything on a live session (idempotent). */

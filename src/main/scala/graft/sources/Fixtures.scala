@@ -46,11 +46,19 @@ object Fixtures {
 
   private def materializeToTemp(): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption => Copy}
-    val tmp = Paths.get(sys.props("java.io.tmpdir"), "graft-fixtures")
+    // per-user dir: a fixed shared path would hand user B an
+    // AccessDeniedException on user A's files instead of working
+    val tmp = Paths.get(sys.props("java.io.tmpdir"),
+      "graft-fixtures-" + sys.props.getOrElse("user.name", "anon"))
     Files.createDirectories(tmp)
     names.foreach { n =>
       val in = getClass.getClassLoader.getResourceAsStream(s"graft/fixtures/$n")
-      if (in != null)
+      if (in == null)
+        // fail HERE with the fixture name, not later as a bare
+        // path-not-found from a reader far from the cause
+        throw new IllegalStateException(
+          s"bundled fixture graft/fixtures/$n missing from the classpath")
+      else
         try {
           // write-then-atomic-rename: a concurrent process must never
           // read a torn half-copied fixture
