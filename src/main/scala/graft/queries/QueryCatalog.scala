@@ -1515,13 +1515,45 @@ object QueryCatalog {
       FROM c ca JOIN c cb ON ca.event_type < cb.event_type
       LEFT JOIN i ON i.et_a = ca.event_type AND i.et_b = cb.event_type"""))
 
+  /** The salting escape hatch under the oracle: q14's exact computation
+    * routed through Core.saltedJoin (salt 8) must hash-match the SAME
+    * plain-join twin — the salt spreads row placement and leaves the
+    * relational result untouched (CoreSpec pins it on a synthetic skewed
+    * fact; this pins it against DuckDB on real data). */
+  private val q45 = Q(
+    "q45_salted_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).withColumnRenamed("p_partkey", "l_partkey")
+      val diff = col("l_extendedprice") / col("l_quantity") - col("p_retailprice")
+      graft.ops.Core.saltedJoin(li, p, Seq("l_partkey"), salt = 8)
+        .withColumn("diff", diff)
+        .withColumn("state", F.priceState(col("diff")))
+        .withColumn("score", F.priceScore(col("diff")))
+        .groupBy(col("state"), col("score"))
+        .agg(
+          count(lit(1)).as("n"),
+          r2(avg(col("diff") / col("p_retailprice") * 100)).as("avg_pct"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT l_extendedprice/l_quantity - p_retailprice AS diff, p_retailprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+      SELECT
+        CASE WHEN diff > 0 THEN '상승' WHEN diff < 0 THEN '하락' ELSE '동일' END AS state,
+        CAST(CASE WHEN diff > 0 THEN -1 WHEN diff < 0 THEN 1 ELSE 0 END AS INT) AS score,
+        count(*) AS n,
+        floor(avg(diff/p_retailprice*100)*100 + 0.5)/100 AS avg_pct
+      FROM j GROUP BY 1, 2"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+    q41, q42, q43, q44, q45)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

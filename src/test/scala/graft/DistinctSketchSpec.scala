@@ -55,6 +55,30 @@ class DistinctSketchSpec extends SparkSpec {
     assert(byGroup == Map(0 -> 15L, 1 -> 15L))
   }
 
+  test("hll_distinct works inside a streaming windowed aggregation") {
+    // the mergeable-partial contract is exactly what a streaming agg
+    // needs: state per (window, key) is one sketch, updated per batch
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.install(spark)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val q = stream.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(DistinctSketch.hll_distinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("ws"), col("n_users"))
+      .writeStream.format("memory").queryName("hll_stream").outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    stream.addData((ts("2024-01-01 00:01:00"), 1L), (ts("2024-01-01 00:02:00"), 2L))
+    q.processAllAvailable()
+    stream.addData((ts("2024-01-01 00:03:00"), 2L), (ts("2024-01-01 00:04:00"), 3L))
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits the window row; the LAST emission carries the
+    // full distinct count across both batches (2 then 3)
+    val emitted = spark.sql("SELECT n_users FROM hll_stream").collect().map(_.getLong(0))
+    assert(emitted.last == 3L, emitted.mkString(","))
+  }
+
   test("q41 plan: one aggregate pass, no Expand (unlike exact countDistinct)") {
     val p41 = graft.queries.QueryCatalog.queries("q41_distinct_sketch")(spark, sf())
       .queryExecution.executedPlan.toString
