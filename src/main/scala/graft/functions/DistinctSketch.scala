@@ -222,11 +222,11 @@ object DistinctSketch {
         case n: java.lang.Number
             if n.isInstanceOf[java.lang.Byte] || n.isInstanceOf[java.lang.Short] ||
               n.isInstanceOf[java.lang.Integer] || n.isInstanceOf[java.lang.Long] =>
-          val v = n.intValue()
-          if (v <= 0)
+          val v = n.longValue() // range-check BEFORE narrowing: intValue()
+          if (v <= 0 || v > Int.MaxValue) // would silently wrap 2^32+100 to 100
             throw new IllegalArgumentException(
-              s"$fn: argument ${i + 1} must be positive, got $v")
-          v
+              s"$fn: argument ${i + 1} must be a positive Int, got $v")
+          v.toInt
         case other =>
           throw new IllegalArgumentException(
             s"$fn: argument ${i + 1} must be a literal integer, got ${e.sql}" +

@@ -57,14 +57,14 @@ object Core {
     * the dim is too big to broadcast — the replication multiplies the
     * dim-side shuffle by `salt`.
     *
-    * The fact salt is a DETERMINISTIC function of the whole row
-    * (map-typed columns ride through to_json, since xxhash64 rejects
-    * MapType): a nondeterministic salt (rand, monotonic id) would be the
-    * SPARK-23207 hazard — a shuffle-map retry recomputes different salts
-    * while surviving reducers keep data fetched under the old assignment,
-    * silently losing or duplicating join rows. The residual: rows that
-    * are LITERAL duplicates share a salt, so a hot key consisting of
-    * millions of byte-identical rows still skews — dedup first (exact
+    * The fact salt is a DETERMINISTIC function of the row's non-map
+    * columns (an all-map frame falls back to its maps through to_json —
+    * xxhash64 rejects MapType): a nondeterministic salt (rand, monotonic
+    * id) would be the SPARK-23207 hazard — a shuffle-map retry recomputes
+    * different salts while surviving reducers keep data fetched under the
+    * old assignment, silently losing or duplicating join rows. The
+    * residual: rows identical in the hashed columns share a salt, so a
+    * hot key of millions of such rows still skews — dedup first (exact
     * duplicates carry no information for most joins) or pre-aggregate. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       salt: Int, joinType: String = "inner"): DataFrame = {
@@ -84,9 +84,12 @@ object Core {
       case a: ArrayType => hasMap(a.elementType)
       case _ => false
     }
-    val saltInputs = fact.schema.fields.map { f =>
-      if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
-    }
+    // hash the non-map columns when any exist (cheap, deterministic);
+    // only an all-map frame pays per-row to_json serialization
+    val (mapCols, plainCols) = fact.schema.fields.partition(f => hasMap(f.dataType))
+    val saltInputs =
+      if (plainCols.nonEmpty) plainCols.map(f => col(f.name))
+      else mapCols.map(f => to_json(col(f.name)))
     val saltCol = pmod(xxhash64(saltInputs.toIndexedSeq: _*), lit(salt.toLong))
     val sfact = fact.withColumn("__salt", saltCol)
     val sdim = dim.withColumn("__salt",

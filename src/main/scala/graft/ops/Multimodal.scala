@@ -134,7 +134,9 @@ object Multimodal {
       bandBits: Int = 16): DataFrame = {
     require(featureDim >= 1 && featureDim <= 64, s"featureDim must be in [1,64], got $featureDim")
     require(bandBits == 8 || bandBits == 16, s"bandBits must be 8 or 16, got $bandBits")
-    val bands = math.max(1, featureDim / bandBits)
+    // ceil: a trailing partial band still blocks on its (zero-padded)
+    // bits — floor division would silently exclude them from recall
+    val bands = (featureDim + bandBits - 1) / bandBits
     def banded(side: String) = hashed
       .select(col("doc_id").as(s"id_$side"),
         col("phash").as(s"ph_$side"), col("feature").as(s"f_$side"))
