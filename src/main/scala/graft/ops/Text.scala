@@ -200,6 +200,94 @@ object Text {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over an undirected edge list: returns
+    * (node, component) where `component` is the SMALLEST node id in the
+    * node's component — the canonical cluster id for dedup. Only nodes
+    * that appear in an edge are returned; callers union isolated nodes
+    * back in (see `dedupClusters`).
+    *
+    * Algorithm: min-label propagation (label := min of own and neighbor
+    * labels) plus one pointer-jumping step (label := label(label)) per
+    * round, so convergence is O(log diameter) rounds rather than
+    * O(diameter). Labels are monotonically non-increasing and always ids
+    * of component members, so the fixpoint is exactly the component min.
+    * Near-dup clusters have tiny diameters (most are cliques from a
+    * shared LSH bucket), so 2-3 rounds is typical.
+    *
+    * Scale notes: each round is two shuffles (edge join + jump join) over
+    * (node, label) pairs — never materializes anything larger than the
+    * edge list. `localCheckpoint` after every round cuts the iterative
+    * lineage (without it the plan doubles per round and the optimizer
+    * re-walks it); on a real cluster prefer `spark.sparkContext
+    * .setCheckpointDir` + `.checkpoint()` for fault-tolerant truncation.
+    * This is the standard MapReduce CC; Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SOCC'14) is the published
+    * large-star/small-star variant with the same O(log n) round bound. */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String = "doc_a",
+      dstCol: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = labels.isEmpty
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr_min"))
+        .withColumnRenamed("a", "node")
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      val jumped = stepped.as("x")
+        .join(
+          stepped.select(col("node").as("jn"), col("label").as("jl")).as("j"),
+          col("x.label") === col("j.jn"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("j.jl"), col("x.label")).as("label"))
+        .localCheckpoint(true)
+      val changed = jumped
+        .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev"))
+        .limit(1).count()
+      converged = changed == 0L
+      labels = jumped
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Cluster resolution for a dedup pipeline: candidate pairs (from
+    * `nearDupPairs` / `simHashPairs` / exact fingerprints) → one row per
+    * document with its cluster id (min doc id of the connected
+    * component; singletons cluster with themselves), the cluster size,
+    * and whether this document is the canonical keeper. Filtering on
+    * `is_keeper` yields the deduplicated corpus. */
+  def dedupClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val cc = connectedComponents(pairs)
+      .withColumnRenamed("node", idCol)
+    val labeled = docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(
+        col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("cluster_id")).as("is_keeper"))
+  }
+
   /** SimHash near-dup pairs: band the 64 bits into `bands` chunks, join on
     * any equal chunk (guarantees recall for hamming <= bands-1), verify by
     * exact hamming. */

@@ -473,31 +473,36 @@ object QueryCatalog {
         count(*) AS n_copies
       FROM documents GROUP BY 1"""))
 
+  /** Shared by q20 (pair list) and q46 (cluster resolution over the same
+    * pairs): prefix-blocked candidate pairs verified by exact Jaccard
+    * >= 0.5 over distinct token sets. Returns (doc_a, doc_b, jac). */
+  private def prefixJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      // deliberate full shuffle ONLY because the fixture is one parquet
+      // file (one input partition); on splittable production input the
+      // scan already parallelizes and this line should be dropped
+      .repartition(col("doc_id"))
+      .select(
+        col("doc_id"),
+        substring(col("text"), 1, 30).as("pfx"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    val jac = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+      size(array_union(col("a.toks"), col("b.toks")))
+    a.join(b, col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), jac.as("jac"))
+      .filter(col("jac") >= 0.5)
+  }
+
   /** n-gram Jaccard near-dup join, prefix-blocked: candidate pairs share a
     * 30-char prefix (the blocking key), then exact Jaccard over distinct
     * token sets filters at 0.5. Blocking keeps the self-join linear-ish;
     * the MinHash variant (q21) is the probabilistic-recall scale path. */
   private val q20 = Q(
     "q20_jaccard_neardup",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        // deliberate full shuffle ONLY because the fixture is one parquet
-        // file (one input partition); on splittable production input the
-        // scan already parallelizes and this line should be dropped
-        .repartition(col("doc_id"))
-        .select(
-          col("doc_id"),
-          substring(col("text"), 1, 30).as("pfx"),
-          array_distinct(split(col("text"), " ")).as("toks"))
-      val a = docs.as("a")
-      val b = docs.as("b")
-      val jac = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-        size(array_union(col("a.toks"), col("b.toks")))
-      a.join(b, col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), jac.as("jac"))
-        .filter(col("jac") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), r(col("jac"), 3).as("jaccard"))
-    },
+    (s, d) => prefixJaccardPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), r(col("jac"), 3).as("jaccard")),
     Some("""
       WITH d AS (
         SELECT doc_id, substr(text, 1, 30) AS pfx,
@@ -1546,6 +1551,41 @@ object QueryCatalog {
         floor(avg(diff/p_retailprice*100)*100 + 0.5)/100 AS avg_pct
       FROM j GROUP BY 1, 2"""))
 
+  /** Dedup CLUSTER RESOLUTION — the stage after candidate pairs that every
+    * real dedup pipeline needs: near-dup pairs (q20's prefix-blocked
+    * Jaccard edges) → connected components (min-label propagation +
+    * pointer jumping, `Text.connectedComponents`) → one row per document
+    * with canonical cluster id (component min), cluster size, and keeper
+    * flag. The DuckDB twin computes the SAME transitive closure with a
+    * recursive CTE, so a green row proves the distributed iterative
+    * algorithm reaches the exact fixpoint (including transitive chains
+    * a→b→c where a and c never pair directly). */
+  private val q46 = Q(
+    "q46_dedup_clusters",
+    (s, d) => graft.ops.Text.dedupClusters(
+      Tables.documents(s, d),
+      prefixJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))),
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, substr(text, 1, 30) AS pfx,
+          list_distinct(string_split(text, ' ')) AS toks
+        FROM documents),
+      e AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+      sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+      comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+      SELECT c.doc_id, c.cluster_id, s.cluster_size,
+        c.doc_id = c.cluster_id AS is_keeper
+      FROM comp c JOIN sizes s USING (cluster_id)"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -1553,7 +1593,7 @@ object QueryCatalog {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45)
+    q41, q42, q43, q44, q45, q46)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
