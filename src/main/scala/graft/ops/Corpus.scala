@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation operators a training-data pipeline needs beyond
+  * dedup/similarity (SURVEY §2.11): deterministic sampling and
+  * token-budget sequence packing. All pure column algebra — no UDFs, no
+  * RNG state, no driver-side loops — so every operator is reproducible
+  * across runs AND across engines (the QueryCatalog twins q47/q48 mirror
+  * them in DuckDB exactly).
+  */
+object Corpus {
+
+  /** Deterministic uniform in [0,1): top 60 bits of md5(key‖salt) scaled
+    * by 2^-60. Unlike `rand()`/`DataFrame.sample` this is a pure function
+    * of (key, salt): re-running selects the SAME rows (resumable
+    * backfills, reproducible ablations), changing the salt draws an
+    * independent sample, and the value is portable — DuckDB computes the
+    * identical double from the identical expression. md5 rather than
+    * xxhash64 only for that cross-engine property; both are uniform. */
+  def uniformHash(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("double") / lit((1L << 60).toDouble)
+
+  /** Stratified downsampling at per-stratum keep rates: keep a row iff
+    * uniformHash(key, salt) < rate(stratum). The common corpus-balancing
+    * move (downweight the dominant language/source) as one scan with a
+    * pushed-down-able filter — no shuffle, no per-stratum passes, exact
+    * per-row determinism under retries (a re-executed task keeps exactly
+    * the same rows, unlike fraction-based `sample`). */
+  def hashSample(
+      df: DataFrame,
+      keyCol: Column,
+      stratumCol: Column,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String = "graft"): DataFrame = {
+    require(defaultRate >= 0 && defaultRate <= 1, s"bad defaultRate $defaultRate")
+    rates.values.foreach(v => require(v >= 0 && v <= 1, s"bad rate $v"))
+    val rate = rates.foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(stratumCol === lit(k), lit(v)).otherwise(acc)
+    }
+    df.filter(uniformHash(keyCol, salt) < rate)
+  }
+
+  /** Token-budget sequence packing: assign each document to a training
+    * batch ("bin") such that bins hold consecutive (by id) documents of
+    * roughly `budget` total tokens — the concat-then-chunk packing used
+    * to build fixed-length LM training sequences. Bin = floor(offset /
+    * budget) where offset is the running token count before the doc, so
+    * each bin's total is < budget + the one straddling document.
+    *
+    * The running sum needs a total order, which at scale must not be a
+    * global sort: `nShards` deterministic shards (id mod nShards) each
+    * pack independently in parallel — one hash shuffle, window per
+    * shard, no single-partition bottleneck. Size nShards so a shard's
+    * docs fit one task comfortably (tokens are a long; overflow is not a
+    * concern below ~9e18 tokens per shard). Returns one row per doc:
+    * (idCol, shard, n_tok, bin). */
+  def packSequences(
+      docs: DataFrame,
+      tokCol: Column,
+      budget: Long,
+      nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), pmod(col(idCol), lit(nShards)).as("shard"), tokCol.as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / budget))
+      .drop("cum")
+  }
+}

@@ -1586,6 +1586,64 @@ object QueryCatalog {
         c.doc_id = c.cluster_id AS is_keeper
       FROM comp c JOIN sizes s USING (cluster_id)"""))
 
+  /** Deterministic stratified downsampling (Corpus.hashSample): keep 50%
+    * of the dominant language and 20% of the rest, selected by a pure
+    * hash of (doc_id, salt) — the corpus-balancing pass of a training
+    * pipeline. The twin recomputes the identical md5-derived uniform in
+    * DuckDB, so a green row proves bit-for-bit reproducible sampling
+    * (same rows on ANY engine/run — `sample()`/`rand()` cannot do this).
+    * One scan, no shuffle. */
+  private val q47 = Q(
+    "q47_hash_sample",
+    (s, d) => {
+      import graft.ops.Corpus
+      Corpus.hashSample(
+        Tables.documents(s, d), col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.5), defaultRate = 0.2, salt = "graft-r3")
+        .select(col("doc_id"), col("lang"), col("source"),
+          r(Corpus.uniformHash(col("doc_id"), "graft-r3"), 6).as("u"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, lang, source,
+          (('0x' || substr(md5(doc_id::VARCHAR || 'graft-r3'), 1, 15))::BIGINT)::DOUBLE
+            / 1152921504606846976 AS uh
+        FROM documents)
+      SELECT doc_id, lang, source, floor(uh*1000000 + 0.5)/1000000 AS u
+      FROM u
+      WHERE uh < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END"""))
+
+  /** Token-budget sequence packing (Corpus.packSequences): documents
+    * packed into ~2048-token training bins, independently per shard so
+    * no global sort exists at any scale. Checked as per-bin aggregates;
+    * the twin mirrors the running-sum bin algebra in DuckDB windows. */
+  private val q48 = Q(
+    "q48_pack_sequences",
+    (s, d) => {
+      val packed = graft.ops.Corpus.packSequences(
+        Tables.documents(s, d), graft.ops.Text.wsTokenCount(col("text")),
+        budget = 2048L, nShards = 4)
+      packed.groupBy(col("shard"), col("bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, doc_id % 4 AS shard,
+          len(string_split(text, ' ')) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT shard, CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin,
+        count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1, 2"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -1593,7 +1651,7 @@ object QueryCatalog {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46)
+    q41, q42, q43, q44, q45, q46, q47, q48)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
