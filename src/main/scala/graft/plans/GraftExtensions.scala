@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.frequentItemsDescriptor)
     e.injectFunction(GraftExtensions.hllDistinctDescriptor)
     GraftExtensions.thetaDescriptors.foreach(e.injectFunction)
+    GraftExtensions.vectorAggDescriptors.foreach(e.injectFunction)
   }
 }
 
@@ -65,6 +66,17 @@ object GraftExtensions {
         (es: Seq[Expression]) => T.buildSetEstimate(es, intersect = false)))
   }
 
+  private[plans] val vectorAggDescriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import graft.functions.{VectorAgg => V}
+    def info(n: String) = new ExpressionInfo(classOf[graft.functions.VecSumAvgAgg].getName, n)
+    Seq(
+      (FunctionIdentifier("vec_avg"), info("vec_avg"),
+        (es: Seq[Expression]) => V.build(es, isAvg = true)),
+      (FunctionIdentifier("vec_sum"), info("vec_sum"),
+        (es: Seq[Expression]) => V.build(es, isAvg = false)))
+  }
+
   /** Register everything on a live session (idempotent). */
   def install(spark: SparkSession): Unit = {
     RollingHash.register(spark)
@@ -72,5 +84,6 @@ object GraftExtensions {
     graft.functions.FrequentItems.register(spark)
     graft.functions.DistinctSketch.register(spark)
     graft.functions.ThetaSketch.register(spark)
+    graft.functions.VectorAgg.register(spark)
   }
 }

@@ -1644,6 +1644,33 @@ object QueryCatalog {
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY 1, 2"""))
 
+  /** Per-label embedding centroids via the native `vec_avg` mergeable
+    * aggregate (functions/VectorAgg): ONE pass over the corpus, O(dim)
+    * state per group, no posexplode (which would multiply the shuffle by
+    * the 64x dimension) and no driver collect. The twin averages
+    * element-indexed floats in DuckDB; first 4 components checked,
+    * rounded to 1e-6 (partial-aggregation sum order differs from
+    * DuckDB's sequential sum by ~1 ulp). */
+  private val q49 = Q(
+    "q49_embedding_centroids",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      val cols = (1 to 4).map(i =>
+        r(element_at(col("c"), i), 6).as(s"c$i"))
+      Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(graft.functions.VectorAgg.vec_avg(col("embedding")).as("c"),
+          count(lit(1)).as("n"))
+        .select(col("label") +: col("n") +: cols: _*)
+    },
+    Some("""
+      SELECT label, count(*) AS n,
+        floor(avg(embedding[1])*1000000 + 0.5)/1000000 AS c1,
+        floor(avg(embedding[2])*1000000 + 0.5)/1000000 AS c2,
+        floor(avg(embedding[3])*1000000 + 0.5)/1000000 AS c3,
+        floor(avg(embedding[4])*1000000 + 0.5)/1000000 AS c4
+      FROM embeddings GROUP BY 1"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -1651,7 +1678,7 @@ object QueryCatalog {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

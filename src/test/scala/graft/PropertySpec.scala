@@ -115,6 +115,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("vec_sum/vec_avg: any partitioning equals the single pass (exact on integer vectors)") {
+    graft.plans.GraftExtensions.install(spark)
+    // integer-valued components: double addition over them is EXACT in any
+    // order, so the 32-way partitioned merge must equal the naive fold
+    // bit-for-bit (real-valued inputs only agree to ~ulp; integers pin the
+    // merge path itself)
+    val vecs = sample(Gen.listOfN(8, Gen.chooseNum(-1000, 1000)), 600)
+      .map(_.map(_.toDouble).toArray)
+    val df = vecs.map(Tuple1(_)).toDF("v").repartition(32)
+    val row = df.agg(
+      graft.functions.VectorAgg.vec_sum(col("v")).as("s"),
+      graft.functions.VectorAgg.vec_avg(col("v")).as("a")).collect().head
+    val expS = (0 until 8).map(i => vecs.map(_(i)).sum)
+    assert(row.getSeq[Double](0) == expS)
+    assert(row.getSeq[Double](1) == expS.map(_ / vecs.size))
+  }
+
   test("Misra-Gries guarantee: items over N/capacity survive distributed merges") {
     graft.plans.GraftExtensions.install(spark)
     // noise tail + one genuinely heavy item: N = 4500, capacity 64 ⇒
