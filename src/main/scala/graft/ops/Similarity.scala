@@ -79,9 +79,21 @@ object Similarity {
     * O(corpus). Centroid training is spark.ml KMeans with a fixed seed
     * over a `trainFraction` sample of the corpus — never the full corpus
     * (at 100 TB the sample is the only extra pass a fit may cost); the
-    * fitted centroids are then applied map-side as broadcast literals. */
+    * fitted centroids are then applied map-side as broadcast literals.
+    *
+    * Cell balancing (`maxCellSize` > 0): k-means cells are rarely even —
+    * a clustered corpus can put most vectors in a few cells, which makes
+    * those cells hot keys in the probe join (one straggler task per fat
+    * cell). Oversized cells are split into `ceil(size/maxCellSize)`
+    * deterministic sub-cells (hash of the vector id) and queries probe
+    * every sub-cell of a probed cell, so the RESULT IS IDENTICAL (no
+    * recall change — pure partitioning) but no join key exceeds
+    * ~maxCellSize rows. The per-cell size table is O(nCells) and is
+    * broadcast, never collected to the driver. Same skew-capping move as
+    * `Text.bucketPairs`/`Core.saltedJoin`, specialized to the IVF join. */
   def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, trainFraction: Double = 0.25): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, trainFraction: Double = 0.25,
+      maxCellSize: Int = 0): DataFrame = {
     graft.plans.GraftExtensions.install(corpus.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -114,14 +126,30 @@ object Similarity {
           lit(2.0) * fastDot(v, centerCol(c))
         struct(d.as("dist"), lit(i).as("cell"))
       }: _*))
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val c0 = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .withColumn("cell", element_at(cellRanks(col("v")), 1).getField("cell"))
-    val q = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
+    val q0 = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
       .withColumn("qn", l2norm(col("qv")))
       .withColumn("cell", explode(transform(
         slice(cellRanks(col("qv")), 1, nProbe), s => s.getField("cell"))))
-    val scored = q.join(c, Seq("cell"))
+    val (c, q, joinKeys) =
+      if (maxCellSize <= 0) (c0, q0, Seq("cell"))
+      else {
+        // O(nCells) size table, broadcast both ways; sub-cell = hash of
+        // the id mod the per-cell split count, so re-executed tasks place
+        // rows identically (retry-safe, unlike a rand() salt)
+        val sizes = c0.groupBy(col("cell"))
+          .agg(ceil(count(lit(1)).cast("double") / maxCellSize).cast("int").as("n_sub"))
+        val cS = c0.join(broadcast(sizes), Seq("cell"))
+          .withColumn("sub", pmod(xxhash64(col("vec_id")), col("n_sub").cast("long")).cast("int"))
+          .drop("n_sub")
+        val qS = q0.join(broadcast(sizes), Seq("cell"))
+          .withColumn("sub", explode(sequence(lit(0), col("n_sub") - 1)))
+          .drop("n_sub")
+        (cS, qS, Seq("cell", "sub"))
+      }
+    val scored = q.join(c, joinKeys)
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", fastDot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .select(col("q_id"), col("vec_id"), col("sim"))

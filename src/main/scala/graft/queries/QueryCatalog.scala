@@ -1671,6 +1671,42 @@ object QueryCatalog {
         floor(avg(embedding[4])*1000000 + 0.5)/1000000 AS c4
       FROM embeddings GROUP BY 1"""))
 
+  /** Corpus profiling: exact length/token percentiles per language — the
+    * distribution pass a curation pipeline runs before choosing filter
+    * thresholds. Spark's `percentile` and DuckDB's `quantile_cont` share
+    * the linear-interpolation definition over sorted order statistics
+    * (no summation-order sensitivity), checked to 1e-6. One shuffle.
+    * At 100 TB swap `percentile` for `percentile_approx` (mergeable
+    * KLL-style sketch, no per-group sort buffer) — same query shape. */
+  private val q50 = Q(
+    "q50_profile_percentiles",
+    (s, d) => {
+      val toks = graft.ops.Text.wsTokenCount(col("text"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"), toks.as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          r(percentile(col("n_chars"), lit(0.5)), 6).as("chars_p50"),
+          r(percentile(col("n_chars"), lit(0.9)), 6).as("chars_p90"),
+          r(percentile(col("n_chars"), lit(0.99)), 6).as("chars_p99"),
+          r(percentile(col("n_tok"), lit(0.5)), 6).as("tok_p50"),
+          r(percentile(col("n_tok"), lit(0.9)), 6).as("tok_p90"),
+          r2(avg(col("n_tok"))).as("tok_mean"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT lang, n_chars, len(string_split(text, ' ')) AS n_tok
+        FROM documents)
+      SELECT lang, count(*) AS n,
+        floor(quantile_cont(n_chars, 0.5)*1000000 + 0.5)/1000000 AS chars_p50,
+        floor(quantile_cont(n_chars, 0.9)*1000000 + 0.5)/1000000 AS chars_p90,
+        floor(quantile_cont(n_chars, 0.99)*1000000 + 0.5)/1000000 AS chars_p99,
+        floor(quantile_cont(n_tok, 0.5)*1000000 + 0.5)/1000000 AS tok_p50,
+        floor(quantile_cont(n_tok, 0.9)*1000000 + 0.5)/1000000 AS tok_p90,
+        floor(avg(n_tok)*100 + 0.5)/100 AS tok_mean
+      FROM t GROUP BY 1"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -1678,7 +1714,7 @@ object QueryCatalog {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -125,6 +125,18 @@ class TextSimilaritySpec extends SparkSpec {
     assert(full == bf, s"full-probe IVF != brute force: ${(bf diff full).size} missing")
   }
 
+  test("IVF cell balancing changes no result, only the join partitioning") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val queries = emb.filter($"vec_id" < 10)
+    def run(cap: Int) = Similarity
+      .ivfCosineTopK(emb, queries, 5, nCells = 4, nProbe = 2, maxCellSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = run(0)
+    // nCells=4 over ~500 vectors -> ~125/cell; cap 20 forces ~7-way splits
+    val balanced = run(20)
+    assert(balanced == plain, "sub-cell split must be result-invariant")
+  }
+
   test("probeBuckets: flips are exact single bits at high plane indices") {
     graft.plans.GraftExtensions.install(spark)
     // 64 planes puts plane indices up to 63 in play — the old
