@@ -21,9 +21,12 @@ import org.apache.spark.sql.types._
   *    the sketch against true `count(DISTINCT ...)` whenever
   *    sparseLimit > true cardinality, the same capacity>vocab trick q36
   *    uses for Misra-Gries.
-  *  - DENSE: `m = 2^precision` max-rank registers with the standard
-  *    bias-corrected estimate and linear-counting small-range correction;
-  *    64-bit hashes need no large-range correction.
+  *  - DENSE: `m = 2^precision` max-rank registers, estimated with Ertl's
+  *    table-free improved estimator (arXiv:1702.01284 §4) — unbiased over
+  *    the full cardinality range with no empirical bias tables and no
+  *    hard linear-counting/raw switch (so none of classic HLL's bias
+  *    spike in the 2.5m–5m transition band); 64-bit hashes need no
+  *    large-range correction.
   *
   * Merging never loses information: sparse∪sparse (spilling to dense on
   * overflow), sparse folded into dense, dense register-max dense.
@@ -114,30 +117,64 @@ final class HllBuffer(val precision: Int, val sparseLimit: Int) {
       }
     }
 
-  /** Exact size in sparse phase; bias-corrected HLL estimate in dense. */
+  /** Exact size in sparse phase; Ertl's improved estimator in dense
+    * (arXiv:1702.01284 §4): a smooth maximum-likelihood-motivated form
+    * over the register histogram that needs neither HLL++'s empirical
+    * bias tables nor the classic raw/linear-counting switch, and is
+    * unbiased across the whole range — including the 2.5m–5m band where
+    * classic HLL carries a bias spike. */
   def estimate(): Long =
     if (isSparse) sparse.size.toLong
     else {
-      val alpha = m match {
-        case 16 => 0.673
-        case 32 => 0.697
-        case 64 => 0.709
-        case _ => 0.7213 / (1.0 + 1.079 / m)
-      }
-      var invSum = 0.0
-      var zeros = 0
+      val q = 64 - precision // max register value is q + 1
+      val c = new Array[Int](q + 2)
       var i = 0
-      while (i < m) {
-        invSum += java.lang.Math.scalb(1.0, -registers(i))
-        if (registers(i) == 0) zeros += 1
-        i += 1
-      }
-      val raw = alpha * m * m / invSum
-      val est =
-        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
-        else raw
-      math.round(est)
+      while (i < m) { c(registers(i).toInt) += 1; i += 1 }
+      var z = m * HllBuffer.tau(1.0 - c(q + 1).toDouble / m)
+      var k = q
+      while (k >= 1) { z = 0.5 * (z + c(k)); k -= 1 }
+      z += m * HllBuffer.sigma(c(0).toDouble / m)
+      // alpha_inf = 1 / (2 ln 2)
+      math.round(m.toDouble * m / (2.0 * math.log(2.0) * z))
     }
+}
+
+object HllBuffer {
+  /** sigma(x) = x + sum_{k>=1} x^(2^k) * 2^(k-1), Ertl Alg. 5 — the
+    * expected contribution of zero-valued registers. Diverges at x=1
+    * (empty sketch => estimate 0 via m^2/inf). */
+  private[graft] def sigma(x0: Double): Double = {
+    if (x0 == 1.0) return Double.PositiveInfinity
+    var x = x0
+    var y = 1.0
+    var z = x
+    var zPrev = -1.0
+    while (z != zPrev) {
+      x = x * x
+      zPrev = z
+      z += x * y
+      y += y
+    }
+    z
+  }
+
+  /** tau(x) = 1/3 (1 - x - sum_{k>=1} (1 - x^(2^-k))^2 2^-k), Ertl
+    * Alg. 6 — the expected contribution of saturated registers. */
+  private[graft] def tau(x0: Double): Double = {
+    if (x0 == 0.0 || x0 == 1.0) return 0.0
+    var x = x0
+    var y = 1.0
+    var z = 1.0 - x
+    var zPrev = -1.0
+    while (z != zPrev) {
+      x = math.sqrt(x)
+      zPrev = z
+      y = 0.5 * y
+      val omx = 1.0 - x
+      z -= omx * omx * y
+    }
+    z / 3.0
+  }
 }
 
 case class HllDistinctAgg(

@@ -1403,12 +1403,28 @@ object QueryCatalog {
     "q41_distinct_sketch",
     (s, d) => {
       graft.plans.GraftExtensions.install(s)
+      // The hash-match is only sound while every group stays in the
+      // sketch's exact sparse regime. n_rows >= n_distinct per group, so
+      // n_rows <= sparseLimit proves it; the guard is woven into the
+      // emitted n_orders column (so pruning can't drop it) and raises
+      // loudly if a larger verify SF ever crosses the regime instead of
+      // silently flipping to estimation and hash-mismatching.
+      val sparseLimit = 1 << 21
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          graft.functions.DistinctSketch.hll_distinct(col("l_orderkey"), 14, 1 << 21).as("n_orders"),
-          graft.functions.DistinctSketch.hll_distinct(col("l_partkey"), 14, 1 << 21).as("n_parts"),
+          graft.functions.DistinctSketch.hll_distinct(col("l_orderkey"), 14, sparseLimit).as("n_orders"),
+          graft.functions.DistinctSketch.hll_distinct(col("l_partkey"), 14, sparseLimit).as("n_parts"),
           count(lit(1)).as("n_rows"))
+        .select(
+          col("l_returnflag"),
+          when(col("n_rows") <= lit(sparseLimit.toLong), col("n_orders"))
+            .otherwise(raise_error(concat(
+              lit("q41 outside exact sparse regime (n_rows="),
+              col("n_rows").cast("string"),
+              lit(s" > sparseLimit=$sparseLimit): raise sparseLimit or lower the verify SF"))))
+            .as("n_orders"),
+          col("n_parts"), col("n_rows"))
     },
     Some("""
       SELECT l_returnflag,

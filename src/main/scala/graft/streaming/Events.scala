@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -224,17 +224,46 @@ object Events {
     * replay job runs over landed bronze, DuckDB-mirrorable so the
     * sessionization SEMANTICS sit under the oracle (q43), not only under
     * MemoryStream specs. One shuffle on user_id; the two window passes
-    * and the aggregate share it. `tieBreak` must make (ts, tieBreak)
-    * unique per user for deterministic session ids. */
+    * and the aggregate share it.
+    *
+    * Contract: `tieBreak` must make (user_id, ts, tieBreak) unique for
+    * deterministic session ids (a non-unique tie-break leaves the row
+    * order — and so the lag/gap flags — up to the shuffle). The column
+    * set is validated up front with a clear error; pass `strict = true`
+    * to also enforce uniqueness at runtime — a duplicate-counting window
+    * over (user_id, ts, tieBreak) that shares the existing user_id
+    * shuffle AND its (ts, tieBreak) sort, so the check adds no exchange,
+    * and raises on the first duplicate. */
   def sessionizeBatch(
-      events: DataFrame, gapMs: Long = 60000, tieBreak: String = "event_id"): DataFrame = {
+      events: DataFrame, gapMs: Long = 60000, tieBreak: String = "event_id",
+      strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val cols = events.columns.toSet
+    Seq("user_id", "ts", "value", tieBreak).foreach { c =>
+      require(cols.contains(c),
+        s"sessionizeBatch: required column '$c' not in input " +
+          s"[${events.columns.mkString(", ")}]" +
+          (if (c == tieBreak)
+             " — pass tieBreak= a column that makes (user_id, ts, tieBreak) unique"
+           else ""))
+    }
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col(tieBreak))
+    // Woven into __new (which session_id consumes) so column pruning
+    // cannot drop the check.
+    val guard: Column => Column =
+      if (strict) {
+        val dups = count(lit(1))
+          .over(Window.partitionBy(col("user_id"), col("ts"), col(tieBreak)))
+        c => when(dups > 1L, raise_error(concat(
+          lit(s"sessionizeBatch strict: duplicate (user_id, ts, $tieBreak) at user_id="),
+          col("user_id").cast("string"), lit(" ts="), col("ts").cast("string"))))
+          .otherwise(c)
+      } else identity
     events
       .withColumn("__pts", lag(col("ts"), 1).over(w))
-      .withColumn("__new", when(col("__pts").isNull ||
+      .withColumn("__new", guard(when(col("__pts").isNull ||
         unix_micros(col("ts")) - unix_micros(col("__pts")) > gapMs * 1000L, 1L)
-        .otherwise(0L))
+        .otherwise(0L)))
       .withColumn("session_id",
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_id"))

@@ -28,6 +28,26 @@ class DistinctSketchSpec extends SparkSpec {
     assert(math.abs(got - n).toDouble / n < 0.03, s"estimate $got vs $n")
   }
 
+  test("dense estimate unbiased in the classic HLL transition band (2.5m-5m)") {
+    DistinctSketch.register(spark)
+    // p=14 => m=16384; classic HLL's raw/linear-counting switch carries a
+    // bias spike for true cardinality in [2.5m, 5m] = [40960, 81920].
+    // Ertl's estimator has no switch; assert tight accuracy mid-band.
+    val n = 60000
+    val df = (1 to n).toDF("v").repartition(8)
+    val got = df.agg(DistinctSketch.hll_distinct(col("v"), 14, 64)).head().getLong(0)
+    assert(math.abs(got - n).toDouble / n < 0.02, s"transition-band estimate $got vs $n")
+  }
+
+  test("sigma/tau helpers: boundary values") {
+    assert(HllBuffer.sigma(0.0) == 0.0)
+    assert(HllBuffer.sigma(1.0).isPosInfinity) // empty sketch => estimate 0
+    assert(HllBuffer.tau(0.0) == 0.0 && HllBuffer.tau(1.0) == 0.0)
+    // tau is positive and small on (0,1)
+    val t = HllBuffer.tau(0.5)
+    assert(t > 0.0 && t < 0.2, s"tau(0.5)=$t")
+  }
+
   test("buffer spills sparse to dense at the limit; merge never loses info") {
     val a = new HllBuffer(12, 10)
     (1 to 10).foreach(i => a.add(i.toLong * 0x9E3779B97F4A7C15L))

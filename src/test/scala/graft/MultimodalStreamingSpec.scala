@@ -384,6 +384,31 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(batch.size == 2)
   }
 
+  test("sessionizeBatch validates the tie-break column up front; strict mode enforces uniqueness") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, "e1"),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:30"), 2.0, "e2"))
+      .toDF("user_id", "ts", "value", "event_id")
+    // missing tie-break column: clear eager error, not a late unresolved-column failure
+    val err = intercept[IllegalArgumentException] {
+      Events.sessionizeBatch(df, gapMs = 60000, tieBreak = "no_such_col")
+    }
+    assert(err.getMessage.contains("no_such_col") && err.getMessage.contains("tieBreak"))
+    // strict passes on unique (user_id, ts, tieBreak)
+    assert(Events.sessionizeBatch(df, gapMs = 60000, strict = true).count() == 1L)
+    // strict raises on a duplicate tie-break row
+    val dup = df.union(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 9.0, "e1"))
+      .toDF("user_id", "ts", "value", "event_id"))
+    val ex = intercept[Exception] {
+      Events.sessionizeBatch(dup, gapMs = 60000, strict = true).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("duplicate (user_id, ts, event_id)")), msgs(ex).mkString("; "))
+  }
+
   test("sessionize: custom state keeps sessions open until timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Events.Ev]
