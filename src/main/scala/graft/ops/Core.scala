@@ -97,6 +97,63 @@ object Core {
     sfact.join(sdim, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Range (interval) join: each fact row matches every interval row with
+    * `start <= point < end` (end-exclusive). Spark plans a bare inequality
+    * join as BroadcastNestedLoopJoin — O(|facts|·|intervals|) work and a
+    * collect-the-whole-side broadcast hazard; at 100 TB that is the plan
+    * that never finishes. Scale path (the standard bucketed-equijoin
+    * rewrite): map both sides onto fixed-width buckets — an interval
+    * explodes to every bucket it overlaps, a point lands in exactly ONE
+    * bucket — equi-join on the bucket (shuffle/broadcast HASH join,
+    * partition-parallel, AQE-eligible), then keep the exact range
+    * predicate as a residual filter. No duplicates by construction
+    * (single bucket per point) and no dedup pass needed.
+    *
+    * `pointCol`/`startCol`/`endCol` must be integral (epoch days/seconds/
+    * micros — cast dates via `datediff`/`unix_date` first). Pick
+    * `bucketWidth` near the TYPICAL interval length: replication factor is
+    * ~len/width + 1 per interval, probe fan-out is intervals-per-bucket.
+    * A pathological interval spanning more than `maxBucketsPerInterval`
+    * buckets raises rather than silently exploding the build side.
+    * Empty intervals (end <= start) match nothing and are dropped before
+    * the explode (also dodges descending-`sequence` emission). Bucket ids
+    * use exact floor division (subtract-pmod, no float rounding at bucket
+    * boundaries) — exact while |point|/bucketWidth <= 2^53. */
+  def rangeJoin(
+      facts: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = 4096L): DataFrame = {
+    require(bucketWidth > 0, "rangeJoin: bucketWidth must be positive")
+    val shared = facts.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"rangeJoin requires disjoint column names; shared: ${shared.mkString(", ")}")
+    require(!facts.columns.contains("__rj_bucket") && !intervals.columns.contains("__rj_bucket"),
+      "rangeJoin reserves the __rj_bucket column name")
+    def bucket(c: Column): Column = {
+      val v = c.cast("long")
+      ((v - pmod(v, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+    }
+    val fb = facts.withColumn("__rj_bucket", bucket(col(pointCol)))
+    val firstB = bucket(col(startCol))
+    val lastB = bucket(col(endCol).cast("long") - 1) // end-exclusive
+    val nb = lastB - firstB + 1
+    val ib = intervals
+      .where(col(endCol).cast("long") > col(startCol).cast("long"))
+      .withColumn("__rj_bucket", explode(
+        when(nb <= lit(maxBucketsPerInterval), sequence(firstB, lastB))
+          .otherwise(raise_error(concat(
+            lit(s"rangeJoin: interval spans "), nb.cast("string"),
+            lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval — widen bucketWidth"))))))
+    fb.join(ib,
+      fb("__rj_bucket") === ib("__rj_bucket") &&
+        col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__rj_bucket")
+  }
+
   /** As-of join: for every left row, attach the single most recent right
     * row with the same key and `rightOrder <= leftOrder` (LEFT semantics —
     * left rows with no prior right row keep nulls).

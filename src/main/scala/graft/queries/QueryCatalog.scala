@@ -1723,6 +1723,49 @@ object QueryCatalog {
         floor(avg(n_tok)*100 + 0.5)/100 AS tok_mean
       FROM t GROUP BY 1"""))
 
+  /** Range (interval) join under the oracle — `Core.rangeJoin`'s bucketed
+    * equi-join rewrite vs DuckDB's direct inequality join. Intervals are
+    * 25 deterministic per-nation 45-day "promo windows" derived from the
+    * same tables in both engines (min order day + nationkey*97), NOT
+    * aligned to the 30-day bucket width, so every interval spans 2–3
+    * buckets and the residual filter does real work at both edges. The
+    * Spark plan is a hash equi-join on the bucket key (broadcast-eligible
+    * exploded-interval side) — never BroadcastNestedLoopJoin. */
+  private val q51 = Q(
+    "q51_range_join",
+    (s, d) => {
+      val day0 = Tables.orders(s, d)
+        .agg(min(datediff(col("o_orderdate"), lit("1970-01-01"))).cast("long").as("d0"))
+      val iv = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))
+        .crossJoin(broadcast(day0)) // 1-row scalar, same pattern as Trends anchors
+        .select(
+          col("n_nationkey"), col("n_name"),
+          (col("d0") + col("n_nationkey") * 97).as("w_start"),
+          (col("d0") + col("n_nationkey") * 97 + 45).as("w_end"))
+      val facts = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_totalprice"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("o_day"))
+      Core.rangeJoin(facts, iv, "o_day", "w_start", "w_end", bucketWidth = 30L)
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("sum_price"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT min(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)) AS d0
+        FROM orders),
+      iv AS (
+        SELECT n_nationkey, n_name,
+          d0 + n_nationkey*97 AS w_start, d0 + n_nationkey*97 + 45 AS w_end
+        FROM nation, b)
+      SELECT iv.n_nationkey, iv.n_name,
+        count(*) AS n_orders,
+        floor(sum(o.o_totalprice)*100 + 0.5)/100 AS sum_price
+      FROM orders o JOIN iv
+        ON date_diff('day', TIMESTAMP '1970-01-01', o.o_orderdate) >= iv.w_start
+       AND date_diff('day', TIMESTAMP '1970-01-01', o.o_orderdate) < iv.w_end
+      GROUP BY 1, 2"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -1730,7 +1773,8 @@ object QueryCatalog {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q51)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

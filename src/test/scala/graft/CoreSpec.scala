@@ -88,4 +88,47 @@ class CoreSpec extends SparkSpec {
       Core.saltedJoin(fact, dim, Seq("key"), salt = 8, "right")
     }
   }
+
+  test("rangeJoin equals the naive inequality join on deterministic pseudo-random data") {
+    // deterministic LCG (no Math.random in specs keeps reruns stable)
+    var seed = 0x5DEECE66DL
+    def next(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33) % n).toInt }
+    val points = (1 to 500).map(i => (i.toLong, next(1000).toLong - 200L)).toDF("fact_id", "p")
+    val ivs = (1 to 60).map { i =>
+      val s = next(1000).toLong - 250L
+      (i.toLong, s, s + next(90).toLong) // widths 0..89, some empty
+    }.toDF("iv_id", "s", "e")
+    val naive = points.join(ivs, col("p") >= col("s") && col("p") < col("e"))
+      .select("fact_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (w <- Seq(7L, 30L, 128L)) {
+      val got = Core.rangeJoin(points, ivs, "p", "s", "e", bucketWidth = w)
+        .select("fact_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == naive, s"bucketWidth=$w: ${got.size} vs ${naive.size} pairs")
+    }
+  }
+
+  test("rangeJoin plans a hash equi-join, never BroadcastNestedLoopJoin") {
+    val points = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("fact_id", "p")
+    val ivs = Seq((1L, 5L, 40L), (2L, 30L, 31L)).toDF("iv_id", "s", "e")
+    val joined = Core.rangeJoin(points, ivs, "p", "s", "e", bucketWidth = 10L)
+    joined.collect() // materialize so AQE finalizes the physical plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin"), plan)
+  }
+
+  test("rangeJoin guards: runaway interval raises; shared names rejected") {
+    val points = Seq((1L, 5L)).toDF("fact_id", "p")
+    val wide = Seq((1L, 0L, 1000000L)).toDF("iv_id", "s", "e")
+    val ex = intercept[Exception] {
+      Core.rangeJoin(points, wide, "p", "s", "e", bucketWidth = 10L, maxBucketsPerInterval = 64L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxBucketsPerInterval")), msgs(ex).mkString("; "))
+    intercept[IllegalArgumentException] {
+      Core.rangeJoin(points, Seq((1L, 0L, 9L)).toDF("p", "s", "e"), "p", "s", "e", 10L)
+    }
+  }
 }
