@@ -183,6 +183,54 @@ object Text {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
 
+  /** PII redaction patterns — written to the Java∩RE2 common subset (no
+    * backrefs, no lookaround, explicit char classes) so the exact same
+    * strings drive Spark's codegen'd regexp_replace and the DuckDB oracle
+    * twin (q52). URL is replaced FIRST (URLs may embed '@' and digit runs
+    * that would otherwise half-match as email/phone), then email, then
+    * phone. */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9\\- ]{6,}[0-9]"
+
+  /** Scrub emails/URLs/phone numbers to typed placeholder tags. Pure
+    * per-row codegen'd string work — no shuffle, scales linearly, and the
+    * placeholder tags keep token positions stable for downstream counting. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Gopher-style repetition signal: fraction of word n-grams that are
+    * duplicates of an earlier n-gram in the same document
+    * (1 - distinct/total; 0.0 for docs too short to have any). Boilerplate
+    * and degenerate generations score high. Pure per-row array work — the
+    * single `shingles` HOF is used once, so CollapseProject cannot
+    * re-evaluate it (the q21 inlining trap needs nested lambdas). */
+  def dupNgramFraction(text: Column, n: Int = 3): Column = {
+    val sh = shingles(tokens(text), n)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+      .otherwise(lit(0.0))
+  }
+
+  /** Gopher-style top-token concentration: per doc, the fraction of tokens
+    * taken by the single most frequent token (plus the total). Exploded
+    * two-level aggregate — both groupBys hash-partition by doc_id, so the
+    * second reuses the first's clustering; skew follows document length,
+    * which the explode already spreads across partitions. */
+  def topTokenStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        (max(col("c")).cast("double") / sum(col("c"))).as("top_tok_frac"),
+        sum(col("c")).as("n_toks"))
+
   /** 64-bit SimHash per document (token-level, xxhash64 bit votes). */
   def simHash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs

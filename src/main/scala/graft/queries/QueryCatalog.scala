@@ -1766,6 +1766,86 @@ object QueryCatalog {
        AND date_diff('day', TIMESTAMP '1970-01-01', o.o_orderdate) < iv.w_end
       GROUP BY 1, 2"""))
 
+  /** PII redaction under the oracle: the corpus is PII-free, so both
+    * engines synthesize the SAME contact string from (doc_id, n_chars) and
+    * redact it — URL, then email, then phone — with the Java∩RE2 patterns
+    * shared verbatim from `Text` (the q26 BPE-pattern trick). Pure
+    * map-side codegen'd string work; zero shuffles at any scale. */
+  private val q52 = Q(
+    "q52_redact_pii",
+    (s, d) => {
+      val contact = concat(
+        lit("doc "), col("doc_id").cast("string"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +82-10-"), col("doc_id").cast("string"),
+        lit("-"), col("n_chars").cast("string"),
+        lit(" see https://ex.invalid/d/"), col("doc_id").cast("string"),
+        lit(" end"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.ops.Text.redactPii(contact).as("redacted"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          'doc ' || doc_id || ' contact user' || doc_id ||
+          '@example.com or +82-10-' || doc_id || '-' || n_chars ||
+          ' see https://ex.invalid/d/' || doc_id || ' end' AS contact
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(contact,
+          '${graft.ops.Text.UrlPattern}', '<URL>', 'g'),
+          '${graft.ops.Text.EmailPattern}', '<EMAIL>', 'g'),
+          '${graft.ops.Text.PhonePattern}', '<PHONE>', 'g') AS redacted
+      FROM t"""))
+
+  /** Gopher-style repetition quality filters under the oracle: duplicate
+    * word-3-gram fraction (per-row array work, NO shuffle) + top-token
+    * concentration (exploded two-level aggregate, both keyed on doc_id so
+    * the second groupBy and the final join reuse one clustering). The
+    * keep-flag thresholds are applied to bit-exact single-division
+    * doubles, so the boolean is engine-stable. */
+  private val q53 = Q(
+    "q53_repetition",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dup = docs.select(
+        col("doc_id"),
+        graft.ops.Text.dupNgramFraction(col("text"), 3).as("dup_frac"))
+      dup.join(graft.ops.Text.topTokenStats(docs), "doc_id")
+        .select(
+          col("doc_id"),
+          r(col("dup_frac"), 6).as("dup_ngram_frac"),
+          r(col("top_tok_frac"), 6).as("top_tok_frac"),
+          col("n_toks"),
+          (col("dup_frac") <= 0.05 && col("top_tok_frac") <= 0.125).as("gopher_ok"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id,
+          list_transform(generate_series(1, len(toks) - 2),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS grams
+        FROM t),
+      d AS (
+        SELECT doc_id,
+          CASE WHEN len(grams) > 0
+            THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+            ELSE 0.0 END AS dup_frac
+        FROM g),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      top AS (
+        SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_tok_frac,
+          CAST(sum(c) AS BIGINT) AS n_toks
+        FROM cnt GROUP BY 1)
+      SELECT d.doc_id,
+        floor(dup_frac*1000000 + 0.5)/1000000 AS dup_ngram_frac,
+        floor(top_tok_frac*1000000 + 0.5)/1000000 AS top_tok_frac,
+        n_toks,
+        (dup_frac <= 0.05 AND top_tok_frac <= 0.125) AS gopher_ok
+      FROM d JOIN top USING (doc_id)"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -1774,7 +1854,7 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51)
+    q51, q52, q53)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -80,4 +80,41 @@ class CorpusSpec extends SparkSpec {
       assert(bins.zip(bins.drop(1)).forall { case (a, b) => a <= b })
     }
   }
+
+  test("redactPii: URL-before-email-before-phone ordering, idempotent on clean text") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("mail me at a.b+c@ex-ample.org now", "mail me at <EMAIL> now"),
+      // URL embedding '@' and a digit run must be consumed as ONE <URL>
+      ("go http://u:p@host.com/a?x=12345-67890 ok", "go <URL> ok"),
+      ("call +82 10-1234 5678 done", "call <PHONE> done"),
+      ("clean text with no pii at all", "clean text with no pii at all"))
+      .toDF("t", "expect")
+    val got = rows.select(
+      graft.ops.Text.redactPii(col("t")).as("got"), col("expect")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    // idempotence: redacting redacted output changes nothing
+    val twice = rows.select(
+      graft.ops.Text.redactPii(graft.ops.Text.redactPii(col("t"))).as("got2"),
+      graft.ops.Text.redactPii(col("t")).as("got1")).collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("dupNgramFraction and topTokenStats on known documents") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),   // 7 trigrams, 3 distinct -> 4/7 dup
+      (2L, "one two"),             // too short for trigrams -> 0.0
+      (3L, "w x y z w")            // 3 distinct trigrams -> 0.0
+    ).toDF("doc_id", "text")
+    val dup = docs.select(col("doc_id"),
+      graft.ops.Text.dupNgramFraction(col("text"), 3).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(dup(1L) - 4.0 / 7) < 1e-12 && dup(2L) == 0.0 && dup(3L) == 0.0)
+    val top = graft.ops.Text.topTokenStats(docs)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(top(1L) == ((3.0 / 9, 9L))) // 'a' (or b/c) 3 of 9
+    assert(top(2L) == ((0.5, 2L)))
+    assert(top(3L) == ((0.4, 5L)))     // 'w' 2 of 5
+  }
 }
