@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** North-star text / dedup operators (SURVEY.md §2.11) — the production
@@ -109,6 +110,30 @@ object Text {
         xxhash64(b, array_join(transform(
           slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast("string")), "|")).as("band_hash")))
+
+  /** Incremental (snapshot-over-snapshot) exact dedup: the re-crawl
+    * pattern — keep each incoming doc only if (a) it is the min-id
+    * representative of its content within the incoming batch and (b) the
+    * content is not already in the prior corpus. Both steps key on a
+    * 64-bit content fingerprint: one shuffle for the window, one
+    * fingerprint-keyed anti-join (collision odds ~n²/2⁶⁵ — at 10¹¹ docs
+    * still ~0.3%-of-one-spurious-drop territory; widen to a 128-bit md5
+    * pair if even that matters). At scale, when `prior` is huge but its
+    * FINGERPRINT SET is what matters, swap the anti-join for a broadcast
+    * Bloom filter ([[graft.functions.BloomFilter]]) — no prior-side
+    * shuffle at all, at the cost of a documented false-positive drop
+    * rate. */
+  def incrementalDedup(
+      incoming: DataFrame, prior: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val priorFps = prior.select(xxhash64(col(textCol)).as("__fp")).distinct()
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    incoming
+      .withColumn("__fp", xxhash64(col(textCol)))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .join(priorFps, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
 
   /** Exact-duplicate groups: one row per distinct content, keeper = min id. */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

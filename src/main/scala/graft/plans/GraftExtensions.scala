@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.hllDistinctDescriptor)
     GraftExtensions.thetaDescriptors.foreach(e.injectFunction)
     GraftExtensions.vectorAggDescriptors.foreach(e.injectFunction)
+    GraftExtensions.bloomDescriptors.foreach(e.injectFunction)
   }
 }
 
@@ -77,6 +78,18 @@ object GraftExtensions {
         (es: Seq[Expression]) => V.build(es, isAvg = false)))
   }
 
+  private[plans] val bloomDescriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import graft.functions.{BloomFilter => B}
+    Seq(
+      (FunctionIdentifier("bloom_agg"),
+        new ExpressionInfo(classOf[graft.functions.BloomAgg].getName, "bloom_agg"),
+        (es: Seq[Expression]) => B.buildAgg(es)),
+      (FunctionIdentifier("bloom_might_contain"),
+        new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName, "bloom_might_contain"),
+        (es: Seq[Expression]) => B.buildContains(es)))
+  }
+
   /** Register everything on a live session (idempotent). */
   def install(spark: SparkSession): Unit = {
     RollingHash.register(spark)
@@ -85,5 +98,6 @@ object GraftExtensions {
     graft.functions.DistinctSketch.register(spark)
     graft.functions.ThetaSketch.register(spark)
     graft.functions.VectorAgg.register(spark)
+    graft.functions.BloomFilter.register(spark)
   }
 }

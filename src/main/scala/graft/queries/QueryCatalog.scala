@@ -1846,6 +1846,34 @@ object QueryCatalog {
         (dup_frac <= 0.05 AND top_tok_frac <= 0.125) AS gopher_ok
       FROM d JOIN top USING (doc_id)"""))
 
+  /** Incremental snapshot dedup under the oracle (`Text.incrementalDedup`):
+    * even doc_ids play the prior corpus, odd ones the fresh crawl; content
+    * is the 15-char text prefix (470 distinct across 500 docs, 16
+    * cross-snapshot collisions — real within-batch AND cross-snapshot
+    * drops). Spark keys both steps on xxhash64 fingerprints (the scale
+    * path); the twin anti-joins on raw content — equal up to 64-bit
+    * collisions. One window shuffle + one fingerprint anti-join. */
+  private val q54 = Q(
+    "q54_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("source"), substring(col("text"), 1, 15).as("content"))
+      val prior = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+      graft.ops.Text.incrementalDedup(incoming, prior, "doc_id", "content")
+        .select(col("doc_id"), col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source, substr(text, 1, 15) AS content FROM documents),
+      inc AS (
+        SELECT doc_id, source, content,
+          row_number() OVER (PARTITION BY content ORDER BY doc_id) AS rn
+        FROM d WHERE doc_id % 2 = 1)
+      SELECT doc_id, source FROM inc
+      WHERE rn = 1 AND NOT EXISTS (
+        SELECT 1 FROM d p WHERE p.doc_id % 2 = 0 AND p.content = inc.content)"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -1854,7 +1882,7 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53)
+    q51, q52, q53, q54)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
