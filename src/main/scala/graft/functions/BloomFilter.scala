@@ -109,9 +109,8 @@ object BloomFilter {
     org.apache.spark.sql.functions.call_function("bloom_might_contain", sketch, value)
 
   def register(spark: SparkSession): Unit = {
-    val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("bloom_agg", buildAgg, "built-in")
-    r.createOrReplaceTempFunction("bloom_might_contain", buildContains, "built-in")
+    DistinctSketch.createIfAbsent(spark, "bloom_agg", buildAgg)
+    DistinctSketch.createIfAbsent(spark, "bloom_might_contain", buildContains)
   }
 }
 

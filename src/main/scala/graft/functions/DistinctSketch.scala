@@ -279,6 +279,17 @@ object DistinctSketch {
       throw new IllegalArgumentException(
         s"$fn expects $min to $max arguments, got ${exprs.size}")
 
+  /** Idempotent temp-function registration: `createOrReplaceTempFunction`
+    * logs a replacement WARN every time a pipeline re-installs (Bench
+    * installs per query) — register only when absent instead. Shared by
+    * every graft function object. */
+  private[graft] def createIfAbsent(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val r = spark.sessionState.functionRegistry
+    if (!r.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      r.createOrReplaceTempFunction(name, builder, "built-in")
+  }
+
   private[graft] def build(exprs: Seq[Expression]): Expression = {
     arity(exprs, "hll_distinct", 1, 3)
     HllDistinctAgg(
@@ -295,6 +306,5 @@ object DistinctSketch {
       org.apache.spark.sql.functions.lit(sparseLimit))
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hll_distinct", build, "built-in")
+    createIfAbsent(spark, "hll_distinct", build)
 }

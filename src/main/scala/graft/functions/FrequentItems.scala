@@ -131,6 +131,5 @@ object FrequentItems {
       "frequent_items", c, org.apache.spark.sql.functions.lit(capacity))
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "frequent_items", build, "built-in")
+    DistinctSketch.createIfAbsent(spark, "frequent_items", build)
 }

@@ -67,6 +67,6 @@ object RollingHash {
 
   /** SQL registration: `SELECT rolling_hash(text) FROM docs`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(toStringExpr(exprs.head)), "built-in")
+    DistinctSketch.createIfAbsent(spark, "rolling_hash",
+      exprs => RollingHash(toStringExpr(exprs.head)))
 }

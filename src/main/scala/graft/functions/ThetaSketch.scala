@@ -130,13 +130,12 @@ object ThetaSketch {
     org.apache.spark.sql.functions.call_function("theta_union_estimate", a, b)
 
   def register(spark: SparkSession): Unit = {
-    val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("theta_sketch", buildAgg, "built-in")
-    r.createOrReplaceTempFunction("theta_estimate", buildEstimate, "built-in")
-    r.createOrReplaceTempFunction("theta_intersect_estimate",
-      buildSetEstimate(_, intersect = true), "built-in")
-    r.createOrReplaceTempFunction("theta_union_estimate",
-      buildSetEstimate(_, intersect = false), "built-in")
+    DistinctSketch.createIfAbsent(spark, "theta_sketch", buildAgg)
+    DistinctSketch.createIfAbsent(spark, "theta_estimate", buildEstimate)
+    DistinctSketch.createIfAbsent(spark, "theta_intersect_estimate",
+      buildSetEstimate(_, intersect = true))
+    DistinctSketch.createIfAbsent(spark, "theta_union_estimate",
+      buildSetEstimate(_, intersect = false))
   }
 }
 

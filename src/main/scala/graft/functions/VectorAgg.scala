@@ -152,8 +152,7 @@ object VectorAgg {
   }
 
   def register(spark: SparkSession): Unit = {
-    val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("vec_avg", build(_, isAvg = true), "built-in")
-    r.createOrReplaceTempFunction("vec_sum", build(_, isAvg = false), "built-in")
+    DistinctSketch.createIfAbsent(spark, "vec_avg", build(_, isAvg = true))
+    DistinctSketch.createIfAbsent(spark, "vec_sum", build(_, isAvg = false))
   }
 }

@@ -33,6 +33,12 @@ object Similarity {
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Codegen'd L2 norm (graft.functions.VectorNorm) — bit-identical to
+    * `l2norm` (same left-to-right sum of squares); used by the DataFrame
+    * entry points, which install GraftExtensions first. */
+  private def fastNorm(v: Column): Column =
+    graft.functions.VectorNorm.vec_norm(v)
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Exact top-k cosine neighbors for each query vector.
@@ -41,9 +47,9 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.plans.GraftExtensions.install(corpus.sparkSession)
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("nrm", fastNorm(col("v")))
     val q = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
-      .withColumn("qn", l2norm(col("qv")))
+      .withColumn("qn", fastNorm(col("qv")))
     val scored = q.join(c, col("vec_id") =!= col("q_id"))
       .withColumn("sim", fastDot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .select(col("q_id"), col("vec_id"), col("sim"))
@@ -127,10 +133,10 @@ object Similarity {
         struct(d.as("dist"), lit(i).as("cell"))
       }: _*))
     val c0 = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("nrm", fastNorm(col("v")))
       .withColumn("cell", element_at(cellRanks(col("v")), 1).getField("cell"))
     val q0 = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
-      .withColumn("qn", l2norm(col("qv")))
+      .withColumn("qn", fastNorm(col("qv")))
       .withColumn("cell", explode(transform(
         slice(cellRanks(col("qv")), 1, nProbe), s => s.getField("cell"))))
     val (c, q, joinKeys) =
@@ -187,10 +193,10 @@ object Similarity {
       numPlanes: Int = 8, dim: Int = 64, extraProbes: Int = 0): DataFrame = {
     graft.plans.GraftExtensions.install(corpus.sparkSession)
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("nrm", fastNorm(col("v")))
       .withColumn("bucket", lshBucket(col("v"), numPlanes, dim))
     val q = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
-      .withColumn("qn", l2norm(col("qv")))
+      .withColumn("qn", fastNorm(col("qv")))
       .withColumn("bucket",
         explode(array_distinct(probeBuckets(col("qv"), numPlanes, dim, extraProbes))))
     val scored = q.join(c, Seq("bucket"))

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.rollingHashDescriptor)
     e.injectFunction(GraftExtensions.vectorDotDescriptor)
+    e.injectFunction(GraftExtensions.vectorNormDescriptor)
     e.injectFunction(GraftExtensions.frequentItemsDescriptor)
     e.injectFunction(GraftExtensions.hllDistinctDescriptor)
     GraftExtensions.thetaDescriptors.foreach(e.injectFunction)
@@ -39,6 +40,12 @@ object GraftExtensions {
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[graft.functions.VectorDot].getName, "vec_dot"),
     (exprs: Seq[Expression]) => graft.functions.VectorDot(exprs.head, exprs(1)))
+
+  private[plans] val vectorNormDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_norm"),
+    new ExpressionInfo(classOf[graft.functions.VectorNorm].getName, "vec_norm"),
+    (exprs: Seq[Expression]) => graft.functions.VectorNorm(exprs.head))
 
   private[plans] val frequentItemsDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -112,6 +112,6 @@ class PlanShapeSpec extends SparkSpec {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
     assert(os.subsetOf(qs))
-    assert(qs.size == 45)
+    assert(qs.size == 54)
   }
 }
