@@ -409,6 +409,64 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("duplicate (user_id, ts, event_id)")), msgs(ex).mkString("; "))
   }
 
+  test("intervalJoinStreams: watermarked stream-stream join matches only in-window same-key pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ls = MemoryStream[Events.Ev]
+    val rs = MemoryStream[Events.Ev]
+    val joined = Events.intervalJoinStreams(
+      ls.toDF(), rs.toDF(), key = "user_id",
+      wmDelay = "0 seconds", before = "1 minutes", after = "1 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    ls.addData(Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0))
+    rs.addData(
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:10:30"), "imp", 2.0),  // in window
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:20:00"), "imp", 3.0),  // outside window
+      Events.Ev(2L, Timestamp.valueOf("2024-01-01 00:10:15"), "imp", 4.0))  // other key
+    q.processAllAvailable()
+    // advance both watermarks so buffered state flushes
+    ls.addData(Events.Ev(9L, Timestamp.valueOf("2024-01-01 06:00:00"), "x", 0.0))
+    rs.addData(Events.Ev(9L, Timestamp.valueOf("2024-01-01 07:00:00"), "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT user_id, event_type, r_event_type, r_value FROM ssj WHERE value = 1.0")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1L, "click", "imp", 2.0)), rows.mkString(", "))
+  }
+
+  test("upsertSink: foreachBatch latest-wins upsert is idempotent under batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toFile
+    val target = new java.io.File(dir, "target").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val stream = MemoryStream[Events.Ev]
+    val q = Events.upsertSink(stream.toDF(), target, ckpt,
+      keys = Seq("user_id"), order = Seq("ts"))
+    stream.addData(
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1.0),
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:05:00"), "b", 2.0), // later: wins in-batch
+      Events.Ev(2L, Timestamp.valueOf("2024-01-01 00:01:00"), "c", 3.0))
+    q.processAllAvailable()
+    def state(): Map[Long, (String, Double)] =
+      spark.read.parquet(s"$target/data").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[String]("event_type"), r.getAs[Double]("value")))).toMap
+    assert(state() == Map(1L -> (("b", 2.0)), 2L -> (("c", 3.0))))
+    stream.addData(
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:03:00"), "stale", 9.0), // older: must NOT win
+      Events.Ev(2L, Timestamp.valueOf("2024-01-01 00:09:00"), "d", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val after = state()
+    assert(after == Map(1L -> (("b", 2.0)), 2L -> (("d", 4.0))), after.toString)
+    // replay batch 0 verbatim — the batchId guard must make it a no-op
+    Events.applyUpsertBatch(
+      Seq(Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1.0)).toDF(),
+      batchId = 0L, target, Seq("user_id"), Seq("ts"))
+    assert(state() == after)
+  }
+
   test("sessionize: custom state keeps sessions open until timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Events.Ev]
