@@ -73,6 +73,26 @@ object Bronze {
       df: DataFrame, path: String, partitionBy: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
 
+  /** K2 at scale, join-side layout — bucketed table write: hash-bucket
+    * (and sort) rows by the join/aggregation key at WRITE time, so every
+    * later equi-join or groupBy on that key between same-bucketed tables
+    * runs with NO shuffle exchange at all — the one-off write-side shuffle
+    * is amortized over every downstream read. This is the 100 TB answer
+    * for fact⋈fact joins where neither side broadcasts (customer⋈orders,
+    * orders⋈lineitem): co-locate once, join forever. Requires a table
+    * catalog (`saveAsTable` — bucketing metadata lives in the metastore;
+    * plain `.parquet(path)` cannot carry it). PlanShapeSpec proves the
+    * exchange-free join plan. */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Gold Delta write — ENVIRONMENT-DEFERRED: the reference's downstream
     * stores gold as Delta in a catalog (README.md:86-87,111). The call
     * shape compiles against plain Spark (format is resolved at runtime),

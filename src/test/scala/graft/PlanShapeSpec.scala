@@ -108,6 +108,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join and aggregate with zero shuffle exchanges") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val cust = Tables.customer(spark, sf()).select("c_custkey", "c_name", "c_nationkey")
+      val ords = Tables.orders(spark, sf()).select("o_custkey", "o_orderkey", "o_totalprice")
+      graft.sources.Bronze.writeBucketed(
+        cust, "bk_customer", Seq("c_custkey"), 4, Seq("c_custkey"))
+      graft.sources.Bronze.writeBucketed(
+        ords, "bk_orders", Seq("o_custkey"), 4, Seq("o_custkey"))
+      val joined = spark.table("bk_customer").join(
+        spark.table("bk_orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+      val n = joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located: the join AND the groupBy on the bucket key reuse the
+      // write-time layout — no runtime exchange anywhere in the plan
+      assert(!plan.contains("ShuffleExchange"), plan)
+      assert(n == cust.join(ords, col("c_custkey") === col("o_custkey"))
+        .select("c_custkey").distinct().count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS bk_customer")
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+    }
+  }
+
   test("queries and oracles are consistently keyed") {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
