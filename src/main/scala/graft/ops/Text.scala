@@ -135,6 +135,30 @@ object Text {
       .drop("__fp")
   }
 
+  /** Cross-document repeated-span detection — the exact-substring dedup
+    * primitive of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), bounded to token n-grams: emit every
+    * (doc, position) whose n-token span also occurs in at least
+    * `minDocs - 1` other documents (its removal cut-list is the dedup
+    * step; overlapping flagged positions merge into spans downstream).
+    * Shape: posexplode spans once, hash each span once (xxhash64 on the
+    * joined tokens; `functions.RollingHash` is the O(1)-per-position
+    * character-window variant), one distinct + one count keyed on the
+    * span hash, one hash semi-join back — O(total tokens), never
+    * pairwise, and the heavy groupBys key on the 64-bit hash, not the
+    * span text. */
+  def repeatedSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingles(tokens(col(textCol)), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), xxhash64(col("col")).as("gh"))
+    val hot = grams.select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    grams.join(hot, "gh").select(col("doc_id"), col("pos"), col("n_docs"))
+  }
+
   /** Exact-duplicate groups: one row per distinct content, keeper = min id. */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(xxhash64(col(textCol)).as("fingerprint"))

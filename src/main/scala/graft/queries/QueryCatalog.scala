@@ -1874,6 +1874,29 @@ object QueryCatalog {
       WHERE rn = 1 AND NOT EXISTS (
         SELECT 1 FROM d p WHERE p.doc_id % 2 = 0 AND p.content = inc.content)"""))
 
+  /** Cross-doc repeated 8-token spans under the oracle
+    * (`Text.repeatedSpans`, the Lee et al. exact-substring-dedup
+    * primitive). Spark groups on xxhash64 span hashes (the scale path);
+    * the twin groups on the literal span string — equal up to 64-bit
+    * collisions. Output is position-level (doc_id, pos, n_docs), so the
+    * hash never appears in the compared result. */
+  private val q55 = Q(
+    "q55_repeated_spans",
+    (s, d) => graft.ops.Text.repeatedSpans(
+      Tables.documents(s, d), n = 8, minDocs = 2),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+      rep AS (
+        SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+      SELECT g.doc_id, CAST(g.pos AS INTEGER) AS pos, rep.n_docs
+      FROM g JOIN rep USING (gram)"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -1882,7 +1905,7 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54)
+    q51, q52, q53, q54, q55)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

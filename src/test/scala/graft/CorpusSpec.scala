@@ -81,6 +81,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("repeatedSpans flags exactly the cross-doc shared n-gram positions") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "p q r s x y z w"),   // "p q r s" shared with doc 2 at pos 1
+      (2L, "a b p q r s c d"),   // ... at pos 3
+      (3L, "k l m n o u v t")    // nothing shared
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Text.repeatedSpans(docs, n = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1, 2L), (2L, 3, 2L)), got.toString)
+    // minDocs above the true multiplicity -> empty
+    assert(graft.ops.Text.repeatedSpans(docs, n = 4, minDocs = 3).count() == 0L)
+  }
+
   test("redactPii: URL-before-email-before-phone ordering, idempotent on clean text") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(
