@@ -159,6 +159,30 @@ object Text {
     grams.join(hot, "gh").select(col("doc_id"), col("pos"), col("n_docs"))
   }
 
+  /** Merge `repeatedSpans` hits into per-document CUT INTERVALS — the
+    * removal step of Lee et al. exact-substring dedup: overlapping or
+    * adjacent flagged spans [pos, pos+n) coalesce into one
+    * [cut_start, cut_end) interval. Same declarative algebra as
+    * `Events.sessionizeBatch` (lag → new-interval flag → running sum →
+    * aggregate), applied to token positions instead of timestamps; with
+    * uniform span width the previous row's end IS the running max, so a
+    * single lag suffices. One shuffle on doc_id, shared by the window
+    * passes and the aggregate. */
+  def spanCutList(spans: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    spans
+      .withColumn("__prev_end", lag(col("pos") + n, 1).over(w))
+      .withColumn("__new", when(
+        col("__prev_end").isNull || col("pos") > col("__prev_end"), 1L).otherwise(0L))
+      .withColumn("cut_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("cut_id"))
+      .agg(
+        min(col("pos")).as("cut_start"),
+        (max(col("pos")) + n).as("cut_end"),
+        count(lit(1)).as("n_spans"))
+  }
+
   /** Exact-duplicate groups: one row per distinct content, keeper = min id. */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(xxhash64(col(textCol)).as("fingerprint"))

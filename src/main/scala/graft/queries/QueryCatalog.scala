@@ -1897,6 +1897,80 @@ object QueryCatalog {
       SELECT g.doc_id, CAST(g.pos AS INTEGER) AS pos, rep.n_docs
       FROM g JOIN rep USING (gram)"""))
 
+  /** The Lee et al. removal step under the oracle: q55's flagged spans
+    * merged into per-doc cut intervals (`Text.spanCutList` — the
+    * sessionization algebra over token positions). The twin repeats the
+    * span derivation and runs the identical lag/cumsum window SQL. */
+  private val q56 = Q(
+    "q56_span_cutlist",
+    (s, d) => graft.ops.Text.spanCutList(
+      graft.ops.Text.repeatedSpans(Tables.documents(s, d), n = 8, minDocs = 2)
+        .select(col("doc_id"), col("pos")),
+      n = 8),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+      rep AS (
+        SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      hits AS (
+        SELECT g.doc_id, CAST(g.pos AS INTEGER) AS pos FROM g JOIN rep USING (gram)),
+      flagged AS (
+        SELECT doc_id, pos,
+          lag(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_end
+        FROM hits),
+      ids AS (
+        SELECT doc_id, pos,
+          sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cut_id
+        FROM flagged)
+      SELECT doc_id, CAST(cut_id AS BIGINT) AS cut_id,
+        min(pos) AS cut_start, max(pos) + 8 AS cut_end,
+        count(*) AS n_spans
+      FROM ids GROUP BY 1, 2"""))
+
+  /** TF-IDF keyword extraction under the oracle: term frequency and
+    * document frequency as two keyed aggregates, idf from a broadcast
+    * 1-row corpus count, top-3 terms per doc by the ROUNDED score (both
+    * engines rank the same r6 values, so last-ulp ln() differences cannot
+    * flip ranks) with a token tiebreak. Shapes: tok-explode shuffles
+    * once on (doc_id, tok); df reuses its output; the final top-k is the
+    * q08 window form. */
+  private val q57 = Q(
+    "q57_tfidf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(graft.ops.Text.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+        .withColumn("tfidf", r(col("tf") * log(col("n").cast("double") / col("df")), 6))
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("tfidf"))
+      Core.topKPerGroup(scored, Seq("doc_id"),
+        Seq(col("tfidf").desc, col("tok").asc), 3)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.tok, CAST(tf.tf AS BIGINT) AS tf,
+          CAST(df.df AS BIGINT) AS df,
+          floor(tf.tf * ln(n.n::DOUBLE / df.df) * 1000000 + 0.5)/1000000 AS tfidf
+        FROM tf JOIN df USING (tok), n),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rn
+        FROM scored)
+      SELECT doc_id, tok, tf, df, tfidf FROM ranked WHERE rn <= 3"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -1905,7 +1979,7 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55)
+    q51, q52, q53, q54, q55, q56, q57)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -95,6 +95,18 @@ class CorpusSpec extends SparkSpec {
     assert(graft.ops.Text.repeatedSpans(docs, n = 4, minDocs = 3).count() == 0L)
   }
 
+  test("spanCutList merges overlapping and adjacent spans, keeps gaps apart") {
+    import org.apache.spark.sql.functions.col
+    val spans = Seq(
+      (1L, 1), (1L, 3), (1L, 7),   // n=4: [1,5)+[3,7)+[7,11) -> one cut [1,11)
+      (1L, 20),                    // isolated -> [20,24)
+      (2L, 5)
+    ).toDF("doc_id", "pos")
+    val got = graft.ops.Text.spanCutList(spans, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    assert(got == Set((1L, 1L, 1, 11, 3L), (1L, 2L, 20, 24, 1L), (2L, 1L, 5, 9, 1L)), got.toString)
+  }
+
   test("redactPii: URL-before-email-before-phone ordering, idempotent on clean text") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(
