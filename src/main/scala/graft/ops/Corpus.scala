@@ -24,6 +24,19 @@ object Corpus {
     conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
       .cast("double") / lit((1L << 60).toDouble)
 
+  /** Write-side sorted layout: range-partition on `cols` then sort within
+    * partitions, so a parquet write produces GLOBALLY ordered files whose
+    * row-group min/max stats are tight, disjoint ranges — point/range
+    * predicates on `cols` then skip whole row groups (zone-map pruning)
+    * and whole files at the source level, on top of partition-directory
+    * pruning. The pre-write shuffle is a range exchange (sampled
+    * boundaries, skew-resistant) paid once; every later scan on the sort
+    * key reads a fraction of the data. The standard lakehouse layout move
+    * (linear order; Z-order is the multi-column generalization). */
+  def sortedLayout(df: DataFrame, cols: Seq[String], numPartitions: Int): DataFrame =
+    df.repartitionByRange(numPartitions, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+
   /** Stratified downsampling at per-stratum keep rates: keep a row iff
     * uniformHash(key, salt) < rate(stratum). The common corpus-balancing
     * move (downweight the dominant language/source) as one scan with a

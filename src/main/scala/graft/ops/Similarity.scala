@@ -78,6 +78,26 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Johnson–Lindenstrauss random projection to `toDim` dimensions:
+    * deterministic Rademacher planes (±1/√toDim, seedless hash of
+    * (plane, component) — reproducible across sessions like `planes`),
+    * applied as `toDim` codegen'd vec_dot's against literal arrays — no
+    * UDF, no shuffle, pure map-side. Pairwise distance/cosine structure
+    * survives within the JL bound (error ~ √(ln n / toDim)), making
+    * downstream ANN / embedding dedup pay O(toDim) per distance instead
+    * of O(d) — project once at ingest, run every similarity pass on the
+    * short vectors. */
+  def randomProject(v: Column, fromDim: Int, toDim: Int): Column = {
+    val scale = 1.0 / math.sqrt(toDim)
+    array((0 until toDim).map { p =>
+      val comps = Array.tabulate(fromDim) { j =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, j, "graft-jl"))
+        if (h >= 0) scale else -scale
+      }
+      fastDot(v, array(comps.map(lit).toIndexedSeq: _*))
+    }.toIndexedSeq: _*)
+  }
+
   /** IVF (inverted-file) ANN: k-means centroids define the cells, the
     * corpus is assigned to its nearest cell once (one narrow shuffle), and
     * each query probes its `nProbe` nearest cells. Recall rises with

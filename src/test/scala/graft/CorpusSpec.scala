@@ -95,6 +95,36 @@ class CorpusSpec extends SparkSpec {
     assert(graft.ops.Text.repeatedSpans(docs, n = 4, minDocs = 3).count() == 0L)
   }
 
+  test("sortedLayout yields globally ordered, disjoint partition ranges") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val laid = graft.ops.Corpus.sortedLayout(docs, Seq("doc_id"), 4)
+    assert(laid.queryExecution.toString.contains("rangepartitioning"),
+      laid.queryExecution.toString.take(500))
+    // partition min/max ranges must be disjoint and ordered => global order
+    val ranges = laid
+      .select(spark_partition_id().as("pid"), col("doc_id"))
+      .groupBy("pid").agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("pid").collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    ranges.zip(ranges.drop(1)).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, ranges.mkString(", "))
+    }
+  }
+
+  test("percentile_approx tracks the exact percentiles q50 computes (the documented 100TB swap)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val both = docs.agg(
+      percentile(col("n_chars"), lit(0.5)).as("exact50"),
+      percentile_approx(col("n_chars"), lit(0.5), lit(10000)).cast("double").as("apx50"),
+      percentile(col("n_chars"), lit(0.9)).as("exact90"),
+      percentile_approx(col("n_chars"), lit(0.9), lit(10000)).cast("double").as("apx90")).head()
+    def rel(e: Double, a: Double) = math.abs(e - a) / e
+    assert(rel(both.getDouble(0), both.getDouble(1)) < 0.02)
+    assert(rel(both.getDouble(2), both.getDouble(3)) < 0.02)
+  }
+
   test("spanCutList merges overlapping and adjacent spans, keeps gaps apart") {
     import org.apache.spark.sql.functions.col
     val spans = Seq(

@@ -467,6 +467,32 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(state() == after)
   }
 
+  test("streaming incremental dedup: a stream filters map-side against a broadcast Bloom of prior content") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.BloomFilter.register(spark)
+    // prior corpus folded into one small binary, shipped as a literal —
+    // the streaming twin of the batch broadcast-bloom dedup (stateless,
+    // no stream-side shuffle, no join state)
+    val bytes = Seq("seen_a", "seen_b", "seen_c").toDF("t")
+      .agg(graft.functions.BloomFilter.bloom_agg(col("t"), 1 << 12, 5))
+      .head().getAs[Array[Byte]](0)
+    val stream = MemoryStream[Events.Ev]
+    val fresh = stream.toDF().filter(
+      !graft.functions.BloomFilter.bloom_might_contain(lit(bytes), col("event_type")))
+    val q = fresh.writeStream.format("memory").queryName("bloom_fresh").start()
+    stream.addData(
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:00:00"), "seen_a", 1.0),
+      Events.Ev(2L, Timestamp.valueOf("2024-01-01 00:00:01"), "new_x", 2.0),
+      Events.Ev(3L, Timestamp.valueOf("2024-01-01 00:00:02"), "seen_c", 3.0),
+      Events.Ev(4L, Timestamp.valueOf("2024-01-01 00:00:03"), "new_y", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT event_type FROM bloom_fresh")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("new_x", "new_y"), got.toString)
+  }
+
   test("sessionize: custom state keeps sessions open until timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Events.Ev]

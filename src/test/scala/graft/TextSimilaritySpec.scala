@@ -194,4 +194,27 @@ class TextSimilaritySpec extends SparkSpec {
     val mpRecall = (bf & mp).size.toDouble / bf.size
     assert(mpRecall >= recall, s"multi-probe recall $mpRecall < single $recall")
   }
+
+  test("randomProject preserves cosine structure within the JL bound, tighter as dims grow") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.install(spark)
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet").limit(100)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    def meanCosErr(toDim: Int): Double = {
+      val proj = emb.withColumn("p", Similarity.randomProject(col("v"), 64, toDim))
+      val a = proj.select(col("vec_id").as("ida"), col("v").as("va"), col("p").as("pa"))
+      val b = proj.select(col("vec_id").as("idb"), col("v").as("vb"), col("p").as("pb"))
+      // deterministic pair sample: consecutive ids
+      a.join(b, col("idb") === col("ida") + 1)
+        .select(
+          (Similarity.cosine(col("va"), col("vb")) -
+            Similarity.cosine(col("pa"), col("pb"))).as("d"))
+        .agg(avg(abs(col("d")))).head().getDouble(0)
+    }
+    val e16 = meanCosErr(16)
+    val e48 = meanCosErr(48)
+    assert(e16 < 0.25, s"mean cosine error at 16 dims: $e16")
+    assert(e48 < 0.12, s"mean cosine error at 48 dims: $e48")
+    assert(e48 < e16, s"error should shrink with dims: $e48 !< $e16")
+  }
 }
