@@ -58,6 +58,27 @@ object Corpus {
     df.filter(uniformHash(keyCol, salt) < rate)
   }
 
+  /** Deterministic train/val/test assignment: the split is the first
+    * label whose cumulative weight bound exceeds uniformHash(key, salt).
+    * Pure function of (key, salt) — the same row lands in the same split
+    * on every run, every engine, every retry, and adding data never
+    * reshuffles existing assignments (the property fraction-based
+    * `randomSplit` lacks). The last label absorbs the remainder, so
+    * floating-point edge rows cannot fall through. */
+  def assignSplit(
+      keyCol: Column, splits: Seq[(String, Double)], salt: String = "graft"): Column = {
+    require(splits.nonEmpty, "assignSplit needs at least one split")
+    splits.foreach { case (l, w) => require(w > 0, s"split '$l' weight must be > 0, got $w") }
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val u = uniformHash(keyCol, salt)
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.init.zip(bounds.init).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (acc, ((label, _), ub)) => when(u < lit(ub), lit(label)).otherwise(acc)
+      }
+  }
+
   /** Token-budget sequence packing: assign each document to a training
     * batch ("bin") such that bins hold consecutive (by id) documents of
     * roughly `budget` total tokens — the concat-then-chunk packing used

@@ -183,6 +183,34 @@ object Text {
         count(lit(1)).as("n_spans"))
   }
 
+  /** Benchmark-contamination check — the cross-corpus form of
+    * [[repeatedSpans]]: for every training document, how many of its
+    * n-token spans also occur ANYWHERE in the reference corpus (the
+    * eval/benchmark set), as a count and a fraction. The reference side
+    * collapses to its DISTINCT span-hash set before the semi-join, so its
+    * size bounds the broadcast/shuffle no matter how big the reference
+    * text is; the train side stays O(total tokens). A nonzero
+    * `contaminated_frac` is the standard decontamination trigger. */
+  def crossCorpusContamination(
+      corpus: DataFrame, reference: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingles(tokens(col(textCol)), n)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gh"))
+    val a = grams(corpus)
+    val refSet = grams(reference).select("gh").distinct()
+    val perDoc = a.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val hits = a.join(refSet, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_spans"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_spans"))
+          .as("contaminated_frac"))
+  }
+
   /** Exact-duplicate groups: one row per distinct content, keeper = min id. */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(xxhash64(col(textCol)).as("fingerprint"))

@@ -1971,6 +1971,68 @@ object QueryCatalog {
         FROM scored)
       SELECT doc_id, tok, tf, df, tfidf FROM ranked WHERE rn <= 3"""))
 
+  /** Benchmark-contamination detection under the oracle
+    * (`Text.crossCorpusContamination`): odd docs play the training
+    * corpus, even docs the benchmark; 8-token span overlap per train doc
+    * as count + fraction. Spark semi-joins on span hashes against the
+    * DISTINCT reference span set; the twin uses the literal span
+    * strings. */
+  private val q58 = Q(
+    "q58_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Text.crossCorpusContamination(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), n = 8)
+        .select(col("doc_id"), col("n_spans"), col("n_contaminated"),
+          r(col("contaminated_frac"), 6).as("contaminated_frac"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+      a AS (SELECT * FROM g WHERE doc_id % 2 = 1),
+      refg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM a GROUP BY 1),
+      hit AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cont FROM a
+        WHERE gram IN (SELECT gram FROM refg) GROUP BY 1)
+      SELECT per.doc_id, per.n_spans,
+        coalesce(hit.n_cont, 0) AS n_contaminated,
+        floor(coalesce(hit.n_cont, 0)::DOUBLE / per.n_spans * 1000000 + 0.5)/1000000
+          AS contaminated_frac
+      FROM per LEFT JOIN hit USING (doc_id)"""))
+
+  /** Deterministic split assignment under the oracle
+    * (`Corpus.assignSplit`): 80/10/10 train/val/test from the same
+    * md5-derived uniform both engines compute bit-identically; the twin
+    * repeats the cumulative-bound CASE. Adding rows never reassigns
+    * existing keys — the reproducibility contract `randomSplit` lacks. */
+  private val q59 = Q(
+    "q59_split_assign",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.ops.Corpus.assignSplit(
+          col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "graft-split").as("split")),
+    Some("""
+      WITH u AS (
+        SELECT doc_id, lang,
+          (('0x' || substr(md5(doc_id::VARCHAR || 'graft-split'), 1, 15))::BIGINT)::DOUBLE
+            / 1152921504606846976 AS uh
+        FROM documents)
+      SELECT doc_id, lang,
+        -- bounds ACCUMULATED exactly as the Spark side's scanLeft does
+        -- (0.8 + 0.1 != 0.9 in IEEE doubles; a literal 0.9 would disagree
+        -- on rows landing inside the 1-ulp gap)
+        CASE WHEN uh < 0.8 THEN 'train'
+             WHEN uh < 0.8 + 0.1 THEN 'val'
+             ELSE 'test' END AS split
+      FROM u"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -1979,7 +2041,7 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

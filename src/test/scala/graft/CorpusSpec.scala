@@ -125,6 +125,39 @@ class CorpusSpec extends SparkSpec {
     assert(rel(both.getDouble(2), both.getDouble(3)) < 0.02)
   }
 
+  test("assignSplit is stable under corpus growth and near the asked proportions") {
+    import org.apache.spark.sql.functions._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (1L to 1000L).toDF("k")
+      .select(col("k"), graft.ops.Corpus.assignSplit(col("k"), splits, "s1").as("sp"))
+    val grown = (1L to 5000L).toDF("k")
+      .select(col("k"), graft.ops.Corpus.assignSplit(col("k"), splits, "s1").as("sp"))
+    // adding rows never reassigns existing keys
+    val a = small.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = grown.filter(col("k") <= 1000).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val frac = grown.groupBy("sp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 5000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.03 &&
+      math.abs(frac("val") - 0.1) < 0.02 && math.abs(frac("test") - 0.1) < 0.02, frac.toString)
+    intercept[IllegalArgumentException] {
+      graft.ops.Corpus.assignSplit(col("k"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("crossCorpusContamination counts exactly the spans present in the reference") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (1L, "a b c d e f g h"),       // span "a b c d" (pos1) in ref; 5 spans total
+      (3L, "u v w x y z q r")        // clean
+    ).toDF("doc_id", "text")
+    val ref = Seq((2L, "z z a b c d z z")).toDF("doc_id", "text")
+    val got = graft.ops.Text.crossCorpusContamination(train, ref, n = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((5L, 1L, 0.2)), got.toString)
+    assert(got(3L) == ((5L, 0L, 0.0)), got.toString)
+  }
+
   test("spanCutList merges overlapping and adjacent spans, keeps gaps apart") {
     import org.apache.spark.sql.functions.col
     val spans = Seq(
