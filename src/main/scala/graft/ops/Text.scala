@@ -60,13 +60,24 @@ object Text {
   }
 
   /** Word n-gram shingles (default 3); empty array for short docs
-    * (sequence(1, 0) would count DOWN in Spark, so guard explicitly). */
+    * (sequence(1, 0) would count DOWN in Spark, so guard explicitly).
+    *
+    * `toks` is LET-BOUND via single-element array + transform before the
+    * shingle lambda touches it: a lambda variable is a bound value, so a
+    * complex argument (e.g. `tokens(text)`) is evaluated once per row.
+    * Without the binding, CollapseProject inlines the argument into the
+    * lambda body and it re-evaluates per element_at — n re-tokenizations
+    * PER SHINGLE, observed as 20 s bench blowups (q55/q56/q58 at sf0.1)
+    * before this guard. */
   def shingles(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
+    element_at(
+      transform(array(toks), ts =>
+        when(size(ts) >= n,
+          transform(
+            sequence(lit(1), size(ts) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*)))
+          .otherwise(array().cast("array<string>"))),
+      1)
 
   /** MinHash signature as a column expression: `numHashes` xxhash64-seeded
     * minima over shingles. Null for docs with no shingles.
