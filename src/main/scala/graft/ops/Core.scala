@@ -154,6 +154,32 @@ object Core {
       .drop("__rj_bucket")
   }
 
+  /** Bloom semi-join reduction: build a Bloom filter over `dim`'s join
+    * keys (one distributed aggregate → a few-MB binary), broadcast it,
+    * and drop fact rows whose key CANNOT match before the join's shuffle.
+    * The result is IDENTICAL to the plain join — Bloom has no false
+    * negatives, and false positives merely ride the shuffle and die in
+    * the exact join — only the shuffled fact volume changes (by the
+    * dim-key selectivity, e.g. a 5%-selective dim drops ~95% of a 100 TB
+    * fact before the exchange). This is the semi-join reduction classic
+    * databases plan automatically, as an explicit operator. Restricted to
+    * fact-reducible join types (inner/semi): a left-outer must keep
+    * unmatched fact rows, which the pre-filter would drop. */
+  def bloomReducedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      numBits: Int = 1 << 20, numHashes: Int = 5,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "semi", "leftsemi", "left_semi")
+      .contains(joinType.toLowerCase),
+      s"bloomReducedJoin requires an unmatched-fact-dropping join type, got $joinType")
+    graft.functions.BloomFilter.register(fact.sparkSession)
+    val sk = dim.agg(
+      graft.functions.BloomFilter.bloom_agg(col(key), numBits, numHashes).as("__bf"))
+    fact.crossJoin(broadcast(sk))
+      .filter(graft.functions.BloomFilter.bloom_might_contain(col("__bf"), col(key)))
+      .drop("__bf")
+      .join(dim, Seq(key), joinType)
+  }
+
   /** As-of join: for every left row, attach the single most recent right
     * row with the same key and `rightOrder <= leftOrder` (LEFT semantics —
     * left rows with no prior right row keep nulls).

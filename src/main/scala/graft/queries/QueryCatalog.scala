@@ -2033,6 +2033,62 @@ object QueryCatalog {
              ELSE 'test' END AS split
       FROM u"""))
 
+  /** The stream-stream interval join's SEMANTICS under the oracle
+    * (q60 ↔ the MemoryStream spec covers the streaming state machine,
+    * exactly the q43/sessionize split): `Events.intervalJoinStreams` run
+    * in batch mode — watermarks are eliminated on batch frames, leaving
+    * the pure two-sided time-bound join — pairing clicks with same-user
+    * purchases within ±6 h. Delta exported as µs for engine-neutral
+    * hashing (events.ts nanos truncate to µs identically both sides). */
+  private val q60 = Q(
+    "q60_interval_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.Events.intervalJoinStreams(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        key = "user_id", before = "6 hours", after = "6 hours")
+        .select(
+          col("event_id").as("click_id"),
+          col("r_event_id").as("purchase_id"),
+          (unix_micros(col("r_ts")) - unix_micros(col("ts"))).as("delta_us"))
+    },
+    Some("""
+      SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND b.ts >= a.ts - INTERVAL 6 HOUR
+       AND b.ts <= a.ts + INTERVAL 6 HOUR"""))
+
+  /** Bloom semi-join reduction under the oracle (`Core.bloomReducedJoin`):
+    * lineitem pre-filtered by a broadcast Bloom of urgent-order keys
+    * before the join shuffle. The twin is the PLAIN join — a hash match
+    * PROVES the reduction is result-invisible (no false negatives; false
+    * positives die in the exact join), which is the operator's whole
+    * contract. */
+  private val q61 = Q(
+    "q61_bloom_reduced_join",
+    (s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      Core.bloomReducedJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")),
+        urgent, "l_orderkey", numBits = 1 << 18)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"))
+    },
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+        floor(sum(l_quantity)*100 + 0.5)/100 AS sum_qty
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority = '1-URGENT'
+      GROUP BY 1"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -2041,7 +2097,8 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    q61)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

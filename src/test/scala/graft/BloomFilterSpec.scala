@@ -72,6 +72,26 @@ class BloomFilterSpec extends SparkSpec {
     assert(got == Set(11L, 13L))
   }
 
+  test("bloomReducedJoin equals the plain join and genuinely reduces the pre-join fact") {
+    BloomFilter.register(spark)
+    val fact = (1 to 5000).map(i => (i.toLong % 1000, i.toLong)).toDF("k", "payload")
+    val dim = (1 to 50).map(i => (i.toLong, s"d$i")).toDF("k", "attr") // 5% selective
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val plain = canon(fact.join(dim, Seq("k")))
+    val reduced = canon(graft.ops.Core.bloomReducedJoin(fact, dim, "k", numBits = 1 << 14))
+    assert(reduced == plain)
+    // the pre-filter must actually drop most of the fact before the join
+    val sk = dim.agg(BloomFilter.bloom_agg(col("k"), 1 << 14, 5).as("bf"))
+    val surviving = fact.crossJoin(broadcast(sk))
+      .filter(BloomFilter.bloom_might_contain(col("bf"), col("k"))).count()
+    assert(surviving < 1000, s"pre-filter kept $surviving of 5000")
+    intercept[IllegalArgumentException] {
+      graft.ops.Core.bloomReducedJoin(fact, dim, "k", joinType = "left")
+    }
+  }
+
   test("bloom_agg rejects bad shapes with clear errors; mismatched merges refuse") {
     BloomFilter.register(spark)
     val ex = intercept[Exception] {
