@@ -58,6 +58,38 @@ object Corpus {
     df.filter(uniformHash(keyCol, salt) < rate)
   }
 
+  /** Efraimidis–Spirakis weighted-sampling key: u^(1/w) with
+    * u = uniformHash(key, salt). Taking the global (or per-group) top-k
+    * rows by this key IS a weighted random sample without replacement —
+    * deterministic given the salt, mergeable (top-k of unions = top-k of
+    * per-partition top-ks), and one scan. Rank on the ROUNDED key with an
+    * id tiebreak when the result must be engine-reproducible (pow is not
+    * IEEE-correctly-rounded, so raw keys can differ in the last ulp
+    * across engines). */
+  def weightedSampleKey(keyCol: Column, weightCol: Column, salt: String = "graft"): Column =
+    pow(uniformHash(keyCol, salt), lit(1.0) / weightCol.cast("double"))
+
+  /** Temperature-balanced corpus mixing (the multilingual-pretraining
+    * move): per-stratum keep rate (n_min/n_s)^0.5 — the dominant stratum
+    * is downsampled toward the smallest, halfway in log space — applied
+    * through the deterministic uniformHash. The exponent is computed as
+    * `sqrt`, NOT `pow(x, 0.5)`: IEEE 754 requires sqrt to be correctly
+    * rounded, so the rates (and therefore the keep/drop comparison
+    * against the md5-derived uniform) are bit-identical across engines —
+    * what lets q63 hash-match DuckDB. Rates frame is tiny (one row per
+    * stratum) and broadcast; the filter is map-side. */
+  def temperatureSample(
+      df: DataFrame, stratum: String, keyCol: Column,
+      salt: String = "graft"): DataFrame = {
+    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(stratum),
+        sqrt(col("__nmin").cast("double") / col("__n")).as("sample_rate"))
+    df.join(broadcast(rates), Seq(stratum))
+      .filter(uniformHash(keyCol, salt) < col("sample_rate"))
+  }
+
   /** Deterministic train/val/test assignment: the split is the first
     * label whose cumulative weight bound exceeds uniformHash(key, salt).
     * Pure function of (key, salt) — the same row lands in the same split

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.thetaDescriptors.foreach(e.injectFunction)
     GraftExtensions.vectorAggDescriptors.foreach(e.injectFunction)
     GraftExtensions.bloomDescriptors.foreach(e.injectFunction)
+    GraftExtensions.cmsDescriptors.foreach(e.injectFunction)
   }
 }
 
@@ -97,6 +98,18 @@ object GraftExtensions {
         (es: Seq[Expression]) => B.buildContains(es)))
   }
 
+  private[plans] val cmsDescriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import graft.functions.{CountMin => C}
+    Seq(
+      (FunctionIdentifier("cms_agg"),
+        new ExpressionInfo(classOf[graft.functions.CountMinAgg].getName, "cms_agg"),
+        (es: Seq[Expression]) => C.buildAgg(es)),
+      (FunctionIdentifier("cms_estimate"),
+        new ExpressionInfo(classOf[graft.functions.CountMinEstimate].getName, "cms_estimate"),
+        (es: Seq[Expression]) => C.buildEstimate(es)))
+  }
+
   /** Register everything on a live session (idempotent). */
   def install(spark: SparkSession): Unit = {
     RollingHash.register(spark)
@@ -106,5 +119,6 @@ object GraftExtensions {
     graft.functions.ThetaSketch.register(spark)
     graft.functions.VectorAgg.register(spark)
     graft.functions.BloomFilter.register(spark)
+    graft.functions.CountMin.register(spark)
   }
 }

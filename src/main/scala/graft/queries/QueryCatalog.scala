@@ -2089,6 +2089,57 @@ object QueryCatalog {
       WHERE o.o_orderpriority = '1-URGENT'
       GROUP BY 1"""))
 
+  /** Weighted sampling under the oracle (`Corpus.weightedSampleKey`,
+    * Efraimidis–Spirakis): top-50 documents by u^(1/n_chars). BOTH
+    * engines rank the r6-ROUNDED key with a doc_id tiebreak — pow isn't
+    * correctly rounded, so ranking raw keys could let a last-ulp
+    * difference swap the 50th row. The top-k itself is the q09
+    * TakeOrderedAndProject shape. */
+  private val q62 = Q(
+    "q62_weighted_sample",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        r(graft.ops.Corpus.weightedSampleKey(
+          col("doc_id"), col("n_chars"), "graft-ws"), 6).as("wk"))
+      .orderBy(col("wk").desc, col("doc_id").asc)
+      .limit(50),
+    Some("""
+      WITH u AS (
+        SELECT doc_id, n_chars,
+          (('0x' || substr(md5(doc_id::VARCHAR || 'graft-ws'), 1, 15))::BIGINT)::DOUBLE
+            / 1152921504606846976 AS uh
+        FROM documents)
+      SELECT doc_id, n_chars,
+        floor(pow(uh, 1.0/n_chars)*1000000 + 0.5)/1000000 AS wk
+      FROM u
+      ORDER BY wk DESC, doc_id ASC
+      LIMIT 50"""))
+
+  /** Temperature-balanced mixing under the oracle
+    * (`Corpus.temperatureSample`): per-lang keep rate sqrt(n_min/n_l)
+    * (exact division + correctly-rounded sqrt = bit-identical rates both
+    * engines) applied via the md5 uniform — en (218 docs) is downsampled
+    * ~1.8x toward fr (64), the others barely. A hash-match proves the
+    * whole data-derived-rates → deterministic-filter composition. */
+  private val q63 = Q(
+    "q63_temperature_sample",
+    (s, d) => graft.ops.Corpus.temperatureSample(
+      Tables.documents(s, d), "lang", col("doc_id"), "graft-temp")
+      .select(col("doc_id"), col("lang"), r(col("sample_rate"), 6).as("rate")),
+    Some("""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      m AS (SELECT min(n) AS nmin FROM c),
+      rates AS (SELECT lang, sqrt(nmin::DOUBLE / n) AS sample_rate FROM c, m),
+      u AS (
+        SELECT doc_id, lang,
+          (('0x' || substr(md5(doc_id::VARCHAR || 'graft-temp'), 1, 15))::BIGINT)::DOUBLE
+            / 1152921504606846976 AS uh
+        FROM documents)
+      SELECT u.doc_id, u.lang,
+        floor(sample_rate*1000000 + 0.5)/1000000 AS rate
+      FROM u JOIN rates USING (lang)
+      WHERE uh < sample_rate"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -2098,7 +2149,7 @@ object QueryCatalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61)
+    q61, q62, q63)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -145,6 +145,34 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample downweights the dominant stratum toward the smallest") {
+    import org.apache.spark.sql.functions._
+    val df = ((1 to 800).map(i => (i.toLong, "big")) ++
+      (1 to 200).map(i => (i.toLong + 1000, "small"))).toDF("k", "s")
+    val kept = graft.ops.Corpus.temperatureSample(df, "s", col("k"), "t1")
+    val counts = kept.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rates: big = sqrt(200/800) = 0.5, small = 1.0
+    assert(counts("small") == 200L, counts.toString) // rate 1.0 keeps all
+    assert(math.abs(counts("big") - 400L) < 60, counts.toString) // ~0.5 of 800
+    // deterministic: same salt, same sample
+    assert(kept.collect().map(_.getLong(1)).sorted.toSeq ==
+      graft.ops.Corpus.temperatureSample(df, "s", col("k"), "t1")
+        .collect().map(_.getLong(1)).sorted.toSeq)
+  }
+
+  test("weightedSampleKey favors heavier rows in the top-k") {
+    import org.apache.spark.sql.functions._
+    // weights 1 vs 100: heavy rows should dominate the top-50 of 1000
+    val df = (1 to 1000).map(i => (i.toLong, if (i <= 500) 1.0 else 100.0)).toDF("k", "w")
+    val top = df.select(col("k"),
+        graft.ops.Corpus.weightedSampleKey(col("k"), col("w"), "ws1").as("wk"))
+      .orderBy(col("wk").desc, col("k").asc).limit(50)
+      .collect().map(_.getLong(0))
+    val heavy = top.count(_ > 500)
+    assert(heavy >= 45, s"only $heavy/50 heavy rows in a 100:1 weighted sample")
+  }
+
   test("crossCorpusContamination counts exactly the spans present in the reference") {
     import org.apache.spark.sql.functions.col
     val train = Seq(
