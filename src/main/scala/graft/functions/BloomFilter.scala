@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XxHash64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 /** Mergeable Bloom filter as a `TypedImperativeAggregate` — the broadcast
@@ -96,7 +96,11 @@ object BloomFilter {
 
   private[graft] def buildContains(exprs: Seq[Expression]): Expression = {
     DistinctSketch.arity(exprs, "bloom_might_contain", 2, 2)
-    BloomMightContain(exprs.head, exprs(1))
+    // hash via the codegen'd catalyst XxHash64 (same seed-42 single-value
+    // semantics as the aggregate's XxHash64Function.hash), so the whole
+    // probe stays inside whole-stage codegen — an eval-only value hash
+    // here costs ~3x on a scan-wide filter (observed on q61)
+    BloomMightContain(exprs.head, XxHash64(Seq(exprs(1)), 42L))
   }
 
   def bloom_agg(c: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =
@@ -161,17 +165,21 @@ case class BloomAgg(
     copy(child = newChildren.head)
 }
 
-/** `bloom_might_contain(sketch, value)` — hashes `value` with the same
-  * seed as the aggregate and probes the serialized filter. Eval-only
-  * (CodegenFallback): the hash dominates and is a single call. */
+/** `bloom_might_contain(sketch, hash)` — probes the serialized filter
+  * with an already-hashed value (the builder wraps the user's value in a
+  * codegen'd XxHash64, seed 42, matching the aggregate). Fully codegen'd:
+  * the generated stage calls the static probe directly, keeping a
+  * scan-wide bloom filter inside whole-stage codegen. */
 case class BloomMightContain(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
-  override protected def nullSafeEval(sketch: Any, value: Any): Any =
+  override protected def nullSafeEval(sketch: Any, hash: Any): Any =
     BloomFilter.mightContain(
-      sketch.asInstanceOf[Array[Byte]],
-      XxHash64Function.hash(value, right.dataType, 42L))
+      sketch.asInstanceOf[Array[Byte]], hash.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (sk, h) => s"graft.functions.BloomFilter.mightContain($sk, $h)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(left = newLeft, right = newRight)

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XxHash64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 /** Count-Min sketch (Cormode & Muthukrishnan 2005) as a
@@ -94,7 +94,8 @@ object CountMin {
 
   private[graft] def buildEstimate(exprs: Seq[Expression]): Expression = {
     DistinctSketch.arity(exprs, "cms_estimate", 2, 2)
-    CountMinEstimate(exprs.head, exprs(1))
+    // codegen'd XxHash64 wrap, same pattern (and reason) as BloomFilter
+    CountMinEstimate(exprs.head, XxHash64(Seq(exprs(1)), 42L))
   }
 
   def cms_agg(c: Column, width: Int = 2048, depth: Int = 4): Column =
@@ -159,15 +160,19 @@ case class CountMinAgg(
     copy(child = newChildren.head)
 }
 
-/** `cms_estimate(sketch, value)` — min-across-rows point estimate. */
+/** `cms_estimate(sketch, hash)` — min-across-rows point estimate; the
+  * builder wraps the queried value in a codegen'd XxHash64 (seed 42,
+  * matching the aggregate), so probes stay in whole-stage codegen. */
 case class CountMinEstimate(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
-  override protected def nullSafeEval(sketch: Any, value: Any): Any =
+  override protected def nullSafeEval(sketch: Any, hash: Any): Any =
     CountMin.estimate(
-      sketch.asInstanceOf[Array[Byte]],
-      XxHash64Function.hash(value, right.dataType, 42L))
+      sketch.asInstanceOf[Array[Byte]], hash.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (sk, h) => s"graft.functions.CountMin.estimate($sk, $h)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CountMinEstimate =
     copy(left = newLeft, right = newRight)
