@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.vectorAggDescriptors.foreach(e.injectFunction)
     GraftExtensions.bloomDescriptors.foreach(e.injectFunction)
     GraftExtensions.cmsDescriptors.foreach(e.injectFunction)
+    e.injectFunction(GraftExtensions.zValueDescriptor)
   }
 }
 
@@ -110,6 +111,12 @@ object GraftExtensions {
         (es: Seq[Expression]) => C.buildEstimate(es)))
   }
 
+  private[plans] val zValueDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("z_value"),
+    new ExpressionInfo(classOf[graft.functions.ZValue].getName, "z_value"),
+    (exprs: Seq[Expression]) => graft.functions.ZValue(exprs.head, exprs(1)))
+
   /** Register everything on a live session (idempotent). */
   def install(spark: SparkSession): Unit = {
     RollingHash.register(spark)
@@ -120,5 +127,6 @@ object GraftExtensions {
     graft.functions.VectorAgg.register(spark)
     graft.functions.BloomFilter.register(spark)
     graft.functions.CountMin.register(spark)
+    graft.functions.ZOrder.register(spark)
   }
 }

@@ -112,6 +112,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("z_value interleaves correctly and clusters aligned quadrants") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ZOrder
+    ZOrder.register(spark)
+    // exact interleave vs a naive bit model
+    def naive(a: Long, b: Long): Long =
+      (0 until 31).foldLeft(0L)((z, i) =>
+        z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+    val pts = for (a <- 0L to 40L; b <- 0L to 40L if (a + b) % 7 == 0) yield (a, b)
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.z_value(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (a, b) => assert(got((a, b)) == naive(a, b)) }
+    // locality: two points share a z-prefix above 2k bits iff they share
+    // the 2^k-aligned quadrant in BOTH dimensions
+    for (((a1, b1), z1) <- got; ((a2, b2), z2) <- got; k <- Seq(2, 4)) {
+      val sameQuad = (a1 >> k) == (a2 >> k) && (b1 >> k) == (b2 >> k)
+      assert(((z1 >> (2 * k)) == (z2 >> (2 * k))) == sameQuad,
+        s"($a1,$b1) vs ($a2,$b2) at k=$k")
+    }
+  }
+
   test("percentile_approx tracks the exact percentiles q50 computes (the documented 100TB swap)") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sf())
