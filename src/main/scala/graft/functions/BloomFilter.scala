@@ -127,6 +127,8 @@ case class BloomAgg(
   extends TypedImperativeAggregate[BloomFilter.Buffer] {
 
   require(numBits >= 64, "numBits must be >= 64")
+  require(numBits <= (1 << 30),
+    s"numBits $numBits > 2^30 (128 MB) — (numBits + 63) would overflow Int past that")
   require(numHashes >= 1 && numHashes <= 16, "numHashes must be in [1,16]")
 
   override def children: Seq[Expression] = Seq(child)

@@ -123,6 +123,10 @@ case class CountMinAgg(
 
   require(width >= 16, "width must be >= 16")
   require(depth >= 1 && depth <= 16, "depth must be in [1,16]")
+  // cap the buffer BEFORE Int arithmetic can wrap: width*depth longs;
+  // 2^26 longs = 512 MB per buffer is already past any sane sizing
+  require(width.toLong * depth <= (1L << 26),
+    s"cms sketch too large: width*depth = ${width.toLong * depth} > 2^26")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

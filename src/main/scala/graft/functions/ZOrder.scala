@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -52,9 +52,19 @@ object ZOrder {
   def z_value(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("z_value", a, b)
 
+  /** Builder-level int->long widening (the RollingHash toStringExpr
+    * pattern — ExpectsInputTypes isn't implementable outside the sql
+    * package): without it, IntegerType inputs like datediff() work under
+    * codegen (Java widens) but throw ClassCastException on the
+    * interpreted path, e.g. during constant folding. */
+  private[graft] def toLongExpr(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  private[graft] def build(exprs: Seq[Expression]): Expression = {
+    DistinctSketch.arity(exprs, "z_value", 2, 2)
+    ZValue(toLongExpr(exprs.head), toLongExpr(exprs(1)))
+  }
+
   def register(spark: SparkSession): Unit =
-    DistinctSketch.createIfAbsent(spark, "z_value", exprs => {
-      DistinctSketch.arity(exprs, "z_value", 2, 2)
-      ZValue(exprs.head, exprs(1))
-    })
+    DistinctSketch.createIfAbsent(spark, "z_value", build)
 }

@@ -171,6 +171,14 @@ object Core {
     require(Set("inner", "semi", "leftsemi", "left_semi")
       .contains(joinType.toLowerCase),
       s"bloomReducedJoin requires an unmatched-fact-dropping join type, got $joinType")
+    // xxhash64(1: Int) != xxhash64(1: Long): if the key types differ the
+    // plain join would coerce-and-match while every bloom probe missed —
+    // a silently (near-)empty result. Refuse loudly instead.
+    val ft = fact.schema(key).dataType
+    val dt = dim.schema(key).dataType
+    require(ft == dt,
+      s"bloomReducedJoin: key '$key' types differ (fact $ft vs dim $dt) — " +
+        "hashes would disagree and drop true matches; cast one side first")
     graft.functions.BloomFilter.register(fact.sparkSession)
     // The sketch is a SCALAR: collect the one row and embed the bytes as
     // a literal (the IVF-centroids pattern — a bounded driver value, not

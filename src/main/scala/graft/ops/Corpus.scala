@@ -67,7 +67,14 @@ object Corpus {
     * IEEE-correctly-rounded, so raw keys can differ in the last ulp
     * across engines). */
   def weightedSampleKey(keyCol: Column, weightCol: Column, salt: String = "graft"): Column =
-    pow(uniformHash(keyCol, salt), lit(1.0) / weightCol.cast("double"))
+    // a non-positive weight would silently INVERT the sample (u^negative
+    // > 1 outranks everything; w=0 gives key 0) — raise loudly instead,
+    // matching assignSplit's weight validation (which can require() on
+    // literals; this weight is a data column, so the guard is per-row)
+    when(weightCol > 0,
+      pow(uniformHash(keyCol, salt), lit(1.0) / weightCol.cast("double")))
+      .otherwise(raise_error(concat(
+        lit("weightedSampleKey: non-positive weight "), weightCol.cast("string"))))
 
   /** Temperature-balanced corpus mixing (the multilingual-pretraining
     * move): per-stratum keep rate (n_min/n_s)^0.5 — the dominant stratum

@@ -211,14 +211,19 @@ object Text {
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gh"))
     val a = grams(corpus)
     val refSet = grams(reference).select("gh").distinct()
-    val perDoc = a.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
-    val hits = a.join(refSet, Seq("gh"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    perDoc.join(hits, Seq("doc_id"), "left")
+    // ONE pass over the train grams: mark hits with a left join against
+    // the (unique-keyed, so cardinality-preserving) reference set, then
+    // count total and marked in a single doc-keyed aggregate. Two
+    // separate aggregates would re-run the tokenize/shingle/explode scan
+    // — the dominant cost at the operator's scale target — twice.
+    a.join(refSet.withColumn("__hit", lit(1)), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(col("__hit")).as("n_contaminated"))
       .select(
-        col("doc_id"), col("n_spans"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_spans"))
+        col("doc_id"), col("n_spans"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_spans"))
           .as("contaminated_frac"))
   }
 

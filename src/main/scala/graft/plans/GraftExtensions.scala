@@ -115,7 +115,7 @@ object GraftExtensions {
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("z_value"),
     new ExpressionInfo(classOf[graft.functions.ZValue].getName, "z_value"),
-    (exprs: Seq[Expression]) => graft.functions.ZValue(exprs.head, exprs(1)))
+    (exprs: Seq[Expression]) => graft.functions.ZOrder.build(exprs))
 
   /** Register everything on a live session (idempotent). */
   def install(spark: SparkSession): Unit = {

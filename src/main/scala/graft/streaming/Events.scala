@@ -287,6 +287,16 @@ object Events {
       left: DataFrame, right: DataFrame, key: String = "user_id",
       wmDelay: String = "10 minutes",
       before: String = "5 minutes", after: String = "5 minutes"): DataFrame = {
+    Seq(key, "ts").foreach { c =>
+      require(left.columns.contains(c) && right.columns.contains(c),
+        s"intervalJoinStreams: both sides need a '$c' column")
+    }
+    // the rename reserves the r_ namespace; a left column already named
+    // r_<rightCol> (e.g. chaining two interval joins) would make the join
+    // condition ambiguous or the key drop remove both copies
+    val clash = left.columns.toSet.intersect(right.columns.map("r_" + _).toSet)
+    require(clash.isEmpty,
+      s"intervalJoinStreams: left side already has reserved column(s) ${clash.mkString(", ")} — rename before joining")
     val l = left.withWatermark("ts", wmDelay)
     val r = right.toDF(right.columns.map("r_" + _).toIndexedSeq: _*)
       .withWatermark("r_ts", wmDelay)
@@ -319,37 +329,59 @@ object Events {
       }
       .start()
 
+  /** Resolve the upsert target's current state: (lastBatchId, dataDir).
+    * The `_current` pointer file ("<batchId> <dirName>") is the single
+    * source of truth; its update is an atomic same-directory rename, so a
+    * crash at ANY point leaves either the old pointer (old data intact +
+    * batchId unadvanced → the replayed batch re-applies cleanly) or the
+    * new pointer (new data complete) — never a half state. */
+  private[graft] def currentUpsertState(targetDir: String): (Long, Option[java.io.File]) = {
+    val ptr = new java.io.File(targetDir, "_current")
+    if (!ptr.exists) (-1L, None)
+    else {
+      val src = scala.io.Source.fromFile(ptr)
+      val parts = try src.mkString.trim.split(" ", 2) finally src.close()
+      (parts(0).toLong, Some(new java.io.File(targetDir, parts(1))))
+    }
+  }
+
+  /** Read the upsert target's current contents (for consumers/tests). */
+  def readUpsertTarget(spark: org.apache.spark.sql.SparkSession, targetDir: String): DataFrame =
+    currentUpsertState(targetDir) match {
+      case (_, Some(d)) => spark.read.parquet(d.getPath)
+      case _ => throw new IllegalStateException(s"no upsert state at $targetDir")
+    }
+
   /** One foreachBatch application, exposed for direct replay testing. */
   private[graft] def applyUpsertBatch(
       batch: DataFrame, batchId: Long, targetDir: String,
       keys: Seq[String], order: Seq[String]): Unit = {
     val dir = new java.io.File(targetDir)
     dir.mkdirs()
-    val idFile = new java.io.File(dir, "_last_batch_id")
-    val last =
-      if (idFile.exists) {
-        val src = scala.io.Source.fromFile(idFile)
-        try src.mkString.trim.toLong finally src.close()
-      } else -1L
+    val (last, curData) = currentUpsertState(targetDir)
     if (batchId <= last) return // replayed batch: already applied
     val spark = batch.sparkSession
-    val dataDir = new java.io.File(dir, "data")
     val orderCols = order.map(col)
-    val merged =
-      if (dataDir.exists)
-        graft.ops.Core.upsert(spark.read.parquet(dataDir.getPath), batch, keys, orderCols)
-      else graft.ops.Core.dedupLatest(batch, keys, orderCols)
-    // materialize into a fresh dir, then swap — the read above is lazy, so
-    // writing over dataDir in place would read-while-overwriting
-    val tmp = new java.io.File(dir, s"data_batch_$batchId")
-    merged.write.mode("overwrite").parquet(tmp.getPath)
+    val merged = curData match {
+      case Some(d) =>
+        graft.ops.Core.upsert(spark.read.parquet(d.getPath), batch, keys, orderCols)
+      case None => graft.ops.Core.dedupLatest(batch, keys, orderCols)
+    }
+    // write the new state beside the old, then flip the pointer atomically
+    // (same-filesystem rename); only then drop the old dir. A crash before
+    // the flip leaves the old pointer+data; after it, the new.
+    val next = new java.io.File(dir, s"data_batch_$batchId")
+    merged.write.mode("overwrite").parquet(next.getPath)
+    val ptrTmp = new java.io.File(dir, "_current.tmp")
+    val w = new java.io.PrintWriter(ptrTmp)
+    try w.print(s"$batchId ${next.getName}") finally w.close()
+    val ptr = new java.io.File(dir, "_current")
+    if (ptr.exists) ptr.delete() // Windows-compat; POSIX rename replaces anyway
+    require(ptrTmp.renameTo(ptr), s"pointer flip failed: $ptrTmp -> $ptr")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
     }
-    if (dataDir.exists) rm(dataDir)
-    require(tmp.renameTo(dataDir), s"swap failed: $tmp -> $dataDir")
-    val w = new java.io.PrintWriter(idFile)
-    try w.print(batchId) finally w.close()
+    curData.filter(_.exists).foreach(rm)
   }
 
   /** Custom-state sessionization: per-user running aggregate that emits a

@@ -90,6 +90,13 @@ class BloomFilterSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.ops.Core.bloomReducedJoin(fact, dim, "k", joinType = "left")
     }
+    // mismatched key types hash differently (xxhash64(1:Int) != (1:Long))
+    // — must refuse instead of silently dropping every true match
+    val intFact = fact.withColumn("k", col("k").cast("int"))
+    val typeEx = intercept[IllegalArgumentException] {
+      graft.ops.Core.bloomReducedJoin(intFact, dim, "k")
+    }
+    assert(typeEx.getMessage.contains("types differ"))
   }
 
   test("bloom_agg rejects bad shapes with clear errors; mismatched merges refuse") {

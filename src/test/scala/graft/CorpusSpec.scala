@@ -125,6 +125,11 @@ class CorpusSpec extends SparkSpec {
       .select(col("a"), col("b"), ZOrder.z_value(col("a"), col("b")).as("z"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     pts.foreach { case (a, b) => assert(got((a, b)) == naive(a, b)) }
+    // IntegerType inputs must coerce, not ClassCastException on the
+    // interpreted path (constant folding evaluates this at plan time)
+    val folded = spark.range(1)
+      .select(ZOrder.z_value(lit(3), lit(4)).as("z")).head().getLong(0)
+    assert(folded == naive(3L, 4L))
     // locality: two points share a z-prefix above 2k bits iff they share
     // the 2^k-aligned quadrant in BOTH dimensions
     for (((a1, b1), z1) <- got; ((a2, b2), z2) <- got; k <- Seq(2, 4)) {
@@ -193,6 +198,14 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     val heavy = top.count(_ > 500)
     assert(heavy >= 45, s"only $heavy/50 heavy rows in a 100:1 weighted sample")
+    // a non-positive weight must raise, not silently invert the sample
+    val bad = Seq((1L, -1.0)).toDF("k", "w")
+    val ex = intercept[Exception] {
+      bad.select(graft.ops.Corpus.weightedSampleKey(col("k"), col("w"), "ws1")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("non-positive weight")), msgs(ex).mkString("; "))
   }
 
   test("crossCorpusContamination counts exactly the spans present in the reference") {

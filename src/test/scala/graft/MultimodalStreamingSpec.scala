@@ -449,7 +449,7 @@ class MultimodalStreamingSpec extends SparkSpec {
       Events.Ev(2L, Timestamp.valueOf("2024-01-01 00:01:00"), "c", 3.0))
     q.processAllAvailable()
     def state(): Map[Long, (String, Double)] =
-      spark.read.parquet(s"$target/data").collect()
+      Events.readUpsertTarget(spark, target).collect()
         .map(r => r.getAs[Long]("user_id") ->
           ((r.getAs[String]("event_type"), r.getAs[Double]("value")))).toMap
     assert(state() == Map(1L -> (("b", 2.0)), 2L -> (("c", 3.0))))

@@ -123,11 +123,18 @@ class PlanShapeSpec extends SparkSpec {
       val joined = spark.table("bk_customer").join(
         spark.table("bk_orders"), col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
-      val n = joined.count()
+      // collect() drives THIS Dataset's QueryExecution (count() would
+      // build a different one), so the AQE-finalized plan is inspectable
+      val n = joined.collect().length.toLong
       val plan = joined.queryExecution.executedPlan.toString
       // co-located: the join AND the groupBy on the bucket key reuse the
-      // write-time layout — no runtime exchange anywhere in the plan
-      assert(!plan.contains("ShuffleExchange"), plan)
+      // write-time layout — no runtime exchange of ANY kind in the plan.
+      // The shuffle node prints as "Exchange hashpartitioning(...)" (its
+      // nodeName is "Exchange", not "ShuffleExchange") and broadcast is
+      // off via the -1 threshold, so any "Exchange" occurrence is a
+      // regression.
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
       assert(n == cust.join(ords, col("c_custkey") === col("o_custkey"))
         .select("c_custkey").distinct().count())
     } finally {
