@@ -144,6 +144,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q52: redaction is pure map work — zero exchanges, one codegen stage") {
+    val p = plan("q52_redact_pii")
+    assert(!p.contains("Exchange"), p)
+    // "*(n)" is executedPlan.toString's whole-stage-codegen marker
+    assert(p.contains("*(1) Project"), p)
+    // and only the two consumed columns reach the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), p)
+  }
+
+  test("q54: incremental dedup anti-joins on the fingerprint, no sort-merge") {
+    // at fixture scale the distinct prior-fingerprint side broadcasts;
+    // the anti join must be a hash join form, never a nested loop
+    val p = plan("q54_incremental_dedup")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("queries and oracles are consistently keyed") {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
