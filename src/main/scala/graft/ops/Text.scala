@@ -328,19 +328,16 @@ object Text {
     * re-evaluate it (the q21 inlining trap needs nested lambdas). */
   def dupNgramFraction(text: Column, n: Int = 3): Column = {
     // Let-binding via single-element array + transform: a lambda variable
-    // is a BOUND VALUE, so tokens(text) and the shingle array are each
-    // evaluated exactly once per row. The naive form re-tokenized per
-    // shingle element (CollapseProject inlines expressions into lambda
-    // bodies) and rebuilt the shingle array per use — ~500x the work,
-    // observed as a 13 s bench outlier at sf0.1.
-    val frac = transform(array(tokens(text)), toks =>
-      element_at(
-        transform(array(shingles(toks, n)), sh =>
-          when(size(sh) > 0,
-            lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
-            .otherwise(lit(0.0))),
-        1))
-    element_at(frac, 1)
+    // is a BOUND VALUE, so the shingle array is evaluated exactly once
+    // per row despite its three uses below (the naive form rebuilt it per
+    // use and re-tokenized per element — a 13 s bench outlier at sf0.1;
+    // `shingles` itself binds the token array, see its doc).
+    element_at(
+      transform(array(shingles(tokens(text), n)), sh =>
+        when(size(sh) > 0,
+          lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+          .otherwise(lit(0.0))),
+      1)
   }
 
   /** Gopher-style top-token concentration: per doc, the fraction of tokens

@@ -1874,6 +1874,17 @@ object QueryCatalog {
       WHERE rn = 1 AND NOT EXISTS (
         SELECT 1 FROM d p WHERE p.doc_id % 2 = 0 AND p.content = inc.content)"""))
 
+  /** Shared DuckDB CTE: (doc_id, pos, gram) 8-token spans over the
+    * documents table — interpolated verbatim into the q55/q56/q58 twins
+    * so the three span derivations stay definitionally identical. */
+  private val GramCte8 = """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i))"""
+
   /** Cross-doc repeated 8-token spans under the oracle
     * (`Text.repeatedSpans`, the Lee et al. exact-substring-dedup
     * primitive). Spark groups on xxhash64 span hashes (the scale path);
@@ -1884,13 +1895,7 @@ object QueryCatalog {
     "q55_repeated_spans",
     (s, d) => graft.ops.Text.repeatedSpans(
       Tables.documents(s, d), n = 8, minDocs = 2),
-    Some("""
-      WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      g AS (
-        SELECT doc_id, i AS pos,
-          array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
-        FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+    Some(s"""$GramCte8,
       rep AS (
         SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
@@ -1907,13 +1912,7 @@ object QueryCatalog {
       graft.ops.Text.repeatedSpans(Tables.documents(s, d), n = 8, minDocs = 2)
         .select(col("doc_id"), col("pos")),
       n = 8),
-    Some("""
-      WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      g AS (
-        SELECT doc_id, i AS pos,
-          array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
-        FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+    Some(s"""$GramCte8,
       rep AS (
         SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
       hits AS (
@@ -1987,13 +1986,7 @@ object QueryCatalog {
         .select(col("doc_id"), col("n_spans"), col("n_contaminated"),
           r(col("contaminated_frac"), 6).as("contaminated_frac"))
     },
-    Some("""
-      WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      g AS (
-        SELECT doc_id, i AS pos,
-          array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
-        FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+    Some(s"""$GramCte8,
       a AS (SELECT * FROM g WHERE doc_id % 2 = 1),
       refg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
       per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM a GROUP BY 1),

@@ -124,8 +124,6 @@ class CoreSpec extends SparkSpec {
       Core.rangeJoin(points, wide, "p", "s", "e", bucketWidth = 10L, maxBucketsPerInterval = 64L)
         .collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("maxBucketsPerInterval")), msgs(ex).mkString("; "))
     intercept[IllegalArgumentException] {
       Core.rangeJoin(points, Seq((1L, 0L, 9L)).toDF("p", "s", "e"), "p", "s", "e", 10L)

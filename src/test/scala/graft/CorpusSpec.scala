@@ -203,8 +203,6 @@ class CorpusSpec extends SparkSpec {
     val ex = intercept[Exception] {
       bad.select(graft.ops.Corpus.weightedSampleKey(col("k"), col("w"), "ws1")).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("non-positive weight")), msgs(ex).mkString("; "))
   }
 

@@ -404,8 +404,6 @@ class MultimodalStreamingSpec extends SparkSpec {
     val ex = intercept[Exception] {
       Events.sessionizeBatch(dup, gapMs = 60000, strict = true).count()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("duplicate (user_id, ts, event_id)")), msgs(ex).mkString("; "))
   }
 

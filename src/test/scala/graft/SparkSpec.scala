@@ -7,6 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Every message down the cause chain — Spark wraps raise_error /
+    * require failures in SparkException layers, so asserts on error text
+    * must search the whole chain. */
+  def msgs(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
 }
 
 object SparkSpec {
