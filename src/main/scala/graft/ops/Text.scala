@@ -415,22 +415,21 @@ object Text {
         .join(labels.withColumnRenamed("node", "b"), Seq("b"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr_min"))
         .withColumnRenamed("a", "node")
+      // carry the pre-step label through so the convergence check is a
+      // filter on the (already checkpointed) frame — not a per-iteration
+      // shuffle join back against the previous labels
       val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("__prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
       val jumped = stepped.as("x")
         .join(
           stepped.select(col("node").as("jn"), col("label").as("jl")).as("j"),
           col("x.label") === col("j.jn"), "left")
-        .select(col("x.node").as("node"),
+        .select(col("x.node").as("node"), col("x.__prev").as("__prev"),
           coalesce(col("j.jl"), col("x.label")).as("label"))
         .localCheckpoint(true)
-      val changed = jumped
-        .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .filter(col("label") =!= col("prev"))
-        .limit(1).count()
-      converged = changed == 0L
-      labels = jumped
+      converged = jumped.filter(col("label") =!= col("__prev")).limit(1).count() == 0L
+      labels = jumped.drop("__prev")
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -281,12 +281,19 @@ object Events {
     * two things Spark needs to expire buffered join state instead of
     * holding both streams forever (state per side is bounded by
     * wmDelay + the interval width). Right-side columns come back prefixed
-    * `r_` so the output is unambiguous. Inner join: late events beyond
-    * the watermark are dropped, the at-scale contract. */
+    * `r_` so the output is unambiguous. Late events beyond the watermark
+    * are dropped — the at-scale contract. `joinType` "inner" (default)
+    * emits matches only; "left_outer" additionally emits each unmatched
+    * left event with null right columns once the watermark proves no
+    * match can still arrive (the funnel/abandonment shape: clicks that
+    * never converted). */
   def intervalJoinStreams(
       left: DataFrame, right: DataFrame, key: String = "user_id",
       wmDelay: String = "10 minutes",
-      before: String = "5 minutes", after: String = "5 minutes"): DataFrame = {
+      before: String = "5 minutes", after: String = "5 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"intervalJoinStreams supports inner/left_outer, got $joinType")
     Seq(key, "ts").foreach { c =>
       require(left.columns.contains(c) && right.columns.contains(c),
         s"intervalJoinStreams: both sides need a '$c' column")
@@ -303,7 +310,8 @@ object Events {
     l.join(r,
       col(key) === col(s"r_$key") &&
         col("r_ts") >= col("ts") - expr(s"INTERVAL $before") &&
-        col("r_ts") <= col("ts") + expr(s"INTERVAL $after"))
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $after"),
+      joinType)
       .drop(s"r_$key")
   }
 

@@ -432,6 +432,33 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, "click", "imp", 2.0)), rows.mkString(", "))
   }
 
+  test("intervalJoinStreams left_outer: unmatched clicks emit with nulls after the watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ls = MemoryStream[Events.Ev]
+    val rs = MemoryStream[Events.Ev]
+    val joined = Events.intervalJoinStreams(
+      ls.toDF(), rs.toDF(), key = "user_id",
+      wmDelay = "0 seconds", before = "1 minutes", after = "1 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_lo").outputMode("append").start()
+    ls.addData(
+      Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),  // will match
+      Events.Ev(2L, Timestamp.valueOf("2024-01-01 00:10:00"), "click", 2.0))  // never matches
+    rs.addData(Events.Ev(1L, Timestamp.valueOf("2024-01-01 00:10:30"), "imp", 3.0))
+    q.processAllAvailable()
+    // advance both watermarks far past the join window so the unmatched
+    // left row is provably unmatchable and gets emitted with nulls
+    ls.addData(Events.Ev(9L, Timestamp.valueOf("2024-01-01 06:00:00"), "x", 0.0))
+    rs.addData(Events.Ev(9L, Timestamp.valueOf("2024-01-01 07:00:00"), "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, r_event_type FROM ssj_lo WHERE event_type = 'click'")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((1L, Some("imp")), (2L, None)), rows.toString)
+  }
+
   test("upsertSink: foreachBatch latest-wins upsert is idempotent under batch replay") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
