@@ -161,6 +161,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("the full custom-function surface is usable from pure SQL") {
+    graft.plans.GraftExtensions.install(spark)
+    graft.sources.Tables.documents(spark, sf()).createOrReplaceTempView("sql_docs")
+    val row = spark.sql("""
+      SELECT
+        hll_distinct(doc_id) AS n_docs,
+        theta_estimate(theta_sketch(lang)) AS n_langs,
+        cms_estimate(cms_agg(lang), 'en') AS en_freq,
+        bloom_might_contain(bloom_agg(lang), 'en') AS has_en,
+        z_value(42, 7) AS z,
+        rolling_hash('abc') AS rh,
+        vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        vec_norm(array(3.0d, 4.0d)) AS nrm
+      FROM sql_docs""").head()
+    val docs = graft.sources.Tables.documents(spark, sf())
+    assert(row.getAs[Long]("n_docs") == docs.count())
+    assert(row.getAs[Double]("n_langs") == 5.0)
+    assert(row.getAs[Long]("en_freq") ==
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count())
+    assert(row.getAs[Boolean]("has_en"))
+    assert(row.getAs[Long]("z") == graft.functions.ZOrder.interleave(42L, 7L))
+    assert(row.getAs[Double]("dot") == 11.0 && row.getAs[Double]("nrm") == 5.0)
+  }
+
   test("queries and oracles are consistently keyed") {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
