@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XxHash64, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, If, IsNull, Literal, XxHash64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -99,8 +99,13 @@ object BloomFilter {
     // hash via the codegen'd catalyst XxHash64 (same seed-42 single-value
     // semantics as the aggregate's XxHash64Function.hash), so the whole
     // probe stays inside whole-stage codegen — an eval-only value hash
-    // here costs ~3x on a scan-wide filter (observed on q61)
-    BloomMightContain(exprs.head, XxHash64(Seq(exprs(1)), 42L))
+    // here costs ~3x on a scan-wide filter (observed on q61). XxHash64
+    // itself is non-nullable (a NULL child hashes to the bare seed, which
+    // would probe a REAL bit), so null is short-circuited explicitly:
+    // probing NULL yields NULL, matching the aggregate's null-skip.
+    val v = exprs(1)
+    BloomMightContain(exprs.head,
+      If(IsNull(v), Literal.create(null, LongType), XxHash64(Seq(v), 42L)))
   }
 
   def bloom_agg(c: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =

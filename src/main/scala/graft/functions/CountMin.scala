@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XxHash64, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, If, IsNull, Literal, XxHash64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -94,8 +94,12 @@ object CountMin {
 
   private[graft] def buildEstimate(exprs: Seq[Expression]): Expression = {
     DistinctSketch.arity(exprs, "cms_estimate", 2, 2)
-    // codegen'd XxHash64 wrap, same pattern (and reason) as BloomFilter
-    CountMinEstimate(exprs.head, XxHash64(Seq(exprs(1)), 42L))
+    // codegen'd XxHash64 wrap, same pattern (and reasons — including the
+    // explicit null short-circuit) as BloomFilter.buildContains: a NULL
+    // key must estimate NULL, not the frequency of hash(seed)
+    val v = exprs(1)
+    CountMinEstimate(exprs.head,
+      If(IsNull(v), Literal.create(null, LongType), XxHash64(Seq(v), 42L)))
   }
 
   def cms_agg(c: Column, width: Int = 2048, depth: Int = 4): Column =

@@ -14,8 +14,9 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * is the full layout move. Native codegen'd expression; the 31-iteration
   * interleave loop compiles into the stage.
   *
-  * Inputs must be non-negative and < 2^31 (normalize first — day numbers,
-  * bucket ids, ranks all qualify); values beyond that fold into the same
+  * Inputs must be non-negative (negative values RAISE — see
+  * `ZOrder.interleave`) and < 2^31 (normalize first — day numbers,
+  * bucket ids, ranks all qualify); values past 2^31 fold into the same
   * curve position as their low 31 bits.
   */
 case class ZValue(left: Expression, right: Expression) extends BinaryExpression {
@@ -37,8 +38,15 @@ case class ZValue(left: Expression, right: Expression) extends BinaryExpression 
 object ZOrder {
   /** Interleave the low 31 bits: `a` occupies even bit positions, `b`
     * odd — a 62-bit non-negative z-value. Shared by interpreted eval and
-    * generated code. */
+    * generated code. Negative inputs raise: folding their low bits in
+    * would place the row near the curve's END (a negative long's low
+    * bits are mostly ones), silently scattering the layout that
+    * `sortedLayout(z)` exists to create — and datediff-style inputs CAN
+    * go negative on bad data. */
   def interleave(a: Long, b: Long): Long = {
+    if (a < 0 || b < 0)
+      throw new IllegalArgumentException(
+        s"z_value requires non-negative inputs, got ($a, $b) — shift/clamp first")
     var z = 0L
     var i = 0
     while (i < 31) {

@@ -74,7 +74,10 @@ object Corpus {
     when(weightCol > 0,
       pow(uniformHash(keyCol, salt), lit(1.0) / weightCol.cast("double")))
       .otherwise(raise_error(concat(
-        lit("weightedSampleKey: non-positive weight "), weightCol.cast("string"))))
+        lit("weightedSampleKey: non-positive weight "),
+        // concat null-propagates: an un-coalesced NULL weight would raise
+        // an error whose entire MESSAGE is null
+        coalesce(weightCol.cast("string"), lit("null")))))
 
   /** Temperature-balanced corpus mixing (the multilingual-pretraining
     * move): per-stratum keep rate (n_min/n_s)^0.5 — the dominant stratum

@@ -345,11 +345,20 @@ object Events {
     * new pointer (new data complete) — never a half state. */
   private[graft] def currentUpsertState(targetDir: String): (Long, Option[java.io.File]) = {
     val ptr = new java.io.File(targetDir, "_current")
-    if (!ptr.exists) (-1L, None)
-    else {
+    if (ptr.exists) {
       val src = scala.io.Source.fromFile(ptr)
       val parts = try src.mkString.trim.split(" ", 2) finally src.close()
       (parts(0).toLong, Some(new java.io.File(targetDir, parts(1))))
+    } else {
+      // legacy layout (_last_batch_id + data/, pre-pointer): honor it
+      // rather than silently treating accumulated state as empty
+      val legacyId = new java.io.File(targetDir, "_last_batch_id")
+      val legacyData = new java.io.File(targetDir, "data")
+      if (legacyId.exists && legacyData.exists) {
+        val src = scala.io.Source.fromFile(legacyId)
+        val id = try src.mkString.trim.toLong finally src.close()
+        (id, Some(legacyData))
+      } else (-1L, None)
     }
   }
 
@@ -383,9 +392,12 @@ object Events {
     val ptrTmp = new java.io.File(dir, "_current.tmp")
     val w = new java.io.PrintWriter(ptrTmp)
     try w.print(s"$batchId ${next.getName}") finally w.close()
-    val ptr = new java.io.File(dir, "_current")
-    if (ptr.exists) ptr.delete() // Windows-compat; POSIX rename replaces anyway
-    require(ptrTmp.renameTo(ptr), s"pointer flip failed: $ptrTmp -> $ptr")
+    // ATOMIC_MOVE replaces in one step — a delete-then-rename pair would
+    // open a crash window with NO pointer at all (state silently reset)
+    java.nio.file.Files.move(
+      ptrTmp.toPath, new java.io.File(dir, "_current").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
     }

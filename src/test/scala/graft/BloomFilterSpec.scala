@@ -99,6 +99,22 @@ class BloomFilterSpec extends SparkSpec {
     assert(typeEx.getMessage.contains("types differ"))
   }
 
+  test("probing NULL yields NULL, matching the aggregate's null-skip") {
+    BloomFilter.register(spark)
+    graft.functions.CountMin.register(spark)
+    val sk = Seq("a", "b").toDF("t").agg(
+      BloomFilter.bloom_agg(col("t"), 1 << 10, 5).as("bf"),
+      graft.functions.CountMin.cms_agg(col("t"), 64, 4).as("cm"))
+    // XxHash64 alone would hash NULL to the bare seed and probe a REAL
+    // bit/cell — the builders short-circuit null explicitly
+    val r = Seq(Option.empty[String]).toDF("v").crossJoin(broadcast(sk))
+      .select(
+        BloomFilter.bloom_might_contain(col("bf"), col("v")).as("b"),
+        graft.functions.CountMin.cms_estimate(col("cm"), col("v")).as("c"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("bloom_agg rejects bad shapes with clear errors; mismatched merges refuse") {
     BloomFilter.register(spark)
     val ex = intercept[Exception] {

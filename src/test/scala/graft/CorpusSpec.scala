@@ -130,6 +130,12 @@ class CorpusSpec extends SparkSpec {
     val folded = spark.range(1)
       .select(ZOrder.z_value(lit(3), lit(4)).as("z")).head().getLong(0)
     assert(folded == naive(3L, 4L))
+    // negative inputs raise (folding low bits would scatter the layout)
+    val zex = intercept[Exception] {
+      Seq((-1L, 2L)).toDF("a", "b")
+        .select(ZOrder.z_value(col("a"), col("b"))).collect()
+    }
+    assert(msgs(zex).exists(_.contains("non-negative")), msgs(zex).mkString("; "))
     // locality: two points share a z-prefix above 2k bits iff they share
     // the 2^k-aligned quadrant in BOTH dimensions
     for (((a1, b1), z1) <- got; ((a2, b2), z2) <- got; k <- Seq(2, 4)) {
