@@ -58,6 +58,19 @@ object Corpus {
     df.filter(uniformHash(keyCol, salt) < rate)
   }
 
+  /** Deterministic exactly-k-per-stratum sample: rank each stratum's rows
+    * by the md5 uniform (doc-id tiebreak) and keep the first k — the
+    * fixed-size eval-set / few-shot-pool draw. Same reproducibility
+    * contract as [[hashSample]] (pure function of key+salt, stable under
+    * reruns and engine changes) but with an EXACT per-stratum count
+    * instead of a rate. One window shuffle on the strata. */
+  def sampleKPerGroup(
+      df: DataFrame, strata: Seq[String], keyCol: Column, k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Core.topKPerGroup(df, strata, Seq(uniformHash(keyCol, salt).asc, keyCol.asc), k)
+  }
+
   /** Efraimidis–Spirakis weighted-sampling key: u^(1/w) with
     * u = uniformHash(key, salt). Taking the global (or per-group) top-k
     * rows by this key IS a weighted random sample without replacement —

@@ -2133,6 +2133,27 @@ object QueryCatalog {
       FROM u JOIN rates USING (lang)
       WHERE uh < sample_rate"""))
 
+  /** Exactly-k-per-stratum sampling under the oracle
+    * (`Corpus.sampleKPerGroup`): 20 docs per language ranked by the
+    * bit-identical md5 uniform with a doc_id tiebreak — the q08 window
+    * top-k shape driven by the q47 deterministic hash. */
+  private val q64 = Q(
+    "q64_sample_k_per_group",
+    (s, d) => graft.ops.Corpus.sampleKPerGroup(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      Seq("lang"), col("doc_id"), k = 20, salt = "graft-k"),
+    Some("""
+      WITH u AS (
+        SELECT doc_id, lang,
+          (('0x' || substr(md5(doc_id::VARCHAR || 'graft-k'), 1, 15))::BIGINT)::DOUBLE
+            / 1152921504606846976 AS uh
+        FROM documents),
+      r AS (
+        SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang ORDER BY uh ASC, doc_id ASC) AS rn
+        FROM u)
+      SELECT doc_id, lang FROM r WHERE rn <= 20"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -2142,7 +2163,7 @@ object QueryCatalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63)
+    q61, q62, q63, q64)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

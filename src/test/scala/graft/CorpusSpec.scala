@@ -178,6 +178,21 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("sampleKPerGroup draws exactly k per stratum, reproducibly") {
+    import org.apache.spark.sql.functions._
+    def run() = Corpus.sampleKPerGroup(docs, Seq("lang"), col("doc_id"), 10, "kpg")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val a = run()
+    assert(a == run(), "same salt must draw the identical sample")
+    val counts = Corpus.sampleKPerGroup(docs, Seq("lang"), col("doc_id"), 10, "kpg")
+      .groupBy("lang").count().collect().map(_.getLong(1))
+    assert(counts.length == 5 && counts.forall(_ == 10L), counts.mkString(","))
+    // a different salt draws a different set
+    val b = Corpus.sampleKPerGroup(docs, Seq("lang"), col("doc_id"), 10, "kpg2")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a != b)
+  }
+
   test("temperatureSample downweights the dominant stratum toward the smallest") {
     import org.apache.spark.sql.functions._
     val df = ((1 to 800).map(i => (i.toLong, "big")) ++

@@ -189,6 +189,6 @@ class PlanShapeSpec extends SparkSpec {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
     assert(os.subsetOf(qs))
-    assert(qs.size == 63)
+    assert(qs.size == 64)
   }
 }
