@@ -194,6 +194,44 @@ object Text {
         count(lit(1)).as("n_spans"))
   }
 
+  /** The Lee et al. removal step applied: rewrite each document with every
+    * merged cut interval from [[spanCutList]] deleted — the end of the
+    * exact-substring-dedup pipeline (flag spans → merge cuts → REWRITE).
+    * Removes ALL occurrences of a repeated span (the symmetric variant;
+    * keep-one-copy needs only a keeper filter on the span table first).
+    *
+    * Shape at scale: the token stream is O(total tokens) but never joins
+    * against itself — cuts are per-doc interval lists, tiny next to the
+    * corpus, so Spark broadcasts them and the interval test runs map-side
+    * as a residual on the doc_id hash join; each token matches at most one
+    * interval because [[spanCutList]] emits disjoint intervals. The only
+    * shuffle is the final doc_id reassembly aggregate, whose state is
+    * bounded by document length. Docs whose text tokenizes to nothing
+    * vanish (consistent with the tokenize-side pipelines).
+    *
+    * Positions are 1-based token indexes, `[cut_start, cut_end)` —
+    * exactly [[spanCutList]]'s output contract. */
+  def applyCutList(docs: DataFrame, cuts: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("token"))
+    val c = cuts.select(
+      col("doc_id").as("__cut_doc"), col("cut_start"), col("cut_end"))
+    toks
+      .join(c, col("doc_id") === col("__cut_doc") &&
+        col("pos") >= col("cut_start") && col("pos") < col("cut_end"), "left")
+      .filter(col("__cut_doc").isNull)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+  }
+
   /** Benchmark-contamination check — the cross-corpus form of
     * [[repeatedSpans]]: for every training document, how many of its
     * n-token spans also occur ANYWHERE in the reference corpus (the

@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.vectorAggDescriptors.foreach(e.injectFunction)
     GraftExtensions.bloomDescriptors.foreach(e.injectFunction)
     GraftExtensions.cmsDescriptors.foreach(e.injectFunction)
+    GraftExtensions.kllDescriptors.foreach(e.injectFunction)
     e.injectFunction(GraftExtensions.zValueDescriptor)
   }
 }
@@ -111,6 +112,21 @@ object GraftExtensions {
         (es: Seq[Expression]) => C.buildEstimate(es)))
   }
 
+  private[plans] val kllDescriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import graft.functions.{QuantileSketch => K}
+    Seq(
+      (FunctionIdentifier("kll_agg"),
+        new ExpressionInfo(classOf[graft.functions.KllAgg].getName, "kll_agg"),
+        (es: Seq[Expression]) => K.buildAgg(es)),
+      (FunctionIdentifier("kll_quantile"),
+        new ExpressionInfo(classOf[graft.functions.KllQuantile].getName, "kll_quantile"),
+        (es: Seq[Expression]) => K.buildQuantile(es)),
+      (FunctionIdentifier("kll_n"),
+        new ExpressionInfo(classOf[graft.functions.KllN].getName, "kll_n"),
+        (es: Seq[Expression]) => K.buildN(es)))
+  }
+
   private[plans] val zValueDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("z_value"),
@@ -127,6 +143,7 @@ object GraftExtensions {
     graft.functions.VectorAgg.register(spark)
     graft.functions.BloomFilter.register(spark)
     graft.functions.CountMin.register(spark)
+    graft.functions.QuantileSketch.register(spark)
     graft.functions.ZOrder.register(spark)
   }
 }

@@ -2154,6 +2154,101 @@ object QueryCatalog {
         FROM u)
       SELECT doc_id, lang FROM r WHERE rn <= 20"""))
 
+  /** KLL quantile sketch under the oracle (`functions/QuantileSketch`):
+    * per-source n_chars percentiles via `kll_agg` → `kll_quantile`. The
+    * sketch is exact while a group stays ≤ k rows (no compaction ever
+    * fires), and its quantile rule is the LOWER quantile — smallest value
+    * with cumulative weight ≥ max(1, ceil(q·N)) — which the twin computes
+    * directly as a window rank selection, sidestepping engine-specific
+    * `quantile_disc` interpolation conventions. Guard woven into p25 the
+    * q41 way: a verify SF past the exact regime raises instead of
+    * silently estimating and hash-mismatching. */
+  private val q65 = Q(
+    "q65_quantile_sketch",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      val k = 1 << 16
+      import graft.functions.QuantileSketch.{kll_agg, kll_n, kll_quantile}
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(kll_agg(col("n_chars"), k).as("sk"))
+        .select(
+          col("source"),
+          when(kll_n(col("sk")) <= lit(k.toLong), kll_quantile(col("sk"), 0.25))
+            .otherwise(raise_error(concat(
+              lit("q65 outside exact sketch regime (n_rows="),
+              kll_n(col("sk")).cast("string"),
+              lit(s" > k=$k): raise k or lower the verify SF"))))
+            .as("p25"),
+          kll_quantile(col("sk"), 0.5).as("p50"),
+          kll_quantile(col("sk"), 0.75).as("p75"),
+          kll_quantile(col("sk"), 0.95).as("p95"),
+          kll_n(col("sk")).as("n_rows"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT source, n_chars,
+          row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+          count(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT source,
+        CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.25*n) AS BIGINT)) THEN n_chars END) AS DOUBLE) AS p25,
+        CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5*n)  AS BIGINT)) THEN n_chars END) AS DOUBLE) AS p50,
+        CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.75*n) AS BIGINT)) THEN n_chars END) AS DOUBLE) AS p75,
+        CAST(max(CASE WHEN rn = greatest(1, CAST(ceil(0.95*n) AS BIGINT)) THEN n_chars END) AS DOUBLE) AS p95,
+        max(n) AS n_rows
+      FROM ranked GROUP BY source"""))
+
+  /** The Lee et al. pipeline CLOSED under the oracle: q55's flagged spans
+    * → q56's merged cut intervals → `Text.applyCutList` rewrites the
+    * corpus with every repeated 8-token span deleted. The twin re-derives
+    * the cut list (q56's SQL) and applies it with the same
+    * token-interval anti-join + ordered string_agg reassembly, so a green
+    * row proves the REWRITTEN TEXT BYTES match across engines — the
+    * strongest possible check on the whole dedup chain. */
+  private val q66 = Q(
+    "q66_apply_cutlist",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Text.applyCutList(
+        docs,
+        graft.ops.Text.spanCutList(
+          graft.ops.Text.repeatedSpans(docs, n = 8, minDocs = 2)
+            .select(col("doc_id"), col("pos")),
+          n = 8))
+    },
+    Some(s"""$GramCte8,
+      rep AS (
+        SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      hits AS (
+        SELECT g.doc_id, CAST(g.pos AS INTEGER) AS pos FROM g JOIN rep USING (gram)),
+      flagged AS (
+        SELECT doc_id, pos,
+          lag(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_end
+        FROM hits),
+      ids AS (
+        SELECT doc_id, pos,
+          sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cut_id
+        FROM flagged),
+      cuts AS (
+        SELECT doc_id, min(pos) AS cut_start, max(pos) + 8 AS cut_end
+        FROM ids GROUP BY doc_id, cut_id),
+      tok AS (
+        SELECT doc_id, i AS pos, toks[i] AS token
+        FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+      kept AS (
+        SELECT tok.doc_id, tok.pos, tok.token
+        FROM tok LEFT JOIN cuts c
+          ON tok.doc_id = c.doc_id
+          AND tok.pos >= c.cut_start AND tok.pos < c.cut_end
+        WHERE c.doc_id IS NULL)
+      SELECT doc_id,
+        string_agg(token, ' ' ORDER BY pos) AS clean_text,
+        count(*) AS n_tokens_kept
+      FROM kept GROUP BY doc_id"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -2163,7 +2258,7 @@ object QueryCatalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64)
+    q61, q62, q63, q64, q65, q66)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

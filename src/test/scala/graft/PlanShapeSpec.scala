@@ -171,6 +171,8 @@ class PlanShapeSpec extends SparkSpec {
         cms_estimate(cms_agg(lang), 'en') AS en_freq,
         bloom_might_contain(bloom_agg(lang), 'en') AS has_en,
         z_value(42, 7) AS z,
+        kll_quantile(kll_agg(n_chars), 0.5d) AS med,
+        kll_n(kll_agg(n_chars)) AS kn,
         rolling_hash('abc') AS rh,
         vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
         vec_norm(array(3.0d, 4.0d)) AS nrm
@@ -182,6 +184,10 @@ class PlanShapeSpec extends SparkSpec {
       docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count())
     assert(row.getAs[Boolean]("has_en"))
     assert(row.getAs[Long]("z") == graft.functions.ZOrder.interleave(42L, 7L))
+    assert(row.getAs[Long]("kn") == docs.count())
+    val sortedChars = docs.select("n_chars").collect().map(_.getLong(0)).sorted
+    assert(row.getAs[Double]("med") ==
+      sortedChars(math.max(1, math.ceil(0.5 * sortedChars.length).toInt) - 1).toDouble)
     assert(row.getAs[Double]("dot") == 11.0 && row.getAs[Double]("nrm") == 5.0)
   }
 
@@ -189,6 +195,6 @@ class PlanShapeSpec extends SparkSpec {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
     assert(os.subsetOf(qs))
-    assert(qs.size == 64)
+    assert(qs.size == 66)
   }
 }
