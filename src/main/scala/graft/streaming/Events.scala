@@ -84,11 +84,21 @@ object Events {
 
   /** T4a — at-least-once delivery dedup: a re-delivered (user_id,
     * event_id) is dropped; every distinct event passes through once.
-    * State is bounded by the watermark. */
+    *
+    * Uses `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`:
+    * with dedup keys that exclude the event-time column, plain
+    * `dropDuplicates` keeps one state row per distinct key FOREVER —
+    * state grows with all-time event cardinality, which at the pipeline's
+    * scale target is an executor-memory time bomb. The WithinWatermark
+    * form evicts a key's state once the watermark passes its first
+    * sighting, bounding state by the delay window. The contract narrows
+    * accordingly — duplicates are guaranteed dropped only when they
+    * arrive within the watermark delay of the original — which is
+    * exactly the at-least-once redelivery window a queue provides. */
   def dedupDeliveries(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates(Seq("user_id", "event_id"))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_id"))
 
   /** T4b — true latest-wins: one row per user carrying the event-time-
     * latest event seen so far, re-emitted whenever it changes

@@ -172,6 +172,27 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM t4a_out").count() == 2)
   }
 
+  test("T4a dedup state is watermark-bounded: an evicted key can re-emit (the scale contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Events.dedupDeliveries(sdf).writeStream
+      .format("memory").queryName("t4a_evict").outputMode("append").start()
+    stream.addData(ev(0, 1, "2024-01-01 00:01:00", "click", 1.0))
+    q.processAllAvailable()
+    // advance the watermark past key 0's expiry (00:01 + 10min < 00:20)
+    stream.addData(ev(9, 2, "2024-01-01 00:30:00", "view", 2.0))
+    q.processAllAvailable()
+    // same (user_id, event_id) re-arrives with a fresh ts AFTER eviction:
+    // it passes through again — dropDuplicatesWithinWatermark guarantees
+    // dedup only within the delay window, the price of bounded state
+    // (plain dropDuplicates would dedup forever by keeping state forever)
+    stream.addData(ev(0, 1, "2024-01-01 00:31:00", "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.sql("SELECT * FROM t4a_evict").count() == 3)
+  }
+
   test("T4b latestPerUser: out-of-order duplicates never roll state back") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Events.Ev]

@@ -86,6 +86,31 @@ class QuantileSketchSpec extends SparkSpec {
       qs.map(QuantileSketch.quantile(QuantileSketch.serialize(back), _)))
   }
 
+  test("kll_agg works inside a streaming windowed aggregation") {
+    // same mergeable-partial contract as the HLL streaming test: one
+    // sketch per (window), updated and re-emitted per batch; the last
+    // emission's median covers BOTH batches' values exactly (exact regime)
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.install(spark)
+    QuantileSketch.register(spark)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Double)]
+    val q = stream.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(QuantileSketch.kll_agg(col("v"), 1024).as("sk"))
+      .select(QuantileSketch.kll_quantile(col("sk"), 0.5).as("med"))
+      .writeStream.format("memory").queryName("kll_stream").outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    stream.addData((ts("2024-01-01 00:01:00"), 10.0), (ts("2024-01-01 00:02:00"), 20.0))
+    q.processAllAvailable()
+    stream.addData((ts("2024-01-01 00:03:00"), 30.0), (ts("2024-01-01 00:04:00"), 40.0), (ts("2024-01-01 00:04:30"), 50.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.sql("SELECT med FROM kll_stream").collect().map(_.getDouble(0))
+    // 5 values 10..50: lower-median rank ceil(0.5*5)=3 -> 30.0
+    assert(emitted.last == 30.0, emitted.mkString(","))
+  }
+
   test("nulls are skipped; guards reject bad q, k, and empty sketches") {
     QuantileSketch.register(spark)
     val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
