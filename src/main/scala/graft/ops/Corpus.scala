@@ -91,6 +91,46 @@ object Corpus {
     df.repartition(n)
   }
 
+  /** Context-window chunking: split each document into overlapping
+    * token windows of `chunkSize` tokens advancing by `stride` — the
+    * standard shape for feeding long documents to a fixed-context model
+    * (stride < chunkSize gives overlap so no boundary context is lost).
+    * Emits (doc_id, chunk_id, chunk_text, n_tokens); the tail chunk may
+    * be shorter, empty documents emit nothing. Complements
+    * [[packSequences]]: chunking cuts long docs DOWN to the window,
+    * packing fills windows UP from short docs.
+    *
+    * Pure per-row array algebra — tokenize once (let-bound, the
+    * ARCHITECTURE §8 single-evaluation rule), build chunk starts with
+    * `sequence`, slice per start, posexplode. No shuffle at all: the
+    * operator is map-side, so it composes with any downstream
+    * partitioning for free. */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0, s"chunkDocuments: chunkSize must be positive, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"chunkDocuments: stride must be in [1, chunkSize], got $stride")
+    val chunks = element_at(
+      transform(array(graft.ops.Text.tokens(col(textCol))), ts =>
+        when(size(ts) === 0, array().cast("array<struct<chunk_text:string,n_tokens:bigint>>"))
+          .otherwise(transform(
+            sequence(
+              lit(0),
+              when(size(ts) > chunkSize,
+                ceil((size(ts) - chunkSize).cast("double") / stride).cast("int"))
+                .otherwise(lit(0))),
+            i => struct(
+              concat_ws(" ", slice(ts, i * stride + 1, lit(chunkSize))).as("chunk_text"),
+              least(lit(chunkSize), size(ts) - i * stride).cast("long").as("n_tokens"))))),
+      1)
+    docs
+      .select(col(idCol).as("doc_id"), posexplode(chunks))
+      .select(
+        col("doc_id"), col("pos").as("chunk_id"),
+        col("col.chunk_text").as("chunk_text"),
+        col("col.n_tokens").as("n_tokens"))
+  }
+
   /** Stratified downsampling at per-stratum keep rates: keep a row iff
     * uniformHash(key, salt) < rate(stratum). The common corpus-balancing
     * move (downweight the dominant language/source) as one scan with a

@@ -393,6 +393,36 @@ object Text {
         (max(col("c")).cast("double") / sum(col("c"))).as("top_tok_frac"),
         sum(col("c")).as("n_toks"))
 
+  /** Quality GATE: compose the corpus-filter signals into a keep/drop
+    * decision with the FIRST FAILING RULE named per document — the
+    * filter-chain-with-reasons shape curation pipelines report on (how
+    * much data each rule costs, what to re-tune). Rules in check order:
+    * `too_short`, `too_long` (token count), `repetitive_ngrams`
+    * ([[dupNgramFraction]]), `token_concentration` ([[topTokenStats]]).
+    * `reason` is null ⟺ `keep`.
+    *
+    * All thresholds compare single-division doubles (the q53 trick), so
+    * the booleans — and therefore the kept corpus — are engine-stable.
+    * One doc_id shuffle (the token-stats aggregate); the n-gram signal
+    * and the verdict are map-side. */
+  def qualityGate(docs: DataFrame,
+      minTokens: Long = 5L, maxTokens: Long = 100000L,
+      maxDupFrac: Double = 0.05, maxTopFrac: Double = 0.125,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dup = docs.select(
+      col(idCol).as("doc_id"), dupNgramFraction(col(textCol), 3).as("dup_frac"))
+    topTokenStats(docs, idCol, textCol)
+      .join(dup, "doc_id")
+      .withColumn("reason", coalesce(
+        when(col("n_toks") < minTokens, "too_short"),
+        when(col("n_toks") > maxTokens, "too_long"),
+        when(col("dup_frac") > maxDupFrac, "repetitive_ngrams"),
+        when(col("top_tok_frac") > maxTopFrac, "token_concentration")))
+      .select(
+        col("doc_id"), col("n_toks"),
+        col("reason").isNull.as("keep"), col("reason"))
+  }
+
   /** 64-bit SimHash per document (token-level, xxhash64 bit votes). */
   def simHash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs

@@ -2249,6 +2249,73 @@ object QueryCatalog {
         count(*) AS n_tokens_kept
       FROM kept GROUP BY doc_id"""))
 
+  /** Context-window chunking under the oracle (`Corpus.chunkDocuments`):
+    * 32-token windows advancing by 24 (8-token overlap). The twin builds
+    * the same starts with generate_series and slices with list_slice
+    * (inclusive end == start + size - 1 mirrors Spark's slice(start,
+    * length)); chunk text BYTES and per-chunk token counts both hash. */
+  private val q67 = Q(
+    "q67_chunk_documents",
+    (s, d) => graft.ops.Corpus.chunkDocuments(
+      Tables.documents(s, d), chunkSize = 32, stride = 24),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+          array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk_text,
+          least(32, len(toks) - i*24) AS n_tokens
+        FROM t, unnest(generate_series(0,
+          CASE WHEN len(toks) > 32
+            THEN CAST(ceil((len(toks) - 32)::DOUBLE / 24) AS BIGINT)
+            ELSE 0 END)) AS u(i)
+        WHERE len(toks) > 0)
+      SELECT doc_id, chunk_id, chunk_text, CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM c"""))
+
+  /** Quality gate under the oracle (`Text.qualityGate`): the q53 signals
+    * composed into keep + FIRST-FAILING-RULE reason per document — the
+    * filter-chain report a curation pipeline publishes. Thresholds
+    * compare bit-exact single-division doubles, so keep/reason are
+    * engine-stable; minTokens=60 actually trips too_short on this corpus
+    * and the concentration rule fires on the rest of the drops. */
+  private val q68 = Q(
+    "q68_quality_gate",
+    (s, d) => graft.ops.Text.qualityGate(
+      Tables.documents(s, d), minTokens = 60L, maxTokens = 100000L,
+      maxDupFrac = 0.05, maxTopFrac = 0.125),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id,
+          list_transform(generate_series(1, len(toks) - 2),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS grams
+        FROM t),
+      dup AS (
+        SELECT doc_id,
+          CASE WHEN len(grams) > 0
+            THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+            ELSE 0.0 END AS dup_frac
+        FROM g),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      top AS (
+        SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_tok_frac,
+          CAST(sum(c) AS BIGINT) AS n_toks
+        FROM cnt GROUP BY 1),
+      verdict AS (
+        SELECT top.doc_id, n_toks,
+          CASE
+            WHEN n_toks < 60 THEN 'too_short'
+            WHEN n_toks > 100000 THEN 'too_long'
+            WHEN dup_frac > 0.05 THEN 'repetitive_ngrams'
+            WHEN top_tok_frac > 0.125 THEN 'token_concentration'
+          END AS reason
+        FROM top JOIN dup USING (doc_id))
+      SELECT doc_id, n_toks, (reason IS NULL) AS keep, reason
+      FROM verdict"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -2258,7 +2325,7 @@ object QueryCatalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66)
+    q61, q62, q63, q64, q65, q66, q67, q68)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

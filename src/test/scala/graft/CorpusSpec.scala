@@ -95,6 +95,65 @@ class CorpusSpec extends SparkSpec {
     assert(graft.ops.Text.repeatedSpans(docs, n = 4, minDocs = 3).count() == 0L)
   }
 
+  test("chunkDocuments matches the naive sliding-window model on real docs") {
+    val chunkSize = 32
+    val stride = 24
+    val got = Corpus.chunkDocuments(docs, chunkSize, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3)))
+      .toMap
+    val expected = docs.select("doc_id", "text").collect().flatMap { r =>
+      val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) Nil
+      else {
+        val nChunks =
+          if (toks.length > chunkSize)
+            1 + math.ceil((toks.length - chunkSize).toDouble / stride).toInt
+          else 1
+        (0 until nChunks).map { i =>
+          val slice = toks.slice(i * stride, i * stride + chunkSize)
+          (r.getLong(0), i) -> (slice.mkString(" "), slice.length.toLong)
+        }
+      }
+    }.toMap
+    assert(got == expected)
+    // consecutive chunks overlap by chunkSize - stride tokens
+    val d0 = Corpus.chunkDocuments(docs.limit(1), chunkSize, stride)
+      .orderBy("chunk_id").collect().map(_.getString(2).split(" ").toSeq)
+    if (d0.length > 1)
+      assert(d0(0).takeRight(chunkSize - stride) == d0(1).take(chunkSize - stride))
+    intercept[IllegalArgumentException](Corpus.chunkDocuments(docs, 0, 1))
+    intercept[IllegalArgumentException](Corpus.chunkDocuments(docs, 8, 9))
+  }
+
+  test("qualityGate names the first failing rule; keep iff no rule fires") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "a b c"),                                   // 3 toks -> too_short
+      (2L, Seq.fill(30)("x y z").mkString(" ")),       // dup 3-grams -> repetitive
+      // t1 interleaved with distinct fillers: every 3-gram is unique
+      // (dup_frac = 0) but t1 takes half the tokens -> concentration
+      (3L, (1 to 20).flatMap(i => Seq("t1", "a" + i)).mkString(" ")),
+      (4L, (1 to 50).map("u" + _).mkString(" "))       // clean -> keep
+    ).toDF("doc_id", "text")
+    val rows = graft.ops.Text.qualityGate(
+      synth, minTokens = 5L, maxTokens = 100000L,
+      maxDupFrac = 0.05, maxTopFrac = 0.125)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), Option(r.getString(3)))).toMap
+    assert(rows(1L) == (false, Some("too_short")))
+    assert(rows(2L) == (false, Some("repetitive_ngrams")))
+    assert(rows(3L) == (false, Some("token_concentration")))
+    assert(rows(4L) == (true, None))
+    // rule ORDER: doc 2 also trips concentration, but repetition is named
+    // (checked implicitly above); and maxTokens trips too_long first
+    val long = graft.ops.Text.qualityGate(
+      synth.filter(col("doc_id") === 2L), minTokens = 1L, maxTokens = 10L,
+      maxDupFrac = 0.05, maxTopFrac = 0.125).head()
+    assert(long.getString(3) == "too_long")
+  }
+
   test("observeQuality rides an existing action and reports exact one-pass metrics") {
     val (out, obs) = Corpus.observeQuality(docs)
     out.collect() // the action the pipeline was running anyway
