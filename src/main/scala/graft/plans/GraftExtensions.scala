@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.bloomDescriptors.foreach(e.injectFunction)
     GraftExtensions.cmsDescriptors.foreach(e.injectFunction)
     GraftExtensions.kllDescriptors.foreach(e.injectFunction)
+    GraftExtensions.sketchMergeDescriptors.foreach(e.injectFunction)
     e.injectFunction(GraftExtensions.zValueDescriptor)
   }
 }
@@ -127,6 +128,14 @@ object GraftExtensions {
         (es: Seq[Expression]) => K.buildN(es)))
   }
 
+  private[plans] val sketchMergeDescriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    graft.functions.SketchMerge.builders.map { case (name, b) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[graft.functions.SketchMergeAgg].getName, name),
+        b)
+    }
+
   private[plans] val zValueDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("z_value"),
@@ -144,6 +153,7 @@ object GraftExtensions {
     graft.functions.BloomFilter.register(spark)
     graft.functions.CountMin.register(spark)
     graft.functions.QuantileSketch.register(spark)
+    graft.functions.SketchMerge.register(spark)
     graft.functions.ZOrder.register(spark)
   }
 }
