@@ -102,7 +102,9 @@ final class HllBuffer(val precision: Int, val sparseLimit: Int) {
     sparse = null
   }
 
-  def mergeIn(other: HllBuffer): Unit =
+  def mergeIn(other: HllBuffer): Unit = {
+    require(other.precision == precision,
+      s"hll merge precision mismatch: $precision vs ${other.precision}")
     if (other.isSparse) {
       if (isSparse) {
         other.sparse.foreach(sparse.add)
@@ -116,6 +118,7 @@ final class HllBuffer(val precision: Int, val sparseLimit: Int) {
         i += 1
       }
     }
+  }
 
   /** Exact size in sparse phase; Ertl's improved estimator in dense
     * (arXiv:1702.01284 §4): a smooth maximum-likelihood-motivated form
@@ -182,15 +185,16 @@ case class HllDistinctAgg(
     precision: Int = 14,
     sparseLimit: Int = 4096,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    emitBinary: Boolean = false)
   extends TypedImperativeAggregate[HllBuffer] {
 
   require(precision >= 4 && precision <= 18, "precision must be in [4,18]")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = LongType
-  override def prettyName: String = "hll_distinct"
+  override def dataType: DataType = if (emitBinary) BinaryType else LongType
+  override def prettyName: String = if (emitBinary) "hll_sketch" else "hll_distinct"
 
   override def createAggregationBuffer(): HllBuffer =
     new HllBuffer(precision, sparseLimit)
@@ -203,7 +207,8 @@ case class HllDistinctAgg(
 
   override def merge(a: HllBuffer, b: HllBuffer): HllBuffer = { a.mergeIn(b); a }
 
-  override def eval(buf: HllBuffer): Any = buf.estimate()
+  override def eval(buf: HllBuffer): Any =
+    if (emitBinary) DistinctSketch.serializeStored(buf) else buf.estimate()
 
   override def serialize(buf: HllBuffer): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -290,6 +295,69 @@ object DistinctSketch {
       r.createOrReplaceTempFunction(name, builder, "built-in")
   }
 
+  /** Self-describing STORABLE form for `hll_sketch`/`hll_merge`/
+    * `hll_estimate`: precision(1) | sparseLimit(4) | tag(1: 0 sparse,
+    * 1 dense) | payload. The agg's own in-flight wire format omits the
+    * parameters (the operator instance carries them); stored bytes must
+    * stand alone so sketches persisted by different jobs re-aggregate. */
+  def serializeStored(buf: HllBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeByte(buf.precision)
+    out.writeInt(buf.sparseLimit)
+    if (buf.isSparse) {
+      out.writeByte(0)
+      out.writeInt(buf.sparse.size)
+      buf.sparse.foreach(out.writeLong)
+    } else {
+      out.writeByte(1)
+      out.write(buf.registers)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserializeStored(bytes: Array[Byte]): HllBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new HllBuffer(in.readByte().toInt, in.readInt())
+    if (in.readByte() == 0) {
+      val n = in.readInt()
+      buf.sparse = new LongSet(n)
+      (0 until n).foreach(_ => buf.sparse.add(in.readLong()))
+    } else {
+      buf.registers = new Array[Byte](buf.m)
+      in.readFully(buf.registers)
+      buf.sparse = null
+    }
+    buf
+  }
+
+  def estimateStored(bytes: Array[Byte]): Long = deserializeStored(bytes).estimate()
+
+  private[graft] def buildSketch(exprs: Seq[Expression]): Expression = {
+    arity(exprs, "hll_sketch", 1, 3)
+    HllDistinctAgg(
+      exprs.head,
+      litIntArg(exprs, 1, 14, "hll_sketch"),
+      litIntArg(exprs, 2, 4096, "hll_sketch"),
+      emitBinary = true).toAggregateExpression()
+  }
+
+  private[graft] def buildEstimate(exprs: Seq[Expression]): Expression = {
+    arity(exprs, "hll_estimate", 1, 1)
+    HllEstimate(exprs.head)
+  }
+
+  /** Column API — requires `register(spark)` (or GraftExtensions) first. */
+  def hll_sketch(c: Column, precision: Int = 14, sparseLimit: Int = 4096): Column =
+    org.apache.spark.sql.functions.call_function(
+      "hll_sketch", c,
+      org.apache.spark.sql.functions.lit(precision),
+      org.apache.spark.sql.functions.lit(sparseLimit))
+
+  def hll_estimate(sketch: Column): Column =
+    org.apache.spark.sql.functions.call_function("hll_estimate", sketch)
+
   private[graft] def build(exprs: Seq[Expression]): Expression = {
     arity(exprs, "hll_distinct", 1, 3)
     HllDistinctAgg(
@@ -305,6 +373,27 @@ object DistinctSketch {
       org.apache.spark.sql.functions.lit(precision),
       org.apache.spark.sql.functions.lit(sparseLimit))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     createIfAbsent(spark, "hll_distinct", build)
+    createIfAbsent(spark, "hll_sketch", buildSketch)
+    createIfAbsent(spark, "hll_estimate", buildEstimate)
+  }
+}
+
+/** `hll_estimate(sketch)` — distinct-count estimate read off the stored
+  * self-describing sketch bytes; codegen'd static call. */
+case class HllEstimate(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_estimate"
+  override protected def nullSafeEval(sketch: Any): Any =
+    DistinctSketch.estimateStored(sketch.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      sk => s"graft.functions.DistinctSketch.estimateStored($sk)")
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
+    copy(child = newChild)
 }

@@ -30,13 +30,14 @@ object SketchMerge {
 
   final class State(var value: AnyRef)
 
-  val Kinds: Set[String] = Set("kll", "cms", "bloom", "theta")
+  val Kinds: Set[String] = Set("kll", "cms", "bloom", "theta", "hll")
 
   private[functions] def deserialize(kind: String, b: Array[Byte]): AnyRef = kind match {
     case "kll" => QuantileSketch.deserialize(b)
     case "cms" => CountMin.deserialize(b)
     case "bloom" => BloomFilter.deserialize(b)
     case "theta" => ThetaSketch.deserialize(b)
+    case "hll" => DistinctSketch.deserializeStored(b)
   }
 
   private[functions] def serialize(kind: String, v: AnyRef): Array[Byte] = kind match {
@@ -44,6 +45,7 @@ object SketchMerge {
     case "cms" => CountMin.serialize(v.asInstanceOf[CountMin.Buffer])
     case "bloom" => BloomFilter.serialize(v.asInstanceOf[BloomFilter.Buffer])
     case "theta" => ThetaSketch.serialize(v.asInstanceOf[ThetaSketch.Buffer])
+    case "hll" => DistinctSketch.serializeStored(v.asInstanceOf[HllBuffer])
   }
 
   /** Merge `b` into `a` (a == null means first sketch seen). */
@@ -60,6 +62,8 @@ object SketchMerge {
           a.asInstanceOf[BloomFilter.Buffer].mergeIn(b.asInstanceOf[BloomFilter.Buffer])
         case "theta" =>
           a.asInstanceOf[ThetaSketch.Buffer].mergeIn(b.asInstanceOf[ThetaSketch.Buffer])
+        case "hll" =>
+          a.asInstanceOf[HllBuffer].mergeIn(b.asInstanceOf[HllBuffer])
       }
       a
     }
@@ -77,6 +81,8 @@ object SketchMerge {
     org.apache.spark.sql.functions.call_function("bloom_merge", c)
   def theta_merge(c: Column): Column =
     org.apache.spark.sql.functions.call_function("theta_merge", c)
+  def hll_merge(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("hll_merge", c)
 
   private[graft] def builders: Seq[(String, Seq[Expression] => Expression)] =
     Kinds.toSeq.sorted.map(k => s"${k}_merge" -> build(k) _)

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vectorNormDescriptor)
     e.injectFunction(GraftExtensions.frequentItemsDescriptor)
     e.injectFunction(GraftExtensions.hllDistinctDescriptor)
+    GraftExtensions.hllStoredDescriptors.foreach(e.injectFunction)
     GraftExtensions.thetaDescriptors.foreach(e.injectFunction)
     GraftExtensions.vectorAggDescriptors.foreach(e.injectFunction)
     GraftExtensions.bloomDescriptors.foreach(e.injectFunction)
@@ -62,6 +63,15 @@ object GraftExtensions {
     FunctionIdentifier("hll_distinct"),
     new ExpressionInfo(classOf[graft.functions.HllDistinctAgg].getName, "hll_distinct"),
     (exprs: Seq[Expression]) => graft.functions.DistinctSketch.build(exprs))
+
+  private[plans] val hllStoredDescriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[graft.functions.HllDistinctAgg].getName, "hll_sketch"),
+      (es: Seq[Expression]) => graft.functions.DistinctSketch.buildSketch(es)),
+    (FunctionIdentifier("hll_estimate"),
+      new ExpressionInfo(classOf[graft.functions.HllEstimate].getName, "hll_estimate"),
+      (es: Seq[Expression]) => graft.functions.DistinctSketch.buildEstimate(es)))
 
   private[plans] val thetaDescriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BloomFilter, CountMin, QuantileSketch, SketchMerge, ThetaSketch}
+import graft.functions.{BloomFilter, CountMin, DistinctSketch, QuantileSketch, SketchMerge, ThetaSketch}
 
 /** Sketch-of-sketches re-aggregation: per-day partial sketches persisted
   * to parquet and merged later must answer like a single pass over the
@@ -58,6 +58,33 @@ class SketchMergeSpec extends SparkSpec {
     val est = perDay.agg(
       ThetaSketch.theta_estimate(SketchMerge.theta_merge(col("sk"))).as("n")).head()
     assert(est.getDouble(0) == 700.0) // 700 distinct keys across the days
+  }
+
+  test("hll: stored sketches are self-describing; merge is exact in the sparse regime") {
+    SketchMerge.register(spark)
+    DistinctSketch.register(spark)
+    val perDay = daily.groupBy("day").agg(
+      DistinctSketch.hll_sketch(col("key"), 14, 4096).as("sk"))
+    val dir = java.nio.file.Files.createTempDirectory("hllsketches").toString
+    perDay.write.mode("overwrite").parquet(dir)
+    val est = spark.read.parquet(dir).agg(
+      DistinctSketch.hll_estimate(SketchMerge.hll_merge(col("sk"))).as("n")).head()
+    assert(est.getLong(0) == 700L) // sparse regime: exact across days
+    // dense path: tiny sparseLimit forces registers; merged estimate ~ exact
+    val dense = daily.groupBy("day")
+      .agg(DistinctSketch.hll_sketch(col("key"), 14, 8).as("sk"))
+      .agg(DistinctSketch.hll_estimate(SketchMerge.hll_merge(col("sk"))).as("n"))
+      .head().getLong(0)
+    assert(math.abs(dense - 700L) < 0.03 * 700, s"dense merged estimate $dense")
+    // precision mismatch refuses rather than corrupting registers
+    val a = daily.filter(col("day") === 0)
+      .agg(DistinctSketch.hll_sketch(col("key"), 10).as("sk"))
+    val b = daily.filter(col("day") === 1)
+      .agg(DistinctSketch.hll_sketch(col("key"), 12).as("sk"))
+    val e = intercept[Exception] {
+      a.union(b).agg(SketchMerge.hll_merge(col("sk"))).head()
+    }
+    assert(msgs(e).exists(_.contains("hll merge precision mismatch")), msgs(e))
   }
 
   test("SQL surface: rollup over grouped sketches in one statement") {
