@@ -64,6 +64,15 @@ object Bronze {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** K2, ORC variant — same columnar/zone-map properties as parquet
+    * (predicate pushdown, column pruning, splittable), built into Spark
+    * with no extra dependency; the interchange format when a downstream
+    * consumer is Hive/Trino-first. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** K2 at scale — parquet laid out by low-cardinality partition columns
     * (bronze by `rate_type`/`dt`, ARCHITECTURE §2): equality/range filters
     * on them become PartitionFilters (directory pruning) so a day's query

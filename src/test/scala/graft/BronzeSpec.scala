@@ -31,6 +31,19 @@ class BronzeSpec extends SparkSpec {
       Set(("ICN", 8, 500000.0), ("KIX", 9, 450000.0)))
   }
 
+  test("K2 orc sink round-trip with pushed filters at the scan") {
+    val dir = tmpDir("graft_orc")
+    val df = Seq(("ICN", 8, 500000.0), ("KIX", 9, 450000.0))
+      .toDF("city_code", "month", "avg_price")
+    Bronze.writeOrc(df, dir)
+    val back = Bronze.readOrc(spark, dir).filter(col("month") === 8)
+    assert(back.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq ==
+      Seq(("ICN", 8, 500000.0)))
+    // the filter must reach the ORC scan, same contract as parquet (q02)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(month), EqualTo(month,8)]"), plan)
+  }
+
   test("S6 config-map scan: dynamic keys transpose to rows") {
     val dir = tmpDir("graft_cfg")
     val cfg = """{"USA": {"currency_code": "USD", "is_euro_zone": false},
