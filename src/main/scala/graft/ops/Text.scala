@@ -423,6 +423,52 @@ object Text {
         col("reason").isNull.as("keep"), col("reason"))
   }
 
+  /** Bigram language-model scoring — the perplexity-style curation
+    * signal: train add-one-smoothed bigram statistics on the corpus
+    * itself (one pass), then score every document by its mean token-pair
+    * log-probability. Low scores mark text the corpus's own statistics
+    * find improbable (boilerplate soup, encoding garbage) — the standard
+    * LM-filtering signal, here with the corpus as its own model (no
+    * external model files).
+    *
+    * p(b|a) = (c(a,b)+1) / (c(a·)+V), V = distinct continuation vocab.
+    * Shapes: one doc_id window builds the pair stream, the count tables
+    * shuffle on gram keys, the 1-row V broadcast-crosses, and the final
+    * aggregate shuffles back on doc_id. Nothing is ever all-pairs.
+    *
+    * Determinism: every per-pair log-prob is rounded to integer
+    * MICRO-UNITS before summing, so the per-doc sum is exact integer
+    * arithmetic — float summation ORDER (Spark partition order vs any
+    * other engine's) cannot perturb the result; the only cross-engine
+    * surface is ln() itself on identical doubles, guarded by the final
+    * r6 rounding of a division by n. */
+  def bigramLmScore(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w2"))
+      .withColumn("w1", lag(col("w2"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = pairs.agg(countDistinct(col("w2")).as("v"))
+    pairs
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("logp_micro",
+        floor(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * 1e6 + 0.5)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("logp_micro")).as("__sum"))
+      .select(
+        col("doc_id"), col("n_pairs"),
+        (floor(col("__sum") / 1e6 / col("n_pairs") * 1e6 + 0.5) / 1e6)
+          .as("lm_score"))
+  }
+
   /** 64-bit SimHash per document (token-level, xxhash64 bit votes). */
   def simHash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs

@@ -2316,6 +2316,38 @@ object QueryCatalog {
       SELECT doc_id, n_toks, (reason IS NULL) AS keep, reason
       FROM verdict"""))
 
+  /** Bigram LM scoring under the oracle (`Text.bigramLmScore`): the
+    * corpus trains its own add-one bigram model and every doc is scored
+    * by mean pair log-probability — the perplexity-filter signal. The
+    * twin repeats the window/counts/join pipeline; per-pair log-probs
+    * round to integer micro-units BEFORE the sum, so per-doc sums are
+    * exact integer arithmetic and partition-order float summation can't
+    * perturb the hash. */
+  private val q69 = Q(
+    "q69_bigram_lm",
+    (s, d) => graft.ops.Text.bigramLmScore(Tables.documents(s, d)),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tok AS (
+        SELECT doc_id, i AS pos, toks[i] AS w
+        FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+      pairs AS (
+        SELECT doc_id,
+          lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w AS w2
+        FROM tok),
+      p AS (SELECT doc_id, w1, w2 FROM pairs WHERE w1 IS NOT NULL),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      v AS (SELECT count(DISTINCT w2) AS v FROM p),
+      scored AS (
+        SELECT p.doc_id,
+          CAST(floor(ln((c2 + 1.0) / (c1 + v)) * 1000000 + 0.5) AS BIGINT) AS lp
+        FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      SELECT doc_id, count(*) AS n_pairs,
+        floor(sum(lp) / 1000000.0 / count(*) * 1000000 + 0.5) / 1000000 AS lm_score
+      FROM scored GROUP BY doc_id"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -2325,7 +2357,7 @@ object QueryCatalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -154,6 +154,19 @@ class CorpusSpec extends SparkSpec {
     assert(long.getString(3) == "too_long")
   }
 
+  test("bigramLmScore: frequent pairs outscore singleton pairs; pair counts exact") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "a b a b a b a b a b"), // (a,b)/(b,a) pairs dominate the corpus
+      (2L, "q r s t u v w x y z")  // every bigram occurs once
+    ).toDF("doc_id", "text")
+    val rows = graft.ops.Text.bigramLmScore(synth).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1L)._1 == 9L && rows(2L)._1 == 9L)
+    assert(rows(1L)._2 > rows(2L)._2,
+      s"frequent-bigram doc must score higher: $rows")
+  }
+
   test("observeQuality rides an existing action and reports exact one-pass metrics") {
     val (out, obs) = Corpus.observeQuality(docs)
     out.collect() // the action the pipeline was running anyway
