@@ -30,6 +30,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local iteration aid: SPARK_GRAFT_ONLY=q55_repeated_spans,q56_span_cutlist
+    // times just those queries; unset (the driver's mode) runs everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,7 +52,7 @@ object Bench {
     graft.sources.Tables.events(spark, sfDir).count() // ns-ts needs the reader
     // untimed warm-up pass: whole-stage codegen compiles per query plan the
     // first time; the timed pass below measures steady-state execution
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try materialize(fn(spark, sfDir)) catch {
         case t: Throwable =>
           System.err.println(s"[bench] warm-up failed for $name: ${t.getMessage}")
@@ -52,7 +60,7 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Passes).flatMap { _ =>
         if (errors.contains(name)) None // first failure wins, skip reruns
         else {

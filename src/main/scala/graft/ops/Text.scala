@@ -146,28 +146,54 @@ object Text {
       .drop("__fp")
   }
 
+  /** Per-position n-token span hashes: (doc_id, pos, gh) with 1-based
+    * token positions. Each token is xxhash64'd ONCE per row (let-bound,
+    * ARCHITECTURE §8), then the n-window combine is a variadic xxhash64
+    * over the n token-hash longs — fixed 8n-byte input, order-sensitive,
+    * no per-position span STRING ever built (the concat_ws form
+    * allocated ~spanBytes garbage per position, 2× the token bytes at
+    * n=8, and GC-bound the span queries), and no checked arithmetic
+    * (ANSI mode rejects wrapping `*`). Map-side codegen throughout. */
+  def spanHashes(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tokenHashes = transform(tokens(col(textCol)), t => xxhash64(t))
+    val spans = element_at(
+      transform(array(tokenHashes), th =>
+        when(size(th) >= n,
+          transform(
+            sequence(lit(1), size(th) - (n - 1)),
+            i => xxhash64((0 until n).map(j => element_at(th, i + j)): _*)))
+          .otherwise(array().cast("array<long>"))),
+      1)
+    docs
+      .select(col(idCol).as("doc_id"), posexplode(spans))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
+  }
+
   /** Cross-document repeated-span detection — the exact-substring dedup
     * primitive of Lee et al. 2022 ("Deduplicating Training Data Makes
     * Language Models Better"), bounded to token n-grams: emit every
     * (doc, position) whose n-token span also occurs in at least
     * `minDocs - 1` other documents (its removal cut-list is the dedup
     * step; overlapping flagged positions merge into spans downstream).
-    * Shape: posexplode spans once, hash each span once (xxhash64 on the
-    * joined tokens; `functions.RollingHash` is the O(1)-per-position
-    * character-window variant), one distinct + one count keyed on the
-    * span hash, one hash semi-join back — O(total tokens), never
-    * pairwise, and the heavy groupBys key on the 64-bit hash, not the
-    * span text. */
+    * Shape: ONE pass — [[spanHashes]] posexplodes and hashes each span
+    * once, then a single exchange on the span hash computes the distinct
+    * document count per span as a window pair (dense_rank over doc_id,
+    * then its partition max). The previous groupBy + semi-join-back form
+    * evaluated the tokenize/shingle/hash subtree TWICE (once per join
+    * side — Catalyst cannot reuse the exchange because the two sides
+    * shuffle on different keys) and cost three shuffles; this is one
+    * evaluation, one shuffle, O(total tokens), never pairwise, keyed on
+    * the 64-bit hash rather than span text. */
   def repeatedSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val grams = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(shingles(tokens(col(textCol)), n)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), xxhash64(col("col")).as("gh"))
-    val hot = grams.select(col("gh"), col("doc_id")).distinct()
-      .groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+    val byGh = Window.partitionBy(col("gh"))
+    spanHashes(docs, n, idCol, textCol)
+      .withColumn("__dr", dense_rank().over(byGh.orderBy(col("doc_id"))))
+      // dense_rank is IntegerType; n_docs keeps the old count() LongType
+      .withColumn("n_docs", max(col("__dr")).over(byGh).cast("long"))
       .filter(col("n_docs") >= minDocs)
-    grams.join(hot, "gh").select(col("doc_id"), col("pos"), col("n_docs"))
+      .select(col("doc_id"), col("pos"), col("n_docs"))
   }
 
   /** Merge `repeatedSpans` hits into per-document CUT INTERVALS — the
@@ -243,12 +269,8 @@ object Text {
   def crossCorpusContamination(
       corpus: DataFrame, reference: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"),
-        posexplode(shingles(tokens(col(textCol)), n)))
-      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gh"))
-    val a = grams(corpus)
-    val refSet = grams(reference).select("gh").distinct()
+    val a = spanHashes(corpus, n, idCol, textCol)
+    val refSet = spanHashes(reference, n, idCol, textCol).select("gh").distinct()
     // ONE pass over the train grams: mark hits with a left join against
     // the (unique-keyed, so cardinality-preserving) reference set, then
     // count total and marked in a single doc-keyed aggregate. Two
