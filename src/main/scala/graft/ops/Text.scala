@@ -226,36 +226,41 @@ object Text {
     * Removes ALL occurrences of a repeated span (the symmetric variant;
     * keep-one-copy needs only a keeper filter on the span table first).
     *
-    * Shape at scale: the token stream is O(total tokens) but never joins
-    * against itself — cuts are per-doc interval lists, tiny next to the
-    * corpus, so Spark broadcasts them and the interval test runs map-side
-    * as a residual on the doc_id hash join; each token matches at most one
-    * interval because [[spanCutList]] emits disjoint intervals. The only
-    * shuffle is the final doc_id reassembly aggregate, whose state is
-    * bounded by document length. Docs whose text tokenizes to nothing
-    * vanish (consistent with the tokenize-side pipelines).
+    * Shape at scale: ONE join — the cut list collapses to a per-doc
+    * interval ARRAY (tiny: disjoint merged intervals, a handful per doc),
+    * left-joined onto the corpus on doc_id, and the rewrite is then pure
+    * map work: an indexed `filter` drops tokens inside any interval and
+    * `array_join` reassembles in place. The previous form posexploded
+    * every token, range-joined positions against cuts, and rebuilt each
+    * document with a collect_list + array_sort aggregate — a full
+    * token-stream shuffle whose state was the whole corpus. Now the token
+    * stream never leaves its partition; only the interval table moves.
+    * Docs whose text tokenizes to nothing, and docs whose every token is
+    * cut, vanish (consistent with the tokenize-side pipelines and the
+    * previous aggregate form).
     *
     * Positions are 1-based token indexes, `[cut_start, cut_end)` —
     * exactly [[spanCutList]]'s output contract. */
   def applyCutList(docs: DataFrame, cuts: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("token"))
-    val c = cuts.select(
-      col("doc_id").as("__cut_doc"), col("cut_start"), col("cut_end"))
-    toks
-      .join(c, col("doc_id") === col("__cut_doc") &&
-        col("pos") >= col("cut_start") && col("pos") < col("cut_end"), "left")
-      .filter(col("__cut_doc").isNull)
-      .groupBy(col("doc_id"))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("token")))),
-            x => x.getField("token")),
-          " ").as("clean_text"),
-        count(lit(1)).as("n_tokens_kept"))
+    val cutArr = cuts.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("cut_start"), col("cut_end"))).as("__cuts"))
+    // exists(null) is null -> coalesce keeps everything for cut-less docs
+    val keep = (t: Column, i: Column) => coalesce(
+      !exists(col("__cuts"),
+        c => (i + 1) >= c.getField("cut_start") && (i + 1) < c.getField("cut_end")),
+      lit(true))
+    val kept = filter(tokens(col(textCol)), keep)
+    docs
+      .join(cutArr, docs(idCol) === cutArr("doc_id"), "left")
+      // let-bind the filtered array so join/count don't re-run the filter
+      .select(docs(idCol).as("doc_id"),
+        element_at(transform(array(kept), k => struct(
+          array_join(k, " ").as("clean_text"),
+          size(k).cast("long").as("n_tokens_kept"))), 1).as("__r"))
+      .filter(col("__r.n_tokens_kept") > 0)
+      .select(col("doc_id"), col("__r.clean_text").as("clean_text"),
+        col("__r.n_tokens_kept").as("n_tokens_kept"))
   }
 
   /** Benchmark-contamination check — the cross-corpus form of

@@ -354,6 +354,22 @@ class CorpusSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 1, 11, 3L), (1L, 2L, 20, 24, 1L), (2L, 1L, 5, 9, 1L)), got.toString)
   }
 
+  test("applyCutList rewrites in place: cuts removed, cut-less kept, fully-cut vanish") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8"), // two cuts, middle survives
+      (2L, "u1 u2 u3"),                // no cuts -> kept verbatim
+      (3L, "v1 v2")                    // fully cut -> vanishes
+    ).toDF("doc_id", "text")
+    val cuts = Seq(
+      (1L, 1, 3), (1L, 6, 9),          // [1,3) + [6,9): keep t3 t4 t5
+      (3L, 1, 3)
+    ).toDF("doc_id", "cut_start", "cut_end")
+    val got = graft.ops.Text.applyCutList(docs, cuts)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "t3 t4 t5", 3L), (2L, "u1 u2 u3", 3L)), got.toString)
+  }
+
   test("redactPii: URL-before-email-before-phone ordering, idempotent on clean text") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(
