@@ -297,6 +297,19 @@ object Text {
     docs.groupBy(xxhash64(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Canonical text for normalization-robust dedup (the CCNet/RefinedWeb
+    * move: normalize BEFORE fingerprinting, so case, punctuation, and
+    * whitespace variants of the same content collapse to one hash):
+    * lowercase → non-alphanumerics to spaces → whitespace runs collapsed
+    * → trimmed. Patterns sit in the Java∩RE2 intersection (same contract
+    * as [[redactPii]]) so the DuckDB twin reproduces every byte; pure
+    * map-side, fingerprint with md5/xxhash64 downstream. Intentionally
+    * ASCII-scoped — production multilingual corpora swap in ICU
+    * normalization at the same call site. */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
     * Returns (doc_a, doc_b, jaccard >= threshold). */
   def nearDupPairs(

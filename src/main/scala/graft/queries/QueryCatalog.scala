@@ -2348,6 +2348,105 @@ object QueryCatalog {
         floor(sum(lp) / 1000000.0 / count(*) * 1000000 + 0.5) / 1000000 AS lm_score
       FROM scored GROUP BY doc_id"""))
 
+  /** Snapshot diff (CDC derivation) under the oracle: `Core.snapshotDiff`
+    * between two versions of the orders table derived deterministically
+    * from the same scan in both engines — v_old drops every 5th key,
+    * v_new drops every 7th and bumps every 3rd price — vs DuckDB's
+    * explicit FULL OUTER JOIN + CASE. Exercises all three change types
+    * (insert / delete / update) and the unchanged-row suppression. */
+  private val q70 = Q(
+    "q70_snapshot_diff",
+    (s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      val vOld = base.filter(col("o_orderkey") % 5 =!= 0)
+      val vNew = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      Core.snapshotDiff(vOld, vNew, Seq("o_orderkey"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0),
+      n AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        n.o_totalprice AS o_totalprice,
+        CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+             WHEN o.o_orderkey IS NULL THEN 'insert'
+             ELSE 'update' END AS change_type
+      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+      WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+         OR o.o_totalprice <> n.o_totalprice"""))
+
+  /** Int8 scalar quantization under the oracle: per-vector (mn, mx),
+    * code sum, and the max dequantization error — every code of every
+    * vector feeds the compared values, so a green row proves the
+    * quantize/dequantize arithmetic is bit-identical cross-engine (the
+    * floor(x+0.5) form; Spark's transform ≡ DuckDB's list_transform).
+    * The error column doubles as the property |x̂-x| <= step/2: the twin
+    * would diverge if either engine's codes drifted one step. */
+  private val q71 = Q(
+    "q71_quantize_embeddings",
+    (s, d) => {
+      import graft.ops.Similarity
+      val qz = Similarity.quantizeInt8(Similarity.asDouble(col("embedding")))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), qz.as("qz"), Similarity.asDouble(col("embedding")).as("v"))
+        .select(
+          col("vec_id"),
+          r(col("qz.mn"), 6).as("mn"),
+          r(col("qz.mx"), 6).as("mx"),
+          aggregate(col("qz.codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+          r(aggregate(
+            zip_with(Similarity.dequantizeInt8(col("qz")), col("v"),
+              (xh, x) => abs(xh - x)),
+            lit(0.0), (a, e) => greatest(a, e)), 9).as("max_abs_err"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+      c AS (
+        SELECT vec_id, v, mn, mx,
+          list_transform(v, x -> CASE WHEN mx = mn THEN 0
+            ELSE CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT) END) AS codes
+        FROM q),
+      dq AS (
+        SELECT vec_id, v, mn, mx, codes,
+          list_transform(codes, cd -> mn + CAST(cd AS DOUBLE) * (mx - mn) / 255.0) AS deq
+        FROM c)
+      SELECT vec_id,
+        floor(mn*1000000 + 0.5)/1000000 AS mn,
+        floor(mx*1000000 + 0.5)/1000000 AS mx,
+        CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        floor(list_max(list_transform(deq, (xh, i) -> abs(xh - v[i])))*1000000000 + 0.5)
+          /1000000000 AS max_abs_err
+      FROM dq"""))
+
+  /** Normalization-robust exact dedup (q19's shape over
+    * `Text.canonicalText`): case/punctuation/whitespace variants of the
+    * same content share a fingerprint. The regex pair lives in the
+    * Java∩RE2 intersection; DuckDB needs the explicit 'g' flag (its
+    * regexp_replace is first-match by default, Spark's is global). */
+  private val q72 = Q(
+    "q72_canonical_dedup",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(graft.ops.Text.canonicalText(col("text"))).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies")),
+    Some("""
+      SELECT md5(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+          '\s+', ' ', 'g'))) AS fingerprint,
+        min(doc_id) AS keeper_id, count(*) AS n_copies
+      FROM documents GROUP BY 1"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -2357,7 +2456,8 @@ object QueryCatalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
+    q71, q72)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

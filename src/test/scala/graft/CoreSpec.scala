@@ -57,6 +57,34 @@ class CoreSpec extends SparkSpec {
     assert(got.getAs[Double]("asof_v") == 7.0)
   }
 
+  test("snapshotDiff emits exactly insert/delete/update; unchanged and null-payload rows handled") {
+    val vOld = Seq(
+      (1L, Some("a"), 10.0),  // unchanged -> no row
+      (2L, Some("b"), 20.0),  // updated payload
+      (3L, Some("c"), 30.0),  // deleted
+      (5L, None, 50.0)        // null payload, unchanged -> no row
+    ).toDF("k", "p", "x")
+    val vNew = Seq(
+      (1L, Some("a"), 10.0),
+      (2L, Some("B"), 20.0),
+      (4L, Some("d"), 40.0),  // inserted
+      (5L, None, 50.0)
+    ).toDF("k", "p", "x")
+    val got = Core.snapshotDiff(vOld, vNew, Seq("k"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(3), Option(r.getString(1)))).toMap
+    assert(got == Map(
+      2L -> ("update", Some("B")),
+      3L -> ("delete", None),       // deletes carry null new-side values
+      4L -> ("insert", Some("d"))), got.toString)
+    // null-to-value flips ARE updates (null-safe compare, not null-eats)
+    val flips = Core.snapshotDiff(
+      Seq((1L, Option.empty[String])).toDF("k", "p"),
+      Seq((1L, Some("now"))).toDF("k", "p"), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(flips.toSeq == Seq((1L, "now", "update")))
+  }
+
   test("unionAll is name-based, column order free") {
     val a = Seq((1, "x")).toDF("id", "v")
     val b = Seq(("y", 2)).toDF("v", "id")

@@ -195,6 +195,33 @@ class TextSimilaritySpec extends SparkSpec {
     assert(mpRecall >= recall, s"multi-probe recall $mpRecall < single $recall")
   }
 
+  test("int8 quantization: error bounded by half a step, recall@10 floor on real embeddings") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.install(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    // property: every reconstructed component within (mx-mn)/510 of source
+    val viol = emb
+      .select(Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("qz", Similarity.quantizeInt8(col("v")))
+      .select(
+        aggregate(
+          zip_with(Similarity.dequantizeInt8(col("qz")), col("v"),
+            (xh, x) => abs(xh - x)),
+          lit(0.0), (a, e) => greatest(a, e)).as("err"),
+        ((col("qz.mx") - col("qz.mn")) / 510.0 + lit(1e-12)).as("bound"))
+      .filter(col("err") > col("bound")).count()
+    assert(viol == 0L, s"$viol vectors exceed the half-step error bound")
+    // ranking survives quantization: recall@10 vs exact brute force
+    val queries = emb.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(emb, queries, 10))
+    val qz = pairs(Similarity.quantizedCosineTopK(emb, queries, 10))
+    val recall = (bf & qz).size.toDouble / bf.size
+    info(f"int8 quantized recall@10 = $recall%.3f")
+    assert(recall >= 0.90, f"quantized recall@10 $recall%.3f under floor")
+  }
+
   test("randomProject preserves cosine structure within the JL bound, tighter as dims grow") {
     import org.apache.spark.sql.functions._
     graft.plans.GraftExtensions.install(spark)
