@@ -34,6 +34,21 @@ object Core {
     * _archive/function_app.py:183). Name-based so column order is free. */
   def unionAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_.unionByName(_))
 
+  /** Schema-evolution union: concatenate snapshots whose schemas drifted
+    * across ingest epochs — added columns backfill NULL on the old side,
+    * dropped columns carry NULL on the new side, and matching is by NAME,
+    * never position. This is the batch answer to "the crawler added a
+    * field in March": reading each epoch with its own schema and evolving
+    * at the union beats rewriting history, and the padding is a zero-cost
+    * metadata projection (no shuffle, no data pass beyond the scans).
+    * Column types must agree where names coincide; Spark raises at plan
+    * time otherwise, which is the failure mode you want (a silent cast
+    * would corrupt). */
+  def unionEvolve(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionEvolve: need at least one frame")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** T4/W2 formalized as an upsert: merge `updates` into `target` with
     * latest-wins semantics per key (the reference's re-crawl + overwrite
     * pattern; on a Delta deployment this is MERGE WHEN MATCHED UPDATE).

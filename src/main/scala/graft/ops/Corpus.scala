@@ -228,6 +228,41 @@ object Corpus {
       }
   }
 
+  /** Scale-safe global ordered index: assign each row its 0-based
+    * position in the total order given by `orderCols` — the deterministic
+    * training-order shuffle (order by a salted hash) and the "give every
+    * record a contiguous global id" primitive, without the
+    * single-partition `row_number() OVER (ORDER BY …)` bottleneck a naive
+    * window would create.
+    *
+    * Shape: one range exchange (sampled boundaries, skew-resistant)
+    * establishes sorted, non-overlapping partitions; `zipWithIndex` then
+    * runs a lightweight count-per-partition job and adds each partition's
+    * cumulative offset map-side. The count pass re-reads only the range
+    * exchange's shuffle files, not the source, so the input is scanned
+    * once regardless. This is the one operator family where dropping to
+    * an RDD is the right call (SURVEY §2 preference order (d)): the
+    * per-partition offset arithmetic is genuinely imperative, and no
+    * Catalyst operator expresses "contiguous global index" without a
+    * global sort into one task.
+    *
+    * `orderCols` must be a total order (add a unique tiebreak column):
+    * ties that straddle a range boundary would otherwise make the index
+    * nondeterministic across runs. */
+  def globalIndex(df: DataFrame, orderCols: Seq[Column], numPartitions: Int,
+      indexName: String = "pos"): DataFrame = {
+    require(numPartitions > 0, s"globalIndex: numPartitions must be positive, got $numPartitions")
+    val sorted = df.repartitionByRange(numPartitions, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val out = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(
+        indexName, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(indexed, out)
+  }
+
   /** Token-budget sequence packing: assign each document to a training
     * batch ("bin") such that bins hold consecutive (by id) documents of
     * roughly `budget` total tokens — the concat-then-chunk packing used

@@ -228,6 +228,44 @@ object Similarity {
     Core.topKPerGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("vec_id").asc), k)
   }
 
+  /** Cross-corpus semantic contamination at scale: eval-set vectors whose
+    * cosine against ANY training vector reaches `threshold`, found through
+    * LSH hyperplane buckets instead of the train×eval cross join. Both
+    * sides are bucketed once map-side; cosine runs only inside matching
+    * buckets (multi-probe on the eval side buys recall at 1+extraProbes
+    * probe cost). This is q58's contamination question asked of EMBEDDINGS
+    * rather than exact token spans — the near-duplicate leak that survives
+    * paraphrasing — and the same shape serves semantic dedup between any
+    * two corpora. Returns one row per contaminated eval vector with its
+    * best-matching train vector and similarity.
+    *
+    * Recall < 1 by construction (bucket collisions are necessary, not
+    * sufficient); TextSimilaritySpec pins a numeric recall floor against
+    * the exact join on real embeddings. The exact label-blocked form is
+    * oracle-checked as q77. */
+  def lshContaminated(train: DataFrame, eval: DataFrame, threshold: Double,
+      numPlanes: Int = 8, dim: Int = 64, extraProbes: Int = 2): DataFrame = {
+    graft.plans.GraftExtensions.install(train.sparkSession)
+    val t = train.select(col("vec_id").as("train_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", fastNorm(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), numPlanes, dim))
+    val e = eval.select(col("vec_id").as("eval_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", fastNorm(col("qv")))
+      .withColumn("bucket",
+        explode(array_distinct(probeBuckets(col("qv"), numPlanes, dim, extraProbes))))
+    e.join(t, Seq("bucket"))
+      .withColumn("sim", fastDot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .filter(col("sim") >= threshold)
+      // multi-probe can reach the same pair through several buckets;
+      // dedup before counting so n_hits = distinct contaminating vectors
+      .dropDuplicates("eval_id", "train_id")
+      .groupBy(col("eval_id"))
+      .agg(
+        max_by(col("train_id"), struct(col("sim"), -col("train_id"))).as("train_id"),
+        max(col("sim")).as("cosine"),
+        count(lit(1)).as("n_hits"))
+  }
+
   /** Scalar int8 quantization: per-vector affine codes in 0..255 with the
     * (mn, mx) range carried alongside — `struct(mn, mx, codes)`. The
     * embedding column of a 100 TB corpus is usually the widest thing in

@@ -368,6 +368,38 @@ object Text {
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(split(text, " ")).cast("long")
 
+  /** Vocabulary construction: the `topN` most frequent tokens with rank
+    * ids and cumulative corpus coverage — the "how big must the vocab be
+    * to cover X% of tokens" curve that sizes a tokenizer, plus the OOV
+    * mass (1 - max coverage) it implies.
+    *
+    * Scale shape: one hash aggregate over the exploded tokens (partial
+    * map-side combine collapses the per-partition duplicates, so the
+    * shuffle carries ~vocab rows, not ~corpus rows), then a pushed
+    * sort+limit (TakeOrderedAndProject — never a full global sort) prunes
+    * to `topN` BEFORE the rank/cumsum window runs, so the unpartitioned
+    * window only ever sees `topN` rows. The total-token count for the
+    * coverage denominator is a 1-row broadcast. Ties break by token text
+    * so the vocab is deterministic across runs and engines.
+    *
+    * Returns (token_id, token, n, coverage): token_id is the 0-based
+    * frequency rank, coverage the fraction of ALL token occurrences
+    * covered by ranks 0..token_id. */
+  def vocabulary(docs: DataFrame, textCol: Column, topN: Int): DataFrame = {
+    require(topN > 0, s"vocabulary: topN must be positive, got $topN")
+    val counts = docs.select(explode(tokens(textCol)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    val top = counts.orderBy(col("n").desc, col("token").asc).limit(topN)
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    top.crossJoin(broadcast(total))
+      .select(
+        (row_number().over(w) - 1).cast("long").as("token_id"),
+        col("token"), col("n"),
+        (sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("__total").cast("double")).as("coverage"))
+  }
+
   /** BPE-ish token estimate: greedy max-4-char letter chunks, max-3-digit
     * number chunks (BPE vocabularies split long numbers), and one token
     * per punctuation/symbol character; whitespace is free. The pattern is

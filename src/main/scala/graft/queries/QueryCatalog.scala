@@ -2447,6 +2447,173 @@ object QueryCatalog {
         min(doc_id) AS keeper_id, count(*) AS n_copies
       FROM documents GROUP BY 1"""))
 
+  /** Deterministic training-order shuffle via the scale-safe global index
+    * (Corpus.globalIndex): every document's position in the salted-hash
+    * order, computed with a range exchange + per-partition offsets — NOT
+    * the single-task `row_number() OVER (ORDER BY …)` the twin uses
+    * (DuckDB can afford it; a 100 TB Spark job cannot). A green row
+    * proves the distributed index is bit-identical to the sequential
+    * definition: same hash, same tiebreak, same contiguous 0-based ids. */
+  private val q73 = Q(
+    "q73_global_index",
+    (s, d) => {
+      import graft.ops.Corpus
+      Corpus.globalIndex(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq(Corpus.uniformHash(col("doc_id"), "shuffle-r5"), col("doc_id")),
+        numPartitions = 8, indexName = "pos")
+    },
+    Some("""
+      SELECT doc_id, lang,
+        row_number() OVER (ORDER BY
+          (('0x' || substr(md5(doc_id::VARCHAR || 'shuffle-r5'), 1, 15))::BIGINT)::DOUBLE
+            / 1152921504606846976, doc_id) - 1 AS pos
+      FROM documents"""))
+
+  /** Vocabulary construction (Text.vocabulary): top-40 tokens by corpus
+    * frequency with rank ids and cumulative coverage — the
+    * tokenizer-sizing curve. The aggregate collapses to vocab-sized rows
+    * map-side and the sort+limit prunes BEFORE the rank window, so the
+    * unpartitioned window sees 40 rows at any corpus size. Coverage is an
+    * exact-integer-over-exact-integer double division, identical IEEE
+    * result both engines, rounded to 1e-9 for the hash. */
+  private val q74 = Q(
+    "q74_vocab_coverage",
+    (s, d) => {
+      val v = graft.ops.Text.vocabulary(Tables.documents(s, d), col("text"), topN = 40)
+      v.select(col("token_id"), col("token"), col("n"), r(col("coverage"), 9).as("coverage"))
+    },
+    Some("""
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      f AS (SELECT token, count(*) AS n FROM t WHERE token <> '' GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM f),
+      rk AS (
+        SELECT token, CAST(n AS BIGINT) AS n,
+          row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id,
+          CAST(sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+        FROM f)
+      SELECT token_id, token, n, floor(cum/total*1000000000 + 0.5)/1000000000 AS coverage
+      FROM rk CROSS JOIN tot WHERE token_id < 40"""))
+
+  /** Schema-evolution union (Core.unionEvolve) under the oracle: three
+    * snapshot epochs of the orders feed whose schemas drifted (a column
+    * added in epoch 2, another swapped in epoch 3) are concatenated by
+    * NAME with NULL backfill in both directions — vs DuckDB's
+    * UNION ALL BY NAME, which implements the same semantics natively. */
+  private val q75 = Q(
+    "q75_union_evolve",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val e1 = o.filter(col("o_orderkey") % 3 === 0)
+        .select(lit(1L).as("epoch"), col("o_orderkey"), col("o_totalprice"))
+      val e2 = o.filter(col("o_orderkey") % 3 === 1)
+        .select(lit(2L).as("epoch"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val e3 = o.filter(col("o_orderkey") % 3 === 2)
+        .select(lit(3L).as("epoch"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      Core.unionEvolve(Seq(e1, e2, e3))
+    },
+    Some("""
+      SELECT CAST(1 AS BIGINT) AS epoch, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL BY NAME
+      SELECT CAST(2 AS BIGINT) AS epoch, o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 1
+      UNION ALL BY NAME
+      SELECT CAST(3 AS BIGINT) AS epoch, o_orderkey, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 3 = 2"""))
+
+  /** Spark's BUILT-IN session_window aggregate vs the explicit gap-session
+    * algebra (q43 exercised graft's own sessionizeBatch; this pins the
+    * engine primitive to the same definition). Spark closes a session when
+    * the next event's time reaches start+gap, so the twin's new-session
+    * predicate is `>= gap`, not `>`. Window bounds are emitted as epoch
+    * micros; session_end = last event + gap by both definitions. */
+  private val q76 = Q(
+    "q76_session_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("total_value"))
+        .select(
+          col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"), col("total_value")),
+    Some("""
+      WITH l AS (
+        SELECT user_id, ts, value,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN pts IS NULL
+            OR epoch_us(ts) - epoch_us(pts) >= 3600000000 THEN 1 ELSE 0 END AS newf
+        FROM l),
+      g AS (
+        SELECT *, sum(newf) OVER (PARTITION BY user_id
+          ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f)
+      SELECT user_id,
+        epoch_us(min(ts)) AS start_us,
+        epoch_us(max(ts)) + 3600000000 AS end_us,
+        count(*) AS n_events,
+        floor(sum(value)*100 + 0.5)/100 AS total_value
+      FROM g GROUP BY user_id, session_id"""))
+
+  /** Cross-corpus SEMANTIC contamination, exact label-blocked form: eval
+    * vectors (odd vec_id) whose cosine against any train vector (even
+    * vec_id) of the same label reaches 0.4 — with best-match id, max
+    * cosine, and hit count. q58 answers this for exact token spans; this
+    * catches the paraphrased leak spans can't. The LSH-bucketed scale
+    * path (Similarity.lshContaminated — no train×eval cross join) is
+    * recall-floor-pinned against this exact form in TextSimilaritySpec. */
+  private val q77 = Q(
+    "q77_semantic_contamination",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      import graft.ops.Similarity
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"), Similarity.asDouble(col("embedding")).as("v"))
+      val n = e.withColumn("nrm",
+        sqrt(graft.functions.VectorDot.vec_dot(col("v"), col("v"))))
+      val train = n.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("train_id"), col("label"),
+          col("v").as("tv"), col("nrm").as("tn"))
+      val ev = n.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("eval_id"), col("label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      ev.join(train, Seq("label"))
+        .withColumn("sim",
+          graft.functions.VectorDot.vec_dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
+        .filter(col("sim") >= 0.4)
+        .groupBy(col("eval_id"))
+        .agg(
+          max_by(col("train_id"), struct(col("sim"), -col("train_id"))).as("train_id"),
+          r(max(col("sim")), 4).as("cosine"),
+          count(lit(1)).as("n_hits"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      s AS (
+        SELECT ev.vec_id AS eval_id, t.vec_id AS train_id,
+          list_dot_product(ev.v, t.v)/(ev.nrm*t.nrm) AS sim
+        FROM n ev JOIN n t ON ev.label = t.label
+        WHERE ev.vec_id % 2 = 1 AND t.vec_id % 2 = 0
+          AND list_dot_product(ev.v, t.v)/(ev.nrm*t.nrm) >= 0.4),
+      r AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY eval_id ORDER BY sim DESC, train_id ASC) AS rn
+        FROM s)
+      SELECT eval_id,
+        max(CASE WHEN rn = 1 THEN train_id END) AS train_id,
+        floor(max(sim)*10000 + 0.5)/10000 AS cosine,
+        count(*) AS n_hits
+      FROM r GROUP BY eval_id"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -2457,7 +2624,7 @@ object QueryCatalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72)
+    q71, q72, q73, q74, q75, q76, q77)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -92,6 +92,20 @@ class CoreSpec extends SparkSpec {
     assert(got == Set((1, "x"), (2, "y")))
   }
 
+  test("unionEvolve pads missing columns with null in both directions") {
+    val epoch1 = Seq((1, 10.0)).toDF("id", "price")                 // original schema
+    val epoch2 = Seq((2, 20.0, "O")).toDF("id", "price", "status")  // column added
+    val epoch3 = Seq((3, "F")).toDF("id", "status")                 // column dropped
+    val got = Core.unionEvolve(Seq(epoch1, epoch2, epoch3))
+    assert(got.columns.toSet == Set("id", "price", "status"))
+    val rows = got.orderBy("id").collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(r.fieldIndex("price"))) None else Some(r.getDouble(r.fieldIndex("price"))),
+        Option(r.getAs[String]("status"))))
+    assert(rows.toSeq == Seq(
+      (1, Some(10.0), None), (2, Some(20.0), Some("O")), (3, None, Some("F"))))
+  }
+
   test("saltedJoin equals the plain join on a skewed fact, inner and left") {
     // 90% of fact rows share one hot key — the shape salting exists for
     val fact = ((1 to 900).map(i => ("hot", i.toDouble)) ++

@@ -389,6 +389,38 @@ class CorpusSpec extends SparkSpec {
     twice.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("globalIndex: contiguous 0-based ids matching the sequential order, any partitioning") {
+    val ordered = docs.select(col("doc_id"), Corpus.uniformHash(col("doc_id"), "gi").as("u"))
+    // sequential definition: collect and sort driver-side
+    val expect = ordered.collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, u) => (u, id) }
+      .map(_._1).toSeq
+    for (nParts <- Seq(1, 3, 8)) {
+      val got = Corpus.globalIndex(
+        ordered, Seq(col("u"), col("doc_id")), numPartitions = nParts)
+        .orderBy(col("pos"))
+        .select("doc_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.map(_._2) == (0L until expect.size).toSeq,
+        s"index not contiguous at $nParts partitions")
+      assert(got.map(_._1) == expect, s"order diverges at $nParts partitions")
+    }
+  }
+
+  test("vocabulary: ranks by frequency with token tiebreak, coverage is cumulative") {
+    val tiny = Seq("b b b a a c", "a d", "").toDF("text")
+    val v = Text.vocabulary(tiny, col("text"), topN = 3)
+      .orderBy("token_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // counts: a=3, b=3, c=1, d=1 -> ties break by token text
+    assert(v.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, "a", 3L), (1L, "b", 3L), (2L, "c", 1L)))
+    assert(math.abs(v(0)._4 - 3.0 / 8) < 1e-15)
+    assert(math.abs(v(1)._4 - 6.0 / 8) < 1e-15)
+    assert(math.abs(v(2)._4 - 7.0 / 8) < 1e-15) // OOV mass = 1 - 7/8 (d)
+  }
+
   test("dupNgramFraction and topTokenStats on known documents") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

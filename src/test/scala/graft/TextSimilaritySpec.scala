@@ -195,6 +195,37 @@ class TextSimilaritySpec extends SparkSpec {
     assert(mpRecall >= recall, s"multi-probe recall $mpRecall < single $recall")
   }
 
+  test("lshContaminated: recall floor vs the exact cross join on real embeddings") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val train = emb.filter($"vec_id" % 2 === 0)
+    val eval = emb.filter($"vec_id" % 2 === 1)
+    // exact contaminated set: full train×eval cosine at the same threshold
+    // (random 64-dim embeddings: 0.25 yields a usable planted-free set)
+    val t = train.select($"vec_id".as("train_id"),
+      Similarity.asDouble($"embedding").as("tv"))
+    val e = eval.select($"vec_id".as("eval_id"),
+      Similarity.asDouble($"embedding").as("qv"))
+    val exact = e.crossJoin(t)
+      .withColumn("sim",
+        graft.functions.VectorDot.vec_dot($"qv", $"tv") /
+          (sqrt(graft.functions.VectorDot.vec_dot($"qv", $"qv")) *
+           sqrt(graft.functions.VectorDot.vec_dot($"tv", $"tv"))))
+      .filter($"sim" >= 0.25)
+      .select("eval_id").distinct().as[Long].collect().toSet
+    assert(exact.nonEmpty, "threshold too high: exact contaminated set is empty")
+    val approx = Similarity.lshContaminated(train, eval, 0.25,
+      numPlanes = 4, extraProbes = 4)
+      .select("eval_id").as[Long].collect().toSet
+    // approx hits are a subset (bucketing only prunes, never invents)...
+    assert(approx.subsetOf(exact), "LSH path reported a non-contaminated vector")
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"lshContaminated recall=$recall%.3f (${exact.size} exact)")
+    // ...and recall is floor-pinned at these exact parameters on the
+    // committed fixture (deterministic planes) so silent degradation fails
+    assert(recall >= 0.5, f"contamination recall $recall%.3f under floor")
+  }
+
   test("int8 quantization: error bounded by half a step, recall@10 floor on real embeddings") {
     import org.apache.spark.sql.functions._
     graft.plans.GraftExtensions.install(spark)
