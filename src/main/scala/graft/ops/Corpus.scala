@@ -228,6 +228,51 @@ object Corpus {
       }
   }
 
+  /** Mixture/epoch planning: given target mixture weights per stratum and
+    * a total token budget, compute each stratum's available mass and the
+    * EPOCH COUNT (repeat factor) needed to hit its share — the standard
+    * data-mixing worksheet (epochs > 1 means the stratum is upsampled /
+    * repeated; < 1 means downsample, cf. [[temperatureSample]]). One hash
+    * aggregate over the corpus; the plan itself is stratum-sized.
+    * Strata absent from `weights` get weight 0 (excluded from the mix but
+    * still reported, so nothing silently disappears from the audit). */
+  def epochPlan(
+      docs: DataFrame, stratum: String, tokCol: Column,
+      weights: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"epochPlan: budget must be positive, got $budgetTokens")
+    weights.foreach { case (k, v) => require(v >= 0, s"epochPlan: negative weight for '$k'") }
+    val weight = weights.foldLeft(lit(0.0)) {
+      case (acc, (k, v)) => when(col(stratum) === lit(k), lit(v)).otherwise(acc)
+    }
+    docs.groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_docs"), sum(tokCol).as("n_tokens"))
+      .select(
+        col(stratum), col("n_docs"), col("n_tokens"),
+        weight.as("weight"),
+        (weight * budgetTokens.toDouble / col("n_tokens").cast("double")).as("epochs"))
+  }
+
+  /** Quality-ranked token-budget trim: within each stratum, walk the rows
+    * in `order` (best first) and keep them until `budgetTokens` is
+    * spent — the budgeted greedy selection that builds a fixed-size
+    * corpus from ranked candidates ("take the best N billion tokens per
+    * source"). A row is kept iff the tokens BEFORE it are under budget,
+    * so every stratum keeps at least its top row and the straddling row
+    * is included (the budget is a floor on selected mass, not a cap).
+    * One window shuffle on the stratum; `order` must be a total order
+    * (unique tiebreak) on engine-exact columns — ranking on a float that
+    * engines round differently would flip the kept set. */
+  def budgetTrim(df: DataFrame, stratum: String, order: Seq[Column],
+      tokCol: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTrim: budget must be positive, got $budgetTokens")
+    val w = Window.partitionBy(col(stratum)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__tok", tokCol)
+      .withColumn("__before", sum(col("__tok")).over(w) - col("__tok"))
+      .filter(col("__before") < budgetTokens)
+      .drop("__tok", "__before")
+  }
+
   /** Scale-safe global ordered index: assign each row its 0-based
     * position in the total order given by `orderCols` — the deterministic
     * training-order shuffle (order by a salted hash) and the "give every

@@ -400,6 +400,41 @@ object Text {
           .cast("double") / col("__total").cast("double")).as("coverage"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): hash every k-token gram, then keep only each
+    * sliding window's MINIMUM hash. The selected fingerprints are a
+    * sparse, position-independent signature with a guarantee plain
+    * sampling lacks: any shared run of w+k-1 tokens between two documents
+    * shares at least one fingerprint. Join two corpora on `fp` for
+    * plagiarism/near-copy detection at ~1/w the index size of full k-gram
+    * sets ([[spanHashes]] keeps every span; winnowing is the sampled tier
+    * for cross-corpus matching where the full index is too big).
+    *
+    * Pure map-side array algebra, one row per distinct fingerprint per
+    * doc. Tokens, gram hashes, and window minima are let-bound through
+    * single-element array+transform (ARCHITECTURE §8) so each tier is
+    * evaluated once per row, never once per lambda element. Hashes are
+    * md5-derived int60s, so the DuckDB twin (q78) reproduces every
+    * fingerprint bit-for-bit. Documents shorter than k tokens emit
+    * nothing; shorter than k+w-1 emit the single global minimum. */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0 && w > 0, s"winnowFingerprints: k and w must be positive, got k=$k w=$w")
+    def gramHash(ts: Column, i: Column): Column =
+      conv(substring(md5(concat_ws(" ", slice(ts, i, lit(k)))), 1, 15), 16, 10).cast("long")
+    val fps = element_at(transform(array(tokens(col(textCol))), ts =>
+      element_at(transform(array(
+        when(size(ts) - (k - 1) >= 1,
+          transform(sequence(lit(1), size(ts) - (k - 1)), i => gramHash(ts, i)))
+          .otherwise(array().cast("array<long>"))), hs =>
+        when(size(hs) === 0, array().cast("array<long>"))
+          .when(size(hs) < w, array(array_min(hs)))
+          .otherwise(array_distinct(
+            transform(sequence(lit(1), size(hs) - (w - 1)),
+              j => array_min(slice(hs, j, lit(w))))))), 1)), 1)
+    docs.select(col(idCol), explode(fps).as("fp"))
+  }
+
   /** BPE-ish token estimate: greedy max-4-char letter chunks, max-3-digit
     * number chunks (BPE vocabularies split long numbers), and one token
     * per punctuation/symbol character; whitespace is free. The pattern is

@@ -2614,6 +2614,92 @@ object QueryCatalog {
         count(*) AS n_hits
       FROM r GROUP BY eval_id"""))
 
+  /** Winnowing fingerprints (Text.winnowFingerprints, the MOSS
+    * algorithm): every doc's sliding-window-minimum k-gram hashes — the
+    * sparse signature whose guarantee is that any shared w+k-1-token run
+    * between two documents shares a fingerprint. The twin rebuilds the
+    * identical md5-int60 gram hashes and window minima with DuckDB list
+    * lambdas, so every selected fingerprint hash-matches. */
+  private val q78 = Q(
+    "q78_winnowing",
+    (s, d) => graft.ops.Text.winnowFingerprints(
+      Tables.documents(s, d), k = 5, w = 4),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      h AS (
+        SELECT doc_id, CASE WHEN len(toks) - 4 >= 1 THEN
+            list_transform(range(1, len(toks) - 4 + 1), i ->
+              ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT)
+          ELSE [] END AS hs
+        FROM t),
+      wn AS (
+        SELECT doc_id, CASE
+            WHEN len(hs) = 0 THEN []
+            WHEN len(hs) < 4 THEN [list_min(hs)]
+            ELSE list_distinct(list_transform(range(1, len(hs) - 4 + 2), j ->
+              list_min(hs[j:j+3]))) END AS fps
+        FROM h)
+      SELECT doc_id, unnest(fps) AS fp FROM wn"""))
+
+  /** Mixture/epoch planning (Corpus.epochPlan): per-language token mass
+    * and the repeat factor needed to hit each language's share of a 1M
+    * token budget. Weights are compile-time literals, the budget product
+    * and division are the same IEEE ops both engines, rounded at 1e-6. */
+  private val q79 = Q(
+    "q79_epoch_plan",
+    (s, d) => {
+      val plan = graft.ops.Corpus.epochPlan(
+        Tables.documents(s, d), "lang", graft.ops.Text.wsTokenCount(col("text")),
+        weights = Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15),
+        budgetTokens = 1000000L)
+      plan.select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("weight"), r(col("epochs"), 6).as("epochs"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      w AS (
+        -- weights as DOUBLE from the start: a bare 0.15 is DECIMAL in
+        -- DuckDB (exact) but double in Spark, and the product would
+        -- differ in the last ulp
+        SELECT *, CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+          WHEN 'de' THEN CAST(0.15 AS DOUBLE) WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+          WHEN 'fr' THEN CAST(0.15 AS DOUBLE) WHEN 'zh' THEN CAST(0.15 AS DOUBLE)
+          ELSE CAST(0.0 AS DOUBLE) END AS weight
+        FROM c)
+      SELECT lang, n_docs, n_tokens, weight,
+        floor(weight * CAST(1000000 AS DOUBLE) / n_tokens::DOUBLE * 1000000 + 0.5)/1000000 AS epochs
+      FROM w"""))
+
+  /** Quality-ranked token-budget trim (Corpus.budgetTrim): per source,
+    * keep documents longest-first until 500 tokens are spent — the
+    * budgeted greedy selection of a fixed-size corpus. The rank order
+    * (n_chars DESC, doc_id) is engine-exact integers, so the kept set is
+    * identical by construction; the straddling row is kept (budget =
+    * floor on selected mass). */
+  private val q80 = Q(
+    "q80_budget_trim",
+    (s, d) => graft.ops.Corpus.budgetTrim(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"), col("text")),
+      stratum = "source",
+      order = Seq(col("n_chars").desc, col("doc_id").asc),
+      tokCol = graft.ops.Text.wsTokenCount(col("text")),
+      budgetTokens = 500L)
+      .select(col("doc_id"), col("source"), col("n_chars")),
+    Some("""
+      WITH c AS (
+        SELECT doc_id, source, n_chars,
+          len(string_split(text, ' ')) AS tok,
+          sum(len(string_split(text, ' '))) OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents)
+      SELECT doc_id, source, n_chars FROM c WHERE cum - tok < 500"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -2624,7 +2710,7 @@ object QueryCatalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -421,6 +421,59 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(v(2)._4 - 7.0 / 8) < 1e-15) // OOV mass = 1 - 7/8 (d)
   }
 
+  test("winnowFingerprints: shared-run guarantee, short-doc and sub-k edges") {
+    val k = 3; val w = 2
+    // docs 1 and 2 share a run of w+k-1 = 4 tokens ("p q r s") -> the
+    // winnowing guarantee says they MUST share at least one fingerprint
+    val tiny = Seq(
+      (1L, "a b p q r s c d e f"),
+      (2L, "x y z p q r s"),
+      (3L, "m n o"),   // exactly k tokens: 1 gram -> single global min
+      (4L, "u v"),     // shorter than k: no grams -> no rows
+      (5L, "")         // empty: no rows
+    ).toDF("doc_id", "text")
+    val fps = Text.winnowFingerprints(tiny, k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 4-token run must share a fingerprint")
+    assert(fps(3L).size == 1, "k-token doc has exactly one fingerprint")
+    assert(!fps.contains(4L) && !fps.contains(5L), "sub-k docs emit nothing")
+    // fingerprints are a subset of the gram hashes (selection, not invention)
+    // and sparser than the full gram set on a real doc
+    val doc1Grams = 10 - k + 1
+    assert(fps(1L).size < doc1Grams)
+  }
+
+  test("epochPlan: epochs = weight * budget / stratum tokens; missing stratum gets 0") {
+    val tiny = Seq(
+      ("en", "a b c d"), ("en", "e f"),   // 6 tokens
+      ("de", "g h i"),                    // 3 tokens
+      ("xx", "j k")                       // 2 tokens, not in weights
+    ).toDF("lang", "text")
+    val got = Corpus.epochPlan(tiny, "lang", Text.wsTokenCount(col("text")),
+      Map("en" -> 0.75, "de" -> 0.25), budgetTokens = 12L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("en") == ((2L, 6L, 0.75, 1.5)))   // 0.75*12/6
+    assert(got("de") == ((1L, 3L, 0.25, 1.0)))   // 0.25*12/3
+    assert(got("xx") == ((1L, 2L, 0.0, 0.0)))    // unweighted but reported
+  }
+
+  test("budgetTrim: keeps best-first until budget, straddler kept, top row always kept") {
+    val tiny = Seq(
+      // stratum A, order by rank: tokens 4, 3, 2 — budget 5 keeps rank 1
+      // (before=0) and rank 2 (before=4 < 5, straddles), drops rank 3
+      ("A", 1L, 10L, "t t t t"), ("A", 2L, 9L, "t t t"), ("A", 3L, 8L, "t t"),
+      // stratum B: single huge doc over budget still kept (before=0)
+      ("B", 4L, 99L, "t t t t t t t t t t")
+    ).toDF("src", "id", "rank", "text")
+    val kept = Corpus.budgetTrim(tiny, "src",
+      Seq(col("rank").desc, col("id").asc),
+      Text.wsTokenCount(col("text")), budgetTokens = 5L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
   test("dupNgramFraction and topTokenStats on known documents") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
