@@ -2533,14 +2533,12 @@ object QueryCatalog {
   private val q76 = Q(
     "q76_session_window",
     (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("w"))
-        .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("total_value"))
+      graft.streaming.Events.sessionWindowCounts(Tables.events(s, d), "1 hour")
         .select(
           col("user_id"),
-          unix_micros(col("w.start")).as("start_us"),
-          unix_micros(col("w.end")).as("end_us"),
-          col("n_events"), col("total_value")),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), r2(col("total_value")).as("total_value")),
     Some("""
       WITH l AS (
         SELECT user_id, ts, value,

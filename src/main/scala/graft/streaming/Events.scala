@@ -82,6 +82,27 @@ object Events {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Built-in session windows: per-user gap sessions through Spark's
+    * native `session_window` aggregate — counts/sums per (user, session).
+    * The engine primitive behind [[sessionizeEventTime]]'s custom state
+    * machine: use THIS when plain per-session aggregates suffice (the
+    * state store merges windows for free, no flatMapGroupsWithState
+    * code to maintain), and the custom sessionizer only when sessions
+    * need bespoke payloads/emission. Boundary semantics: an event at
+    * exactly start+gap opens a NEW session (q76 pins this against the
+    * explicit gap algebra). Streaming requires the watermark (late rows
+    * beyond it are dropped and sessions finalize); in batch the same
+    * plan aggregates directly. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** T4a — at-least-once delivery dedup: a re-delivered (user_id,
     * event_id) is dropped; every distinct event passes through once.
     *

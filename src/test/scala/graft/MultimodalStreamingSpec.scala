@@ -109,6 +109,38 @@ class MultimodalStreamingSpec extends SparkSpec {
       batchGot.map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSeq)
   }
 
+  test("sessionWindowCounts: built-in session_window agrees batch vs streaming, merges across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val early = Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 1.0),
+      ev(1, 1, "2024-01-01 00:30:00", "click", 2.0),   // same session (gap 1h)
+      ev(2, 2, "2024-01-01 00:05:00", "view", 4.0))
+    val late = Seq(
+      ev(3, 1, "2024-01-01 01:15:00", "click", 8.0),   // extends user 1's session
+      ev(4, 1, "2024-01-01 05:00:00", "click", 16.0))  // new session
+    val batch = Events.sessionWindowCounts(
+      (early ++ late).toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .orderBy($"user_id", $"session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+    // user 1: one merged session 00:00-01:15(+1h) and a lone 05:00 session
+    assert(batch.count(_._1 == 1L) == 2 && batch.count(_._1 == 2L) == 1)
+    assert(batch.head._4 == 3L && batch.head._5 == 11.0)
+
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    stream.addData(early: _*)
+    stream.addData(late: _*)   // separate source batch: state-store merge path
+    val sdf = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Events.sessionWindowCounts(sdf).writeStream
+      .format("memory").queryName("sw_out").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    q.stop()
+    val got = spark.sql("SELECT * FROM sw_out")
+      .orderBy($"user_id", $"session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == batch.toSeq, "streaming session merge diverged from batch")
+  }
+
   test("T2 file-source stream over the real events fixture matches batch") {
     // stage the driver's events parquet as a streaming source directory
     val dir = java.nio.file.Files.createTempDirectory("graft_evstream")
