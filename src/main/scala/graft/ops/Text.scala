@@ -435,6 +435,32 @@ object Text {
     docs.select(col(idCol), explode(fps).as("fp"))
   }
 
+  /** Cross-corpus plagiarism/copy detection on winnowing fingerprints:
+    * per corpus document, how many of its fingerprints also occur
+    * anywhere in `reference` — [[crossCorpusContamination]]'s exact-span
+    * question answered from the ~1/w-sized winnowed signature instead of
+    * every span (the index you can actually keep when both corpora are
+    * large). Matching is semi-join against the DISTINCT reference
+    * fingerprint set: one aggregate + one semi join, no pair explosion,
+    * and a reference small enough to broadcast stays off the shuffle
+    * path entirely. The winnowing guarantee bounds the miss: any shared
+    * run of w+k-1 tokens surfaces at least one shared fingerprint. */
+  def winnowMatch(corpus: DataFrame, reference: DataFrame, k: Int = 5, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val c = winnowFingerprints(corpus, k, w, idCol, textCol)
+    val refFps = winnowFingerprints(reference, k, w, idCol, textCol)
+      .select(col("fp")).distinct()
+    val per = c.groupBy(col(idCol)).agg(count(lit(1)).as("n_fps"))
+    val hits = c.join(refFps, Seq("fp"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_matched"))
+    per.join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_fps"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)).cast("double") /
+          col("n_fps").cast("double")).as("matched_frac"))
+  }
+
   /** BPE-ish token estimate: greedy max-4-char letter chunks, max-3-digit
     * number chunks (BPE vocabularies split long numbers), and one token
     * per punctuation/symbol character; whitespace is free. The pattern is

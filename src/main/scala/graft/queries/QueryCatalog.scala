@@ -2618,11 +2618,9 @@ object QueryCatalog {
     * between two documents shares a fingerprint. The twin rebuilds the
     * identical md5-int60 gram hashes and window minima with DuckDB list
     * lambdas, so every selected fingerprint hash-matches. */
-  private val q78 = Q(
-    "q78_winnowing",
-    (s, d) => graft.ops.Text.winnowFingerprints(
-      Tables.documents(s, d), k = 5, w = 4),
-    Some("""
+  // winnowing CTE (k=5, w=4) shared verbatim by the q78 and q81 twins:
+  // ends in `wf(doc_id, fp)` — one row per distinct fingerprint per doc
+  private val WinnowCte = """
       WITH t AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
         FROM documents),
@@ -2638,8 +2636,14 @@ object QueryCatalog {
             WHEN len(hs) < 4 THEN [list_min(hs)]
             ELSE list_distinct(list_transform(range(1, len(hs) - 4 + 2), j ->
               list_min(hs[j:j+3]))) END AS fps
-        FROM h)
-      SELECT doc_id, unnest(fps) AS fp FROM wn"""))
+        FROM h),
+      wf AS (SELECT doc_id, unnest(fps) AS fp FROM wn)"""
+
+  private val q78 = Q(
+    "q78_winnowing",
+    (s, d) => graft.ops.Text.winnowFingerprints(
+      Tables.documents(s, d), k = 5, w = 4),
+    Some(s"$WinnowCte SELECT doc_id, fp FROM wf"))
 
   /** Mixture/epoch planning (Corpus.epochPlan): per-language token mass
     * and the repeat factor needed to hit each language's share of a 1M
@@ -2672,6 +2676,71 @@ object QueryCatalog {
       SELECT lang, n_docs, n_tokens, weight,
         floor(weight * CAST(1000000 AS DOUBLE) / n_tokens::DOUBLE * 1000000 + 0.5)/1000000 AS epochs
       FROM w"""))
+
+  /** Cross-corpus plagiarism match on winnowing fingerprints
+    * (Text.winnowMatch): odd docs vs the even-doc reference — q58's
+    * span-contamination question answered from the winnowed (~1/w)
+    * signature. Distinct-fp semantics on BOTH sides (winnowFingerprints
+    * dedups per doc; the twin's wf mirrors it), so matched_frac is the
+    * fraction of the doc's distinct fingerprints seen in the reference. */
+  private val q81 = Q(
+    "q81_winnow_match",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Text.winnowMatch(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), k = 5, w = 4)
+        .select(col("doc_id"), col("n_fps"), col("n_matched"),
+          r(col("matched_frac"), 6).as("matched_frac"))
+    },
+    Some(s"""$WinnowCte,
+      a AS (SELECT * FROM wf WHERE doc_id % 2 = 1),
+      ref AS (SELECT DISTINCT fp FROM wf WHERE doc_id % 2 = 0),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM a GROUP BY 1),
+      hit AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM a
+        WHERE fp IN (SELECT fp FROM ref) GROUP BY 1)
+      SELECT per.doc_id, per.n_fps,
+        coalesce(hit.n_hit, 0) AS n_matched,
+        floor(coalesce(hit.n_hit, 0)::DOUBLE / per.n_fps * 1000000 + 0.5)/1000000
+          AS matched_frac
+      FROM per LEFT JOIN hit USING (doc_id)"""))
+
+  /** Rolling distinct-user analytics: daily actives plus the 7-day
+    * rolling distinct count (DAU/WAU). Rolling DISTINCT cannot ride a
+    * plain window frame (distinct doesn't decompose); the scale shape is
+    * the day×window re-expansion: distinct (day, user) pairs — tiny vs
+    * the event stream — joined to the day spine on a 7-day interval,
+    * then one exact distinct per day. At sketch-friendly scale swap the
+    * per-day `hll_sketch` partials + `hll_merge` over the window
+    * (SketchMerge) and skip the re-expansion entirely; exact is the
+    * oracle-checkable form. Day strings cut the tz ambiguity (both
+    * engines render the UTC calendar date). */
+  private val q82 = Q(
+    "q82_rolling_dau",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = daily.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = dau.select(col("day")).as("sp")
+        .join(daily.as("u"),
+          col("u.day").between(date_sub(col("sp.day"), 6), col("sp.day")))
+        .groupBy(col("sp.day").as("day"))
+        .agg(countDistinct(col("u.user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY 1),
+      wau AS (
+        SELECT sp.day, count(DISTINCT u.user_id) AS wau
+        FROM dau sp JOIN daily u
+          ON u.day BETWEEN sp.day - INTERVAL 6 DAY AND sp.day
+        GROUP BY 1)
+      SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
+      FROM dau JOIN wau USING (day)"""))
 
   /** Quality-ranked token-budget trim (Corpus.budgetTrim): per source,
     * keep documents longest-first until 500 tokens are spent — the
@@ -2708,7 +2777,8 @@ object QueryCatalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
+    q81, q82)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

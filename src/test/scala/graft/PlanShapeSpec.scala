@@ -153,6 +153,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), p)
   }
 
+  test("q78: winnowing is pure map-side array algebra — zero exchanges") {
+    val p = plan("q78_winnowing")
+    assert(!p.contains("Exchange"), p)
+    // only (doc_id, text) reach the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("q54: incremental dedup anti-joins on the fingerprint, no sort-merge") {
     // at fixture scale the distinct prior-fingerprint side broadcasts;
     // the anti join must be a hash join form, never a nested loop
@@ -195,6 +202,6 @@ class PlanShapeSpec extends SparkSpec {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
     assert(os.subsetOf(qs))
-    assert(qs.size == 80)
+    assert(qs.size == 82)
   }
 }
