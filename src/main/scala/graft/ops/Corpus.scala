@@ -228,6 +228,60 @@ object Corpus {
       }
   }
 
+  /** One-pass declarative data-quality audit: evaluate every row-level
+    * constraint in a SINGLE aggregate over a SINGLE scan (each check is a
+    * conditional sum — adding checks adds columns, never passes), plus
+    * one keyed aggregate per uniqueness constraint. Returns the long
+    * audit table (check, n_violations, n_rows) a pipeline gate can
+    * alert on. A NULL predicate result counts as a violation (the
+    * constraint could not be proven), and uniqueness counts every row
+    * beyond the first per duplicate key (SQL NULL keys group together
+    * here — audit semantics, not join semantics). */
+  def auditConstraints(
+      df: DataFrame,
+      rowChecks: Seq[(String, Column)],
+      uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueKeys.nonEmpty, "auditConstraints: nothing to check")
+    val parts =
+      (if (rowChecks.isEmpty) Nil else {
+        val aggs = count(lit(1)).as("__n") +:
+          rowChecks.map { case (n, p) => sum(when(p, 0L).otherwise(1L)).as(n) }
+        val pairs = rowChecks.map { case (n, _) => s"'$n', `$n`" }.mkString(", ")
+        Seq(df.agg(aggs.head, aggs.tail: _*).selectExpr(
+          s"stack(${rowChecks.size}, $pairs) as (check_name, n_violations)",
+          "__n as n_rows"))
+      }) ++
+      uniqueKeys.map { case (name, keys) =>
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+          .agg(sum(col("__c") - 1).as("v"), sum(col("__c")).as("n"))
+          .select(lit(name).as("check_name"),
+            coalesce(col("v"), lit(0L)).as("n_violations"),
+            coalesce(col("n"), lit(0L)).as("n_rows"))
+      }
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Referential-integrity audit: orphan count for a child→parent foreign
+    * key, as one row in [[auditConstraints]]'s audit shape. One left join
+    * against the DISTINCT parent key set (broadcastable when the parent
+    * is a dim) — a NULL child key cannot match and counts as an orphan. */
+  def auditReferential(
+      name: String,
+      child: DataFrame, childKey: Seq[String],
+      parent: DataFrame, parentKey: Seq[String]): DataFrame = {
+    require(childKey.nonEmpty && childKey.size == parentKey.size,
+      "auditReferential: key lists must be non-empty and same-length")
+    val parentKeys = parent.select(parentKey.map(col): _*).distinct()
+      .toDF(childKey: _*).withColumn("__hit", lit(1))
+    child.select(childKey.map(col): _*)
+      .join(parentKeys, childKey, "left")
+      .agg(
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_violations"),
+        count(lit(1)).as("n_rows"))
+      .select(lit(name).as("check_name"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"), col("n_rows"))
+  }
+
   /** Mixture/epoch planning: given target mixture weights per stratum and
     * a total token budget, compute each stratum's available mass and the
     * EPOCH COUNT (repeat factor) needed to hit its share — the standard

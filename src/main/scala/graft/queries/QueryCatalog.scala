@@ -2767,6 +2767,120 @@ object QueryCatalog {
         FROM documents)
       SELECT doc_id, source, n_chars FROM c WHERE cum - tok < 500"""))
 
+  /** One-pass declarative data-quality audit (Corpus.auditConstraints +
+    * auditReferential): three row constraints in ONE aggregate over ONE
+    * lineitem scan, a uniqueness check, and two foreign-key orphan
+    * counts, all in the long (check_name, n_violations, n_rows) audit
+    * shape a gate alerts on. discount_le_5pct is a deliberately failing
+    * rule so nonzero counts flow through the compare. */
+  private val q83 = Q(
+    "q83_quality_audit",
+    (s, d) => {
+      import graft.ops.Corpus
+      val li = Tables.lineitem(s, d)
+      Corpus.auditConstraints(li,
+        rowChecks = Seq(
+          "orderkey_not_null" -> col("l_orderkey").isNotNull,
+          "quantity_in_1_50" -> col("l_quantity").between(1.0, 50.0),
+          "discount_le_5pct" -> (col("l_discount") <= 0.05)),
+        uniqueKeys = Seq("unique_order_line" -> Seq("l_orderkey", "l_linenumber")))
+        .unionByName(Corpus.auditReferential("fk_lineitem_part",
+          li, Seq("l_partkey"), Tables.table(s, d, "part"), Seq("p_partkey")))
+        .unionByName(Corpus.auditReferential("fk_orders_customer",
+          Tables.orders(s, d), Seq("o_custkey"),
+          Tables.customer(s, d), Seq("c_custkey")))
+    },
+    Some("""
+      SELECT 'orderkey_not_null' AS check_name,
+        CAST(sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+        count(*) AS n_rows FROM lineitem
+      UNION ALL
+      SELECT 'quantity_in_1_50',
+        CAST(sum(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 0 ELSE 1 END) AS BIGINT),
+        count(*) FROM lineitem
+      UNION ALL
+      SELECT 'discount_le_5pct',
+        CAST(sum(CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END) AS BIGINT),
+        count(*) FROM lineitem
+      UNION ALL
+      SELECT 'unique_order_line', CAST(sum(c - 1) AS BIGINT), CAST(sum(c) AS BIGINT)
+      FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+      UNION ALL
+      SELECT 'fk_lineitem_part',
+        CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'fk_orders_customer',
+        CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey"""))
+
+  /** Retention cohorts: users bucketed by first-seen day, actives counted
+    * at each day offset — the classic cohort triangle. `daily` is the
+    * distinct (day, user) pair set (tiny vs the event stream), so the
+    * offset aggregate needs count(*), never a countDistinct Expand.
+    * DuckDB's datediff is (part, start, end); Spark's is (end, start). */
+  private val q84 = Q(
+    "q84_retention_cohorts",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val first = daily.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      daily.join(first, Seq("user_id"))
+        .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"), col("n_active"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      fs AS (SELECT user_id, min(day) AS cohort FROM daily GROUP BY 1),
+      g AS (
+        SELECT cohort, datediff('day', cohort, day) AS day_offset,
+          count(*) AS n_active
+        FROM daily JOIN fs USING (user_id) GROUP BY 1, 2)
+      SELECT strftime(cohort, '%Y-%m-%d') AS cohort, day_offset, n_active FROM g"""))
+
+  /** Funnel conversion: per first-click cohort day, how many clickers
+    * later purchased (strictly after their FIRST click). Two keyed
+    * aggregates + one join on user_id; the per-user converted flag is a
+    * conditional max so a user with no purchases (left-join nulls)
+    * counts 0, identically in both engines (CASE WHEN null → ELSE). */
+  private val q85 = Q(
+    "q85_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val perUser = clicks.join(purchases, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("first_click"))
+        .agg(max(when(col("ts") > col("first_click"), 1L).otherwise(0L)).as("converted"))
+      perUser
+        .groupBy(date_format(to_date(col("first_click")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_clickers"), sum(col("converted")).as("n_converted"))
+        .select(col("day"), col("n_clickers"), col("n_converted"),
+          r(col("n_converted").cast("double") / col("n_clickers").cast("double"), 6)
+            .as("conversion"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT user_id, min(ts) AS first_click FROM events
+        WHERE event_type = 'click' GROUP BY 1),
+      p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT c.user_id, c.first_click,
+          max(CASE WHEN p.ts > c.first_click THEN 1 ELSE 0 END) AS converted
+        FROM c LEFT JOIN p USING (user_id) GROUP BY 1, 2)
+      SELECT strftime(CAST(first_click AS DATE), '%Y-%m-%d') AS day,
+        count(*) AS n_clickers, CAST(sum(converted) AS BIGINT) AS n_converted,
+        floor(sum(converted)::DOUBLE / count(*)::DOUBLE * 1000000 + 0.5)/1000000
+          AS conversion
+      FROM u GROUP BY 1"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -2778,7 +2892,7 @@ object QueryCatalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82)
+    q81, q82, q83, q84, q85)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

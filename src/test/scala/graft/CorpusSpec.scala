@@ -474,6 +474,34 @@ class CorpusSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L))
   }
 
+  test("auditConstraints/auditReferential: planted violations counted, null fails the check") {
+    val t = Seq(
+      (Some(1L), 5.0, "a"),
+      (Some(2L), -1.0, "b"),          // range violation
+      (None: Option[Long], 3.0, "c"), // null id: fails not_null AND the range... no, v ok
+      (Some(1L), 7.0, "d")            // duplicate id
+    ).toDF("id", "v", "tag")
+    val audit = Corpus.auditConstraints(t,
+      rowChecks = Seq(
+        "id_not_null" -> col("id").isNotNull,
+        "v_positive" -> (col("v") > 0)),
+      uniqueKeys = Seq("unique_id" -> Seq("id")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(audit("id_not_null") == ((1L, 4L)))
+    assert(audit("v_positive") == ((1L, 4L)))
+    assert(audit("unique_id") == ((1L, 4L)))  // one row beyond first for id=1
+    // null predicate counts as violation: id > 0 is NULL for the null id
+    val nullPred = Corpus.auditConstraints(t,
+      rowChecks = Seq("id_positive" -> (col("id") > 0L)))
+      .collect().head
+    assert(nullPred.getLong(1) == 1L)
+    val parent = Seq(1L, 2L).toDF("pid")
+    val fk = Corpus.auditReferential("fk", t, Seq("id"), parent, Seq("pid"))
+      .collect().head
+    // orphans: the null id (cannot match) — ids 1,1,2 all present
+    assert(fk.getString(0) == "fk" && fk.getLong(1) == 1L && fk.getLong(2) == 4L)
+  }
+
   test("dupNgramFraction and topTokenStats on known documents") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
