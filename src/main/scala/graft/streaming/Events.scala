@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming surface (SURVEY.md §2.9).
   *
@@ -169,6 +170,47 @@ object Events {
             Iterator.single(newest)
           }
       }
+  }
+
+  /** Running per-user aggregate state for [[runningUserStats]]. */
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double, last_ms: Long)
+
+  /** Spark 4 `transformWithState` processor: the modern arbitrary-state
+    * API (SPARK-46815) that replaces the `(flat)mapGroupsWithState` pair
+    * used above — typed named state handles (value/list/map) with
+    * per-state TTL, timers decoupled from output mode, and schema
+    * evolution on the state store. Kept alongside the legacy forms so
+    * both API generations are covered; requires the RocksDB state store
+    * provider (the in-memory/HDFS provider rejects it). */
+  private class RunningStatsProcessor
+      extends StatefulProcessor[Long, Ev, UserStats] {
+    @transient private var st: ValueState[UserStats] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserStats](
+        "stats", org.apache.spark.sql.Encoders.product[UserStats], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Ev], tv: TimerValues): Iterator[UserStats] = {
+      val prev =
+        if (st.exists()) st.get()
+        else UserStats(key, 0L, 0.0, Long.MinValue)
+      val next = rows.foldLeft(prev)((a, e) => UserStats(
+        key, a.n_events + 1, a.total_value + e.value,
+        math.max(a.last_ms, e.ts.getTime)))
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Running per-user event count / value sum / last-seen through
+    * `transformWithState` — one updated row per user per micro-batch.
+    * State is one fixed-size record per user in RocksDB (bound it with a
+    * `TTLConfig` duration when the user universe is unbounded). Works in
+    * batch mode too (Spark plans it as a regular aggregation pass), which
+    * is what the batch==streaming spec pins. */
+  def runningUserStats(events: Dataset[Ev]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
