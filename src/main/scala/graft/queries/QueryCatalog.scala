@@ -2881,6 +2881,138 @@ object QueryCatalog {
           AS conversion
       FROM u GROUP BY 1"""))
 
+  /** Day-over-day anomaly detection: z-score of each day's event count
+    * against its type's trailing-7-day history. The variance is built
+    * from EXACT integer window sums (n, Σcnt, Σcnt²) — never
+    * `stddev_samp`, whose streaming/Welford summation order differs
+    * between engines in the last ulp — so the double math that follows
+    * is the same IEEE ops on the same inputs both sides. Zero-variance
+    * history yields a null z (flag false), division guarded both
+    * engines. */
+  private val q86 = Q(
+    "q86_count_anomaly",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      val hist = daily
+        .withColumn("h_n", count(col("cnt")).over(w))
+        .withColumn("h_s", sum(col("cnt")).over(w))
+        .withColumn("h_ss", sum(col("cnt") * col("cnt")).over(w))
+        .filter(col("h_n") >= 3)
+      val n = col("h_n").cast("double")
+      val sm = col("h_s").cast("double")
+      val ss = col("h_ss").cast("double")
+      val mean = sm / n
+      val variance = (ss - sm * sm / n) / (n - 1)
+      val z = when(variance > 0,
+        (col("cnt").cast("double") - mean) / sqrt(variance))
+      hist.select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("cnt"),
+        r(z, 6).as("z"),
+        coalesce(abs(z) > 2.0, lit(false)).as("is_anomaly"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      h AS (
+        SELECT *,
+          count(cnt) OVER w AS h_n,
+          CAST(sum(cnt) OVER w AS BIGINT) AS h_s,
+          CAST(sum(cnt*cnt) OVER w AS BIGINT) AS h_ss
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      zc AS (
+        SELECT day, event_type, cnt,
+          CASE WHEN (h_ss::DOUBLE - h_s::DOUBLE*h_s::DOUBLE/h_n::DOUBLE)
+                    / (h_n::DOUBLE - 1) > 0
+            THEN (cnt::DOUBLE - h_s::DOUBLE/h_n::DOUBLE)
+              / sqrt((h_ss::DOUBLE - h_s::DOUBLE*h_s::DOUBLE/h_n::DOUBLE)
+                     / (h_n::DOUBLE - 1)) END AS z
+        FROM h WHERE h_n >= 3)
+      SELECT strftime(day, '%Y-%m-%d') AS day, event_type, cnt,
+        CASE WHEN z IS NULL THEN NULL ELSE floor(z*1000000 + 0.5)/1000000 END AS z,
+        coalesce(abs(z) > 2.0, false) AS is_anomaly
+      FROM zc"""))
+
+  /** Event-type transition matrix: per-user consecutive event pairs
+    * (ordered by event_id — monotone with ts, tie-free) counted into the
+    * (from, to) matrix with per-source fractions — the product-analytics
+    * path query. One window shuffle on user, one hash aggregate; the
+    * fraction window runs over ≤|types|² rows. */
+  private val q87 = Q(
+    "q87_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val wf = Window.partitionBy(col("from_type"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac",
+          r(col("n").cast("double") / sum(col("n")).over(wf).cast("double"), 6))
+    },
+    Some("""
+      WITH t AS (
+        SELECT event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS to_type
+        FROM events),
+      g AS (
+        SELECT from_type, to_type, count(*) AS n FROM t
+        WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        floor(n::DOUBLE / (CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT))::DOUBLE
+          * 1000000 + 0.5)/1000000 AS frac
+      FROM g"""))
+
+  /** Calendar-spine densification: every (day × event_type) cell over the
+    * observed range, zero-filled where no qualifying events exist (the
+    * reporting join that makes gaps visible instead of silently absent —
+    * value > 250 sparsifies to ~1/3 fill). The spine is a 1-row
+    * min/max aggregate exploded through `sequence` and cross-joined with
+    * the distinct type dim — both broadcast-sized at any event scale. */
+  private val q88 = Q(
+    "q88_calendar_spine",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val filt = ev.filter(col("value") > 250.0)
+      val daily = filt
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      // spine bounds from ALL events (not the filtered set), so the
+      // report covers the full observed range
+      val days = ev.agg(
+        min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val types = ev.select(col("event_type")).distinct()
+      days.crossJoin(broadcast(types))
+        .join(daily, Seq("day", "event_type"), "left")
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+    },
+    Some("""
+      WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+      spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+      types AS (SELECT DISTINCT event_type FROM events),
+      daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt
+        FROM events WHERE value > 250.0 GROUP BY 1, 2)
+      SELECT strftime(spine.day, '%Y-%m-%d') AS day, types.event_type,
+        coalesce(daily.cnt, 0) AS cnt
+      FROM spine CROSS JOIN types
+      LEFT JOIN daily ON daily.day = spine.day AND daily.event_type = types.event_type"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -2892,7 +3024,7 @@ object QueryCatalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85)
+    q81, q82, q83, q84, q85, q86, q87, q88)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
