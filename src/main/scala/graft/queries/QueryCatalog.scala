@@ -3013,6 +3013,68 @@ object QueryCatalog {
       FROM spine CROSS JOIN types
       LEFT JOIN daily ON daily.day = spine.day AND daily.event_type = types.event_type"""))
 
+  /** Equi-depth histogram via ntile: 8 equal-count price buckets per
+    * returnflag with per-bucket bounds — the data-profiling shape behind
+    * range-bucketed features and boundary selection. ntile's remainder
+    * distribution is SQL-standard in both engines, and the window order
+    * carries a unique (orderkey, linenumber) tiebreak so every row's
+    * bucket is identical cross-engine despite duplicate prices. This is
+    * the exact form: per-group sort windows are fine while groups fit a
+    * task; at corpus scale the KLL boundaries (q65) replace the sort. */
+  private val q89 = Q(
+    "q89_equidepth_histogram",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("bucket", ntile(8).over(w))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          r2(min(col("l_extendedprice"))).as("lo"),
+          r2(max(col("l_extendedprice"))).as("hi"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT l_returnflag, l_extendedprice,
+          ntile(8) OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        FROM lineitem)
+      SELECT l_returnflag, bucket, count(*) AS n,
+        floor(min(l_extendedprice)*100 + 0.5)/100 AS lo,
+        floor(max(l_extendedprice)*100 + 0.5)/100 AS hi
+      FROM b GROUP BY 1, 2"""))
+
+  /** Blocked fuzzy string matching (entity resolution): near-identical
+    * part names found by blocking on the last name token and verifying
+    * with exact Levenshtein distance — the canonical "same entity,
+    * different spelling" join, never the all-pairs cross product.
+    * Blocking runs on the DISTINCT name set (entity resolution is about
+    * the vocabulary of names, not row multiplicity), so block fan-out is
+    * bounded by distinct names per block. Levenshtein is an exact DP —
+    * bit-identical in any engine. */
+  private val q90 = Q(
+    "q90_fuzzy_names",
+    (s, d) => {
+      val names = Tables.table(s, d, "part").select(col("p_name")).distinct()
+        .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+      val a = names.select(col("noun"), col("p_name").as("name_a"))
+      val b = names.select(col("noun"), col("p_name").as("name_b"))
+      a.join(b, Seq("noun"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 4)
+        .select(col("name_a"), col("name_b"), col("dist"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS noun FROM part)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+        levenshtein(a.p_name, b.p_name) AS dist
+      FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 4"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -3024,7 +3086,7 @@ object QueryCatalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
