@@ -3075,6 +3075,100 @@ object QueryCatalog {
       FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
       WHERE levenshtein(a.p_name, b.p_name) <= 4"""))
 
+  /** The RelationalGroupedDataset.pivot API with EXPLICIT pivot values —
+    * the form that scales: without the value list Spark runs an extra
+    * distinct-collect job over the pivot column before it can even plan
+    * (a driver-side pass a 100 TB pipeline cannot afford); with it the
+    * pivot compiles straight to conditional aggregation, one shuffle.
+    * (q05/A3 is the reference's pivot SEMANTICS via explicit conditional
+    * aggs; this pins the API surface itself.) Empty cells are null in
+    * both engines (sum over no rows). */
+  private val q91 = Q(
+    "q91_pivot_api",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(r2(sum(col("l_quantity")))),
+    Some("""
+      SELECT l_linestatus,
+        floor(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END)*100 + 0.5)/100 AS "A",
+        floor(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END)*100 + 0.5)/100 AS "N",
+        floor(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)*100 + 0.5)/100 AS "R"
+      FROM lineitem GROUP BY 1"""))
+
+  /** Dataset.unpivot (wide → long melt), the inverse API: a per-flag
+    * summary's metric columns stacked into (metric, value) rows. Pure
+    * metadata projection over the aggregate — the Expand adds rows, not
+    * a shuffle. The twin is the UNION ALL expansion unpivot desugars to. */
+  private val q92 = Q(
+    "q92_unpivot_api",
+    (s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"),
+          r2(avg(col("l_discount"))).as("avg_disc"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "metric", "value")
+    },
+    Some("""
+      WITH w AS (
+        SELECT l_returnflag,
+          floor(sum(l_quantity)*100 + 0.5)/100 AS sum_qty,
+          floor(sum(l_extendedprice)*100 + 0.5)/100 AS sum_price,
+          floor(avg(l_discount)*100 + 0.5)/100 AS avg_disc
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM w
+      UNION ALL
+      SELECT l_returnflag, 'avg_disc', avg_disc FROM w"""))
+
+  /** Time-weighted average value per user: each event's value weighted by
+    * the µs until the user's next event (the metrics/sensor aggregation
+    * where plain avg over-counts bursts). Cross-engine exactness comes
+    * from INTEGER arithmetic end-to-end: 2-decimal values lift to exact
+    * cent BIGINTs, durations are exact µs BIGINTs, so both weighted sums
+    * are exact integers and the single final division is the same IEEE
+    * op — float summation ORDER never enters (the q69 micro-unit move).
+    * One window shuffle on user_id; event_id ordering is tie-free. */
+  private val q93 = Q(
+    "q93_time_weighted",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), cents.as("cents"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dur", col("next_us") - col("us"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("dur")).as("total_us"),
+          r(sum(col("cents") * col("dur")).cast("double") / lit(100.0) /
+            sum(col("dur")).cast("double"), 6).as("twa"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+          CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      l AS (
+        SELECT *, lead(us) OVER (PARTITION BY user_id ORDER BY event_id) AS next_us
+        FROM e),
+      d AS (SELECT user_id, cents, next_us - us AS dur FROM l WHERE next_us IS NOT NULL)
+      SELECT user_id, count(*) AS n_intervals,
+        CAST(sum(dur) AS BIGINT) AS total_us,
+        floor(CAST(sum(cents*dur) AS BIGINT)::DOUBLE / 100.0 / CAST(sum(dur) AS BIGINT)::DOUBLE
+          * 1000000 + 0.5)/1000000 AS twa
+      FROM d GROUP BY 1"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -3086,7 +3180,8 @@ object QueryCatalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
+    q91, q92, q93)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
