@@ -3169,6 +3169,55 @@ object QueryCatalog {
           * 1000000 + 0.5)/1000000 AS twa
       FROM d GROUP BY 1"""))
 
+  /** The `spark.sql(...)` entry path with a correlated EXISTS subquery —
+    * the engine's SQL front door, absent from the rest of the catalog
+    * (which pins the DataFrame API). Catalyst's RewritePredicateSubquery
+    * turns the EXISTS into a semi join; nothing correlated survives to
+    * execution. Identical statement text runs in DuckDB (temp views
+    * stand in for the oracle's table views). */
+  private val q94 = Q(
+    "q94_sql_exists",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT o.o_orderpriority, count(*) AS n
+        FROM orders_v o
+        WHERE EXISTS (SELECT 1 FROM customer_v c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)
+        GROUP BY o.o_orderpriority""")
+    },
+    Some("""
+      SELECT o.o_orderpriority, count(*) AS n
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)
+      GROUP BY o.o_orderpriority"""))
+
+  /** SQL path, scalar + IN subqueries: the scalar subquery plans as its
+    * own tiny aggregate job whose result enters the filter as a literal;
+    * the IN rewrites to a semi join. The scalar is `max(...)` (exact — an
+    * avg's float summation order is NOT cross-engine stable) scaled by a
+    * double literal, so the comparison is the same IEEE op both sides. */
+  private val q95 = Q(
+    "q95_sql_subqueries",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer_v
+        WHERE c_acctbal > (SELECT max(c_acctbal) FROM customer_v) * 0.9
+          AND c_nationkey IN (SELECT n_nationkey FROM nation_v WHERE n_regionkey = 1)
+        GROUP BY c_mktsegment""")
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n
+      FROM customer
+      WHERE c_acctbal > (SELECT max(c_acctbal) FROM customer) * CAST(0.9 AS DOUBLE)
+        AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+      GROUP BY c_mktsegment"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -3181,7 +3230,7 @@ object QueryCatalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93)
+    q91, q92, q93, q94, q95)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
