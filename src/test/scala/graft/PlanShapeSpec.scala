@@ -160,6 +160,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("q94: correlated EXISTS compiles to a semi join, never a nested loop") {
+    val p = plan("q94_sql_exists")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the acctbal predicate is pushed into the customer scan, pre-join
+    assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,5000.0)"), p)
+  }
+
+  test("q88: spine and type dims join broadcast — the fact never re-shuffles") {
+    val p = plan("q88_calendar_spine")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q54: incremental dedup anti-joins on the fingerprint, no sort-merge") {
     // at fixture scale the distinct prior-fingerprint side broadcasts;
     // the anti join must be a hash join form, never a nested loop
