@@ -3218,6 +3218,28 @@ object QueryCatalog {
         AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
       GROUP BY c_mktsegment"""))
 
+  /** Misra-Gries per GROUP: q36's global frequent-items sketch keyed by
+    * language — the mergeable-partial contract composing with an ordinary
+    * hash aggregate (partial sketches per partition per group, merged at
+    * the final). Capacity 256 > per-language vocab keeps the sketch in
+    * its exact regime, so the DuckDB twin is plain per-group counts. */
+  private val q96 = Q(
+    "q96_grouped_frequent",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("lang"))
+        .agg(graft.functions.FrequentItems.frequent_items(col("tok"), 256).as("fi"))
+        .select(col("lang"), explode(col("fi")).as("e"))
+        .select(col("lang"), col("e.item"), col("e.min_count"))
+    },
+    Some("""
+      SELECT lang, token AS item, count(*) AS min_count FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '' GROUP BY lang, token"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -3230,7 +3252,7 @@ object QueryCatalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95)
+    q91, q92, q93, q94, q95, q96)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
