@@ -3240,6 +3240,307 @@ object QueryCatalog {
         SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
       WHERE token <> '' GROUP BY lang, token"""))
 
+  /** CUBE + grouping indicators — q30 covers ROLLUP's hierarchy slices;
+    * CUBE adds the cross-dimensional subtotals (segment-only, priority-only)
+    * a single rollup can't produce, and `grouping()` disambiguates a real
+    * NULL key from a subtotal row. One Expand (×4 grouping sets) feeding one
+    * hash aggregate. Money is summed as exact BIGINT cents; customer GROWS
+    * with SF so its join carries no broadcast hint (AQE picks one at bench
+    * scale, the threshold governs at 100×). Both grouping flags are cast to
+    * INT explicitly: Spark's grouping() is a TINYINT, DuckDB's GROUPING()
+    * an INT — without the cast the values match but the schemas don't. */
+  private val q97 = Q(
+    "q97_cube_grouping",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(
+          grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+          grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("cents_total"))
+    },
+    Some("""
+      SELECT c_mktsegment, o_orderpriority,
+        CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+        CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri,
+        count(*) AS n,
+        CAST(sum(cents) AS BIGINT) AS cents_total
+      FROM (
+        SELECT c_mktsegment, o_orderpriority,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      GROUP BY CUBE(c_mktsegment, o_orderpriority)"""))
+
+  /** The higher-order array-function surface as a first-class oracle query:
+    * transform/filter (with AND without the index parameter), aggregate
+    * (fold), exists, size, array_max — the per-row vector toolkit the ANN
+    * and quantization paths use internally, pinned here against DuckDB's
+    * list_* lambdas on the real FLOAT[] column. All map-side, zero
+    * shuffles. Float arithmetic never crosses an aggregation boundary
+    * un-integered: `micro_sum` folds floor(x*1e6 + 0.5) BIGINTs — each
+    * element's scaling is the same IEEE double op in both engines and the
+    * integer sum is order-independent, where a raw float sum would hit
+    * both engines' summation-order divergence. Index lambdas: Spark's `i`
+    * is 0-based, DuckDB's 1-based — the twin compensates with (i-1). */
+  private val q98 = Q(
+    "q98_hof_surface",
+    (s, d) => {
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"),
+        array_max(col("embedding")).cast("double").as("vmax"),
+        array_max(filter(col("embedding"), (x, i) => i % 2 === 0))
+          .cast("double").as("even_max"),
+        aggregate(col("embedding"), lit(0L),
+          (acc, x) => acc + floor(x.cast("double") * 1000000 + 0.5).cast("long"))
+          .as("micro_sum"),
+        exists(col("embedding"), x => x < lit(-0.5f)).as("has_low"))
+    },
+    Some("""
+      SELECT vec_id,
+        len(embedding) AS dim,
+        len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        CAST(list_max(embedding) AS DOUBLE) AS vmax,
+        CAST(list_max(list_filter(embedding, (x, i) -> (i-1) % 2 = 0)) AS DOUBLE) AS even_max,
+        CAST(list_sum(list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT))) AS BIGINT) AS micro_sum,
+        len(list_filter(embedding, x -> x < -0.5)) > 0 AS has_low
+      FROM embeddings"""))
+
+  /** Correlation + least-squares regression from EXACT integer sums — the
+    * statistical-profile surface (corr/covar/slope/intercept) without the
+    * cross-engine trap: both engines' built-in corr/stddev stream Welford
+    * co-moments whose accumulation ORDER differs, so the last ulp diverges.
+    * Here the six sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) are
+    * exact BIGINTs (order-independent), cast to double ONCE, and the final
+    * formula is the same handful of IEEE ops in both engines — bit-exact
+    * by construction, and the same one-shuffle cost as the naive corr().
+    * x = quantity (integral), y = floor(price) dollars: Σy² ≈ 6e15 at
+    * sf0.1 stays under both 2^63 (BIGINT) and 2^53 (exact double); the
+    * at-scale form for sf≥1 is the same sums over DECIMAL(38,0). */
+  private val q99 = Q(
+    "q99_exact_stats",
+    (s, d) => {
+      val sums = Tables.lineitem(s, d)
+        .select(
+          col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice")).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+      val syy = col("syy").cast("double")
+      val covn = n * sxy - sx * sy
+      val varx = n * sxx - sx * sx
+      val vary = n * syy - sy * sy
+      sums.select(
+        col("l_returnflag"), col("n"),
+        r(covn / (sqrt(varx) * sqrt(vary)), 6).as("corr_qp"),
+        r(covn / varx, 6).as("slope"),
+        r((sy - (covn / varx) * sx) / n, 6).as("intercept"))
+    },
+    Some("""
+      WITH sums AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+          CAST(sum(y*y) AS BIGINT) AS syy
+        FROM (
+          SELECT l_returnflag,
+            CAST(l_quantity AS BIGINT) AS x,
+            CAST(floor(l_extendedprice) AS BIGINT) AS y
+          FROM lineitem)
+        GROUP BY 1)
+      SELECT l_returnflag, n,
+        floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+          * 1000000 + 0.5)/1000000 AS corr_qp,
+        floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+          * 1000000 + 0.5)/1000000 AS slope,
+        floor((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+          / n::DOUBLE * 1000000 + 0.5)/1000000 AS intercept
+      FROM sums"""))
+
+  /** Positional explode — `posexplode` keeps each token's 0-based offset,
+    * the primitive under positional n-grams and span math (q55/q78 recompute
+    * positions with a window; this is the direct form). DuckDB twin: two
+    * `unnest`s in one SELECT zip positionally, `range(len(...))` supplying
+    * the offsets. Empty tokens are filtered AFTER position assignment on
+    * both sides, so offsets stay original. Spark's pos is INT, DuckDB's
+    * range is BIGINT — cast to long. Map-side only, zero shuffles. */
+  private val q100 = Q(
+    "q100_posexplode",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "tok")
+        .filter(col("tok") =!= "")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    },
+    Some("""
+      SELECT doc_id, pos, tok FROM (
+        SELECT doc_id,
+          unnest(range(len(string_split(text, ' ')))) AS pos,
+          unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''"""))
+
+  /** The ranking-function family over a key WITH ties (rank ≠ dense_rank):
+    * rank, dense_rank, percent_rank, cume_dist per market segment over a
+    * coarsened balance bucket. All four are pure functions of the key
+    * VALUES, so ties don't make them nondeterministic — no tiebreak column
+    * needed (q08/q09's rule applies to row_number, which isn't). The
+    * bucket is floor(cents/1e5) via explicit DOUBLE division — Spark's `/`
+    * on longs is already double division, DuckDB's `/` must be fed a
+    * double to match. percent_rank/cume_dist are exact-int ratios, same
+    * single division both engines, rounded r6 as belt-and-braces. */
+  private val q101 = Q(
+    "q101_rank_family",
+    (s, d) => {
+      val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("bal_k"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          floor(cents.cast("double") / 100000.0).cast("long").as("bal_k"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_k"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          r(percent_rank().over(w), 6).as("prnk"),
+          r(cume_dist().over(w), 6).as("cdist"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey, c_mktsegment,
+          CAST(floor(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)::DOUBLE / 100000.0) AS BIGINT) AS bal_k
+        FROM customer)
+      SELECT c_custkey, c_mktsegment, bal_k,
+        CAST(rank() OVER w AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        floor(percent_rank() OVER w * 1000000 + 0.5)/1000000 AS prnk,
+        floor(cume_dist() OVER w * 1000000 + 0.5)/1000000 AS cdist
+      FROM c
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_k)"""))
+
+  /** String-function surface: upper/reverse/lpad/translate/repeat/instr/
+    * substring_index/concat_ws/length on ASCII keys — every pair verified
+    * to share semantics (1-based instr/strpos; substring_index(-1) ==
+    * split_part(..., 2) when the separator occurs once; no locale
+    * dependence on ASCII). Int-returning functions cast to long both
+    * sides. Pure projection — predicate-free narrow scan, no shuffle. */
+  private val q102 = Q(
+    "q102_string_surface",
+    (s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        reverse(col("c_name")).as("rname"),
+        lpad(col("c_name"), 22, "*").as("padded"),
+        translate(col("c_name"), "Cr#", "Kx_").as("translated"),
+        repeat(substring(col("c_name"), 1, 3), 2).as("rep"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        substring_index(col("c_name"), "#", -1).as("cust_num"),
+        concat_ws("-", col("c_name"), col("c_mktsegment")).as("tagged"),
+        length(col("c_name")).cast("long").as("name_len"))
+    },
+    Some("""
+      SELECT c_custkey,
+        upper(c_name) AS uname,
+        reverse(c_name) AS rname,
+        lpad(c_name, 22, '*') AS padded,
+        translate(c_name, 'Cr#', 'Kx_') AS translated,
+        repeat(substring(c_name, 1, 3), 2) AS rep,
+        CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        split_part(c_name, '#', 2) AS cust_num,
+        concat_ws('-', c_name, c_mktsegment) AS tagged,
+        CAST(length(c_name) AS BIGINT) AS name_len
+      FROM customer"""))
+
+  /** Date/time-function surface over midnight-aligned order timestamps:
+    * year/quarter/month/day extraction, ISO week, day-of-week, month
+    * truncation, last_day, day difference from an epoch. The two numbering
+    * traps are compensated IN THE TWIN and documented here: Spark's
+    * dayofweek is 1=Sunday vs DuckDB's 0=Sunday (+1 in the twin), and both
+    * weekofyear are ISO-8601 (Jan 1 1995 → week 52). Spark's `trunc`
+    * returns DATE like DuckDB's date_trunc-on-timestamp does — using
+    * Spark's date_trunc (TIMESTAMP return) would schema-mismatch. */
+  private val q103 = Q(
+    "q103_datetime_surface",
+    (s, d) => {
+      val od = col("o_orderdate")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(od).cast("long").as("yr"),
+        quarter(od).cast("long").as("qtr"),
+        month(od).cast("long").as("mon"),
+        dayofmonth(od).cast("long").as("dom"),
+        weekofyear(od).cast("long").as("iso_week"),
+        dayofweek(od).cast("long").as("dow1"),
+        trunc(od, "month").as("month_start"),
+        last_day(od).as("month_end"),
+        datediff(od, lit("1992-01-01")).cast("long").as("days_since"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        CAST(month(o_orderdate) AS BIGINT) AS mon,
+        CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+        CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow1,
+        date_trunc('month', o_orderdate) AS month_start,
+        last_day(o_orderdate) AS month_end,
+        CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS days_since
+      FROM orders"""))
+
+  /** Conditional/boolean aggregate surface: count_if, bool_or, bool_and,
+    * and exact interpolated median — one hash aggregate, map-side partials
+    * for all four. The threshold tests run on exact BIGINT cents (a DOUBLE
+    * threshold compare would be the same IEEE op anyway, but cents keep it
+    * trivially exact); median of BIGINTs interpolates two exact ints with
+    * one division — identical both engines at this magnitude (< 2^52). */
+  private val q104 = Q(
+    "q104_conditional_agg",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          count_if(col("cents") > lit(20000000L)).as("n_big"),
+          bool_or(col("o_orderstatus") === "F").as("any_f"),
+          bool_and(col("cents") > lit(0L)).as("all_pos"),
+          median(col("cents")).as("med_cents"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+        count(*) AS n,
+        count(*) FILTER (WHERE cents > 20000000) AS n_big,
+        bool_or(o_orderstatus = 'F') AS any_f,
+        bool_and(cents > 0) AS all_pos,
+        CAST(median(cents) AS DOUBLE) AS med_cents
+      FROM (
+        SELECT o_orderpriority, o_orderstatus,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        FROM orders)
+      GROUP BY 1"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -3252,7 +3553,8 @@ object QueryCatalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
+    q101, q102, q103, q104)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
