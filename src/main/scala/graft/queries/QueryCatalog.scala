@@ -3541,6 +3541,545 @@ object QueryCatalog {
         FROM orders)
       GROUP BY 1"""))
 
+  /** Lexical diversity — type-token ratio and hapax-legomenon count per
+    * document, the vocabulary-richness quality signal q25's score doesn't
+    * carry (its stopword/length ratios can't see a doc that repeats a
+    * rich-looking 10-word loop). Two hash aggregates, (doc,tok) then doc;
+    * the first's map-side combine collapses token repeats before the
+    * shuffle, so bytes moved are per-doc VOCAB, not token count. */
+  private val q105 = Q(
+    "q105_lexical_diversity",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("cnt")).as("n_tok"),
+          count(lit(1)).as("n_uniq"),
+          count_if(col("cnt") === 1).as("hapax"))
+        .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("hapax"),
+          r(col("n_uniq").cast("double") / col("n_tok").cast("double"), 6).as("ttr"))
+    },
+    Some("""
+      WITH tc AS (
+        SELECT doc_id, tok, count(*) AS cnt FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(sum(cnt) AS BIGINT) AS n_tok,
+        count(*) AS n_uniq,
+        count(*) FILTER (WHERE cnt = 1) AS hapax,
+        floor(count(*)::DOUBLE / CAST(sum(cnt) AS BIGINT)::DOUBLE * 1000000 + 0.5)/1000000 AS ttr
+      FROM tc GROUP BY 1"""))
+
+  /** Per-group feature normalization (z-score) — the q99 exact-sufficient-
+    * statistics discipline applied to the join-back shape: per-language
+    * (n, Σx, Σx²) as exact BIGINTs, broadcast back (languages are a
+    * bounded dim), sample variance and z computed in the same double ops
+    * both engines. This is the feature-scaling pass a training pipeline
+    * runs before thresholding per-language length outliers; built-in
+    * stddev_samp is the Welford trap q86 documents. */
+  private val q106 = Q(
+    "q106_zscore_normalize",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("x"))
+      val stats = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+      val mean = sx / n
+      val variance = (n * sxx - sx * sx) / (n * (n - lit(1.0)))
+      docs.join(broadcast(stats), "lang")
+        .select(col("doc_id"), col("lang"), col("x").as("n_tok"),
+          r((col("x").cast("double") - mean) / sqrt(variance), 6).as("z"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        FROM documents),
+      stats AS (
+        SELECT lang, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+          CAST(sum(x*x) AS BIGINT) AS sxx
+        FROM docs GROUP BY 1)
+      SELECT doc_id, lang, x AS n_tok,
+        floor((x::DOUBLE - sx::DOUBLE / n::DOUBLE)
+          / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                 / (n::DOUBLE * (n::DOUBLE - 1.0)))
+          * 1000000 + 0.5)/1000000 AS z
+      FROM docs JOIN stats USING (lang)"""))
+
+  /** Per-dimension min-max scaling of embeddings, array rebuilt in place —
+    * the column-wise feature scaling that has to TRANSPOSE: posexplode to
+    * (vec, dim, v), 64-row dim stats, broadcast back, regroup with a
+    * sorted-struct collect so element order is rebuilt deterministically
+    * (collect_list alone is arrival-ordered — the q34 canonicalization
+    * rule). Scaled values are rounded r6 BEFORE the rebuild so the array
+    * cells hash identically. At 100 TB the stats pass is a 64-row
+    * aggregate and the rebuild one shuffle on vec_id. */
+  private val q107 = Q(
+    "q107_minmax_scale",
+    (s, d) => {
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
+      val stats = ex.groupBy(col("dim"))
+        .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+      ex.join(broadcast(stats), "dim")
+        .withColumn("scaled", r((col("v") - col("dmin")) / (col("dmax") - col("dmin")), 6))
+        .groupBy(col("vec_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("scaled")))),
+          x => x.getField("scaled")).as("scaled_vec"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT vec_id,
+          unnest(range(len(embedding))) AS dim,
+          CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      stats AS (SELECT dim, min(v) AS dmin, max(v) AS dmax FROM ex GROUP BY 1)
+      SELECT vec_id,
+        array_agg(floor((v - dmin)/(dmax - dmin) * 1000000 + 0.5)/1000000
+                  ORDER BY dim) AS scaled_vec
+      FROM ex JOIN stats USING (dim)
+      GROUP BY 1"""))
+
+  /** PMI token co-occurrence over a bounded vocabulary — the collocation
+    * signal ("New York" vs chance) that feeds phrase mining. Shape is the
+    * scale story: distinct (doc, tok) first (map-side combine), semi-join
+    * against a top-50-df vocab (broadcast, deterministic df/tok tiebreak)
+    * BEFORE the doc-keyed self-join, so pair fan-out is bounded by
+    * vocab-tokens-per-doc², never raw doc length². The doc count enters
+    * as a 1-row cross join (a literal at execution), ln() on an exact
+    * integer ratio is the same IEEE op both sides. */
+  private val q108 = Q(
+    "q108_pmi_cooccur",
+    (s, d) => {
+      val doctok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .distinct()
+      val df = doctok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val vocab = df.orderBy(col("df").desc, col("tok").asc).limit(50)
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val vt = doctok.join(broadcast(vocab), "tok")
+      val a = vt.select(col("doc_id"), col("tok").as("tok_a"), col("df").as("df_a"))
+      val b = vt.select(col("doc_id"), col("tok").as("tok_b"), col("df").as("df_b"))
+      a.join(b, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))
+        .groupBy(col("tok_a"), col("tok_b"), col("df_a"), col("df_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .crossJoin(broadcast(nd))
+        .select(col("tok_a"), col("tok_b"), col("c_ab"), col("df_a"), col("df_b"),
+          r(log(col("c_ab").cast("double") * col("n_docs").cast("double") /
+            (col("df_a").cast("double") * col("df_b").cast("double"))), 6).as("pmi"))
+    },
+    Some("""
+      WITH doctok AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''),
+      df AS (SELECT tok, count(*) AS df FROM doctok GROUP BY 1),
+      vocab AS (SELECT tok, df FROM df ORDER BY df DESC, tok ASC LIMIT 50),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      vt AS (SELECT doc_id, doctok.tok, df FROM doctok JOIN vocab USING (tok)),
+      pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+          count(*) AS c_ab
+        FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2, 3, 4)
+      SELECT tok_a, tok_b, c_ab, df_a, df_b,
+        floor(ln(c_ab::DOUBLE * n_docs::DOUBLE / (df_a::DOUBLE * df_b::DOUBLE))
+          * 1000000 + 0.5)/1000000 AS pmi
+      FROM pairs, nd
+      WHERE c_ab >= 5"""))
+
+  /** Regexp-function surface over the ASCII name key: extract (group),
+    * replace-all, count, boolean match, extract-all. Pattern dialect is the
+    * Java∩RE2 subset (no backrefs, no lookaround) so Spark (java.util.regex)
+    * and DuckDB (RE2) agree; the one semantic trap is replace: Spark's
+    * regexp_replace is replace-ALL, DuckDB's is first-match unless the 'g'
+    * flag is passed — compensated in the twin. Pure projection, no shuffle. */
+  private val q109 = Q(
+    "q109_regexp_surface",
+    (s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "#([0-9]+)$", 1).as("num_part"),
+        regexp_replace(col("c_name"), "[0-9]", "*").as("masked"),
+        regexp_count(col("c_name"), lit("0")).cast("long").as("zeros"),
+        col("c_name").rlike("[13579]$").as("odd_tail"),
+        regexp_extract_all(col("c_name"), lit("([0-9]{2})"), lit(1)).as("digit_pairs"))
+    },
+    Some("""
+      SELECT c_custkey,
+        regexp_extract(c_name, '#([0-9]+)$', 1) AS num_part,
+        regexp_replace(c_name, '[0-9]', '*', 'g') AS masked,
+        CAST(len(regexp_extract_all(c_name, '0')) AS BIGINT) AS zeros,
+        regexp_matches(c_name, '[13579]$') AS odd_tail,
+        regexp_extract_all(c_name, '([0-9]{2})', 1) AS digit_pairs
+      FROM customer"""))
+
+  /** Array set-algebra surface: distinct/sort/intersect/except/overlap/
+    * contains against a literal stopword set. Both engines leave set-op
+    * result ORDER unspecified, so every array is array_sort-ed before
+    * emission — the same canonicalization rule as q34's maps. The distinct
+    * token array is produced once in its own projection; CollapseProject
+    * won't inline a non-cheap expression consumed four times, so the
+    * split+filter+dedup runs once per row, not per use. Map-side only. */
+  private val q110 = Q(
+    "q110_array_setops",
+    (s, d) => {
+      val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_sort(array_distinct(
+            filter(split(col("text"), " "), x => x =!= ""))).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_uniq"),
+          array_sort(array_intersect(col("toks"), stop)).as("stops_present"),
+          slice(array_sort(array_except(col("toks"), stop)), 1, 5).as("content_head"),
+          arrays_overlap(col("toks"), stop).as("has_stop"),
+          array_contains(col("toks"), "the").as("has_the"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          list_sort(list_distinct(list_filter(string_split(text, ' '),
+            x -> x <> ''))) AS toks
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_uniq,
+        list_sort(list_intersect(toks, ['the','a','of','and','to'])) AS stops_present,
+        list_sort(list_filter(toks,
+          x -> NOT list_contains(['the','a','of','and','to'], x)))[1:5] AS content_head,
+        list_has_any(toks, ['the','a','of','and','to']) AS has_stop,
+        list_contains(toks, 'the') AS has_the
+      FROM t"""))
+
+  /** str_to_map + map explode — the key:value config-string decode (the
+    * lightweight cousin of q42's dynamic-key JSON). The map is built from
+    * row columns, exploded back to (key, value) rows; the twin derives the
+    * same rows relationally (UNION ALL), proving the map round-trip against
+    * an implementation that never builds a map. Map-side only. */
+  private val q111 = Q(
+    "q111_strtomap_explode",
+    (s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          str_to_map(
+            concat_ws(",",
+              concat(lit("seg:"), col("c_mktsegment")),
+              concat(lit("nat:"), col("c_nationkey"))),
+            lit(","), lit(":")).as("m"))
+        .select(col("c_custkey"), explode(col("m")))
+        .select(col("c_custkey"), col("key"), col("value"))
+    },
+    Some("""
+      SELECT c_custkey, 'seg' AS key, c_mktsegment AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nat' AS key, CAST(c_nationkey AS VARCHAR) AS value
+      FROM customer"""))
+
+  /** Null-handling surface: nullif/nvl2/ifnull/greatest/least — the
+    * null-algebra every ETL layer leans on. nullif plants real NULLs from
+    * data ('O' status), nvl2 branches on them, greatest/least clamp exact
+    * cents. DuckDB lacks nvl2 → CASE in the twin (same three-valued
+    * semantics). Pure projection. */
+  private val q112 = Q(
+    "q112_null_surface",
+    (s, d) => {
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("settled_status"),
+        nvl2(nullif(col("o_orderstatus"), lit("O")), lit("settled"), lit("open")).as("state"),
+        ifnull(nullif(col("o_orderstatus"), lit("O")), lit("-")).as("status_or_dash"),
+        greatest(cents, lit(10000000L)).as("floor_cents"),
+        least(cents, lit(30000000L)).as("cap_cents"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        nullif(o_orderstatus, 'O') AS settled_status,
+        CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+             THEN 'settled' ELSE 'open' END AS state,
+        ifnull(nullif(o_orderstatus, 'O'), '-') AS status_or_dash,
+        greatest(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT), 10000000) AS floor_cents,
+        least(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT), 30000000) AS cap_cents
+      FROM orders"""))
+
+  /** Window-frame surface: running sum (ROWS unbounded→current), moving
+    * average (ROWS 2-preceding), whole-partition first/last/nth_value
+    * (ROWS unbounded→unbounded — last_value under the DEFAULT frame is the
+    * classic current-row trap), and a value-based RANGE frame over exact
+    * cents. Row frames order by the unique o_orderkey (the q08 tiebreak
+    * rule); the RANGE frame is tie-inclusive BY VALUE, so it is
+    * deterministic without one. One shuffle on o_custkey; both window
+    * sorts share it. */
+  private val q113 = Q(
+    "q113_window_frames",
+    (s, d) => {
+      val byKey = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val full = byKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val byVal = Window.partitionBy(col("o_custkey")).orderBy(col("cents"))
+        .rangeBetween(-10000000L, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+          sum(col("cents")).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running"),
+          r(avg(col("cents")).over(byKey.rowsBetween(-2, Window.currentRow)), 6).as("ma3"),
+          first_value(col("cents")).over(full).as("first_cents"),
+          last_value(col("cents")).over(full).as("last_cents"),
+          nth_value(col("cents"), 2).over(full).as("second_cents"),
+          sum(col("cents")).over(byVal).as("near_sum"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, o_orderkey,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        FROM orders)
+      SELECT o_custkey, o_orderkey, cents,
+        CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running,
+        floor(avg(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 1000000 + 0.5)/1000000 AS ma3,
+        first_value(cents) OVER w AS first_cents,
+        last_value(cents) OVER w AS last_cents,
+        nth_value(cents, 2) OVER w AS second_cents,
+        CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY cents
+          RANGE BETWEEN 10000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_sum
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))
+
+  /** Exact interpolated percentiles (quartiles) per group — Spark's exact
+    * `percentile` vs DuckDB's `quantile_cont`, both lower+(higher-lower)×f
+    * over a sorted group. BIT-exact by construction at p∈{.25,.5,.75}: the
+    * fraction is a dyadic rational, (higher-lower)×f and the final add are
+    * exact IEEE ops on integer cents ≪ 2^50, so op-order cannot matter —
+    * the one percentile family that needs NO rounding belt. The groupwise
+    * sort is the cost; the KLL sketch (q65) is the 100 TB swap. */
+  private val q114 = Q(
+    "q114_percentile_exact",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(cents, 0.25)").as("p25"),
+          expr("percentile(cents, 0.5)").as("p50"),
+          expr("percentile(cents, 0.75)").as("p75"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+        quantile_cont(cents, 0.25) AS p25,
+        quantile_cont(cents, 0.5) AS p50,
+        quantile_cont(cents, 0.75) AS p75
+      FROM (
+        SELECT o_orderpriority,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        FROM orders)
+      GROUP BY 1"""))
+
+  /** Bitwise surface: bit_and/bit_or/bit_xor AGGREGATES (the flag-mask
+    * rollups behind feature-bitmap columns) plus scalar shift/and/xor.
+    * DuckDB's `^` is exponentiation — its xor is the two-arg `xor()`
+    * function, compensated in the twin. One hash aggregate with map-side
+    * partials (all three are commutative+associative). */
+  private val q115 = Q(
+    "q115_bitwise_surface",
+    (s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"),
+          col("c_nationkey"),
+          shiftleft(col("c_nationkey"), 2).cast("long").as("shifted"),
+          col("c_nationkey").bitwiseAND(lit(7L)).as("low3"),
+          col("c_nationkey").bitwiseXOR(lit(5L)).as("xored"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          bit_and(col("c_nationkey")).as("and_nat"),
+          bit_or(col("c_nationkey")).as("or_nat"),
+          bit_xor(col("c_nationkey")).as("xor_nat"),
+          sum(col("shifted")).as("sum_shifted"),
+          sum(col("low3")).as("sum_low3"),
+          sum(col("xored")).as("sum_xored"))
+    },
+    Some("""
+      SELECT c_mktsegment,
+        bit_and(c_nationkey) AS and_nat,
+        bit_or(c_nationkey) AS or_nat,
+        bit_xor(c_nationkey) AS xor_nat,
+        CAST(sum(c_nationkey << 2) AS BIGINT) AS sum_shifted,
+        CAST(sum(c_nationkey & 7) AS BIGINT) AS sum_low3,
+        CAST(sum(xor(c_nationkey, 5)) AS BIGINT) AS sum_xored
+      FROM customer
+      GROUP BY 1"""))
+
+  /** Inverted-index construction — token → document frequency + the head
+    * of the sorted posting list, the retrieval-side structure a corpus
+    * search layer builds once per snapshot. collect_list is
+    * arrival-ordered, so postings are array_sort-ed before the slice (the
+    * q34/q107 canonicalization rule); df ≥ 5 bounds output to real vocab.
+    * At 100 TB the posting-list head stays bounded per token; the full
+    * list would shard by (tok, doc_id range). One shuffle on tok. */
+  private val q116 = Q(
+    "q116_inverted_index",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .distinct()
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"),
+          slice(array_sort(collect_list(col("doc_id"))), 1, 10).as("postings"))
+        .filter(col("df") >= 5)
+    },
+    Some("""
+      SELECT tok, count(*) AS df,
+        (list_sort(list(doc_id)))[1:10] AS postings
+      FROM (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '')
+      GROUP BY tok
+      HAVING count(*) >= 5"""))
+
+  /** BM25 relevance scoring (k1=1.2, b=0.75) for a deterministic query —
+    * the top-3-df tokens — over the corpus: the retrieval primitive under
+    * contamination checks and RAG curation. Exact integer sufficient
+    * statistics (tf, df, dl, N, Σdl) flow to ONE double expression written
+    * in identical textual order in both engines; each per-term score is
+    * rounded to integer micro-units BEFORE the per-doc sum (the q69 rule:
+    * float summation order can never perturb a sum of BIGINTs). k1+1 is
+    * written as the literal 2.2 on both sides — computing 1.2+1.0 in
+    * doubles yields 2.2000000000000002 ≠ the literal. Vocab and the 1-row
+    * corpus stats broadcast; the only real shuffles are the (doc,tok)
+    * count and the per-doc sum. */
+  private val q117 = Q(
+    "q117_bm25",
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfT = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val vocab = dfT.orderBy(col("df").desc, col("tok").asc).limit(3)
+      val stats = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(dl.agg(sum(col("dl")).as("sum_dl"))))
+      val nD = col("n_docs").cast("double"); val dfD = col("df").cast("double")
+      val tfD = col("tf").cast("double"); val dlD = col("dl").cast("double")
+      val avgdl = col("sum_dl").cast("double") / nD
+      val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+      val denom = tfD + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * dlD / avgdl)
+      val termMicro = floor(idf * (tfD * lit(2.2)) / denom * 1e6 + 0.5).cast("long")
+      tc.join(broadcast(vocab.select(col("tok"), col("df"))), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), termMicro.as("term_micro"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("term_micro")).as("bm25_micro"))
+    },
+    Some("""
+      WITH tc AS (
+        SELECT doc_id, tok, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tc GROUP BY 1),
+      dft AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+      vocab AS (SELECT tok, df FROM dft ORDER BY df DESC, tok ASC LIMIT 3),
+      stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl),
+      scored AS (
+        SELECT tc.doc_id,
+          CAST(floor(
+            ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+            * (tf::DOUBLE * 2.2)
+            / (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+                 / (sum_dl::DOUBLE / n_docs::DOUBLE)))
+            * 1000000 + 0.5) AS BIGINT) AS term_micro
+        FROM tc JOIN vocab USING (tok) JOIN dl ON tc.doc_id = dl.doc_id, stats)
+      SELECT doc_id, count(*) AS n_terms,
+        CAST(sum(term_micro) AS BIGINT) AS bm25_micro
+      FROM scored GROUP BY 1"""))
+
+  /** DISTINCT-aggregate family beyond count: sum(DISTINCT) and
+    * avg(DISTINCT) over a coarsened bucket (collisions guaranteed), beside
+    * the plain forms — the dedup-before-aggregate semantics some revenue
+    * metrics require. Spark plans ONE Expand feeding both distinct
+    * aggregates (same key set), like q31's shape. avg(DISTINCT) is an
+    * exact-int sum over distinct values and one division — identical IEEE
+    * both engines, r6 as belt. */
+  private val q118 = Q(
+    "q118_distinct_sum_avg",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          (floor(col("o_totalprice") * 100 + 0.5).cast("long") / lit(1000000L)).cast("long").as("bucket"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("bucket")).as("sum_all"),
+          sum_distinct(col("bucket")).as("sum_uniq"),
+          r(expr("avg(DISTINCT bucket)"), 6).as("avg_uniq"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+        CAST(sum(bucket) AS BIGINT) AS sum_all,
+        CAST(sum(DISTINCT bucket) AS BIGINT) AS sum_uniq,
+        floor(avg(DISTINCT bucket) * 1000000 + 0.5)/1000000 AS avg_uniq
+      FROM (
+        SELECT o_orderpriority,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) // 1000000 AS bucket
+        FROM orders)
+      GROUP BY 1"""))
+
+  /** Length-bucket batching audit — group documents into 64-token padding
+    * buckets and measure the padding efficiency a bucketed batcher would
+    * achieve (sum of real tokens ÷ bucket-max × count): the pre-training
+    * packing diagnostic beside q48's first-fit packing. Integer ceil via
+    * (n+63)/64 on exact longs both engines; one small hash aggregate. */
+  private val q119 = Q(
+    "q119_length_buckets",
+    (s, d) => {
+      val nTok = size(filter(split(col("text"), " "), x => x =!= "")).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("bucket", ((col("n_tok") + lit(63L)) / lit(64L)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          max(col("n_tok")).as("max_tok"),
+          (max(col("n_tok")) * count(lit(1))).as("padded_tok"))
+        .withColumn("efficiency",
+          r(col("sum_tok").cast("double") / col("padded_tok").cast("double"), 6))
+    },
+    Some("""
+      SELECT bucket, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        max(n_tok) AS max_tok,
+        max(n_tok) * count(*) AS padded_tok,
+        floor(CAST(sum(n_tok) AS BIGINT)::DOUBLE / (max(n_tok) * count(*))::DOUBLE
+          * 1000000 + 0.5)/1000000 AS efficiency
+      FROM (
+        SELECT doc_id, n_tok, (n_tok + 63) // 64 AS bucket FROM (
+          SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents)
+        WHERE n_tok > 0)
+      GROUP BY 1"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -3554,7 +4093,8 @@ object QueryCatalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-    q101, q102, q103, q104)
+    q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
+    q111, q112, q113, q114, q115, q116, q117, q118, q119)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
