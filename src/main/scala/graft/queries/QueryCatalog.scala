@@ -4080,6 +4080,150 @@ object QueryCatalog {
         WHERE n_tok > 0)
       GROUP BY 1"""))
 
+  /** SQL front door, GROUPING SETS — the explicit-set form between q30's
+    * ROLLUP and q97's CUBE: per-priority, per-status, and grand-total rows
+    * from ONE Expand (×3) into one hash aggregate, never three scans.
+    * grouping() flags cast to INT on both sides (Spark emits TINYINT). */
+  private val q120 = Q(
+    "q120_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+          CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+          CAST(grouping(o_orderstatus) AS INT) AS g_st,
+          count(*) AS n,
+          sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS sum_cents
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""")
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderstatus,
+        CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+        CAST(grouping(o_orderstatus) AS INT) AS g_st,
+        count(*) AS n,
+        CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"""))
+
+  /** Canonical-document selection — the KEEP side of dedup: within each
+    * exact-duplicate cluster (q72's normalized fingerprint), keep the
+    * best document by (n_chars DESC, doc_id ASC) — a deterministic total
+    * order, the q08 tiebreak rule — and report the cluster size. One
+    * shuffle on the fingerprint; both window functions share it. The
+    * near-dup analogue swaps the fingerprint for q46's cluster id. */
+  private val q121 = Q(
+    "q121_dedup_keep_best",
+    (s, d) => {
+      val w = Window.partitionBy(col("fingerprint"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val wAll = Window.partitionBy(col("fingerprint"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          md5(graft.ops.Text.canonicalText(col("text"))).as("fingerprint"))
+        .select(col("*"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(wAll).as("cluster_size"))
+        .filter(col("rn") === 1)
+        .select(col("fingerprint"), col("doc_id").as("kept_id"),
+          col("n_chars").as("kept_chars"), col("cluster_size"))
+    },
+    Some("""
+      SELECT fingerprint, doc_id AS kept_id, n_chars AS kept_chars, cluster_size
+      FROM (
+        SELECT doc_id, n_chars, fingerprint,
+          row_number() OVER (PARTITION BY fingerprint
+            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+          count(*) OVER (PARTITION BY fingerprint) AS cluster_size
+        FROM (
+          SELECT doc_id, n_chars,
+            md5(trim(regexp_replace(
+              regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+              '\s+', ' ', 'g'))) AS fingerprint
+          FROM documents))
+      WHERE rn = 1"""))
+
+  /** parse_url surface over a synthesized URL — host/path/query and a
+    * single query parameter. The twin never parses: it rebuilds each part
+    * from the same source columns, so Spark's parser is checked against
+    * ground truth rather than another parser's quirks. Pure projection. */
+  private val q122 = Q(
+    "q122_url_parse",
+    (s, d) => {
+      val url = concat(lit("https://travel.example.com/pages/"), col("event_type"),
+        lit("?uid="), col("user_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), url.as("url"))
+        .select(col("event_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("uid")).as("uid"))
+    },
+    Some("""
+      SELECT event_id,
+        'travel.example.com' AS host,
+        '/pages/' || event_type AS path,
+        'uid=' || CAST(user_id AS VARCHAR) AS query,
+        CAST(user_id AS VARCHAR) AS uid
+      FROM events"""))
+
+  /** Unigram (token-distribution) entropy per document — the repetition/
+    * diversity quality signal orthogonal to q105's TTR (entropy sees a doc
+    * that repeats ONE token 90% of the time even when its vocab is large).
+    * Each token-type's -p·ln(p) term is rounded to integer micro-units
+    * BEFORE the per-doc sum (the q69/q117 rule), so IEEE summation order
+    * cannot perturb the result. Shuffles: (doc,tok) count, then the
+    * window+final agg share the doc_id exchange. */
+  private val q123 = Q(
+    "q123_token_entropy",
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val n = sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
+      val p = col("cnt").cast("double") / col("n").cast("double")
+      tc.withColumn("n", n)
+        .withColumn("term_micro", floor(-(p * log(p)) * 1e6 + 0.5).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_tok"), count(lit(1)).as("n_uniq"),
+          sum(col("term_micro")).as("entropy_micro"))
+    },
+    Some("""
+      WITH tc AS (
+        SELECT doc_id, tok, count(*) AS cnt FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY 1, 2),
+      withn AS (
+        SELECT doc_id, cnt,
+          CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        FROM tc)
+      SELECT doc_id, max(n) AS n_tok, count(*) AS n_uniq,
+        CAST(sum(CAST(floor(-(cnt::DOUBLE / n::DOUBLE * ln(cnt::DOUBLE / n::DOUBLE))
+          * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro
+      FROM withn GROUP BY 1"""))
+
+  /** arrays_zip + inline — the struct-array explode that pairs parallel
+    * arrays columnwise (tokens with their lengths here) and flattens the
+    * struct to top-level columns in one step; the twin zips two unnests
+    * positionally. Map-side only. */
+  private val q124 = Q(
+    "q124_zip_inline",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => x =!= "").as("toks"))
+        .select(col("doc_id"),
+          inline(arrays_zip(col("toks"),
+            transform(col("toks"), t => length(t).cast("long")).as("tok_len"))))
+        .withColumnRenamed("toks", "tok")
+    },
+    Some("""
+      SELECT doc_id, tok, CAST(length(tok) AS BIGINT) AS tok_len FROM (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents)"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -4094,7 +4238,8 @@ object QueryCatalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
+    q121, q122, q123, q124)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
