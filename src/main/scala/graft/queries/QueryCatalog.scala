@@ -4224,6 +4224,264 @@ object QueryCatalog {
         SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
         FROM documents)"""))
 
+  /** Reciprocal-rank fusion of a lexical and a semantic ranking — the
+    * hybrid-retrieval merge (RRF, k=60) a RAG curation pipeline runs over
+    * BM25 and embedding-cosine lists. Each leg is cut to top-100 with
+    * TakeOrderedAndProject FIRST (scalable at any corpus size); the
+    * single-partition row_number windows only ever see those ≤100 rows.
+    * Per-leg RRF contributions are micro-unit longs, so the fused sum is
+    * exact; vec 0 is the query vector, its doc excluded from leg B. */
+  private val q125 = Q(
+    "q125_rrf_fusion",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      // leg A: BM25 for the top-3-df query (q117's scoring, unchanged)
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfT = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val vocab = dfT.orderBy(col("df").desc, col("tok").asc).limit(3)
+      val stats = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(dl.agg(sum(col("dl")).as("sum_dl"))))
+      val nD = col("n_docs").cast("double"); val dfD = col("df").cast("double")
+      val tfD = col("tf").cast("double"); val dlD = col("dl").cast("double")
+      val avgdl = col("sum_dl").cast("double") / nD
+      val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+      val denom = tfD + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * dlD / avgdl)
+      val bm25 = tc.join(broadcast(vocab.select(col("tok"), col("df"))), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          floor(idf * (tfD * lit(2.2)) / denom * 1e6 + 0.5).cast("long").as("term_micro"))
+        .groupBy(col("doc_id")).agg(sum(col("term_micro")).as("bm25_micro"))
+      val topA = bm25.orderBy(col("bm25_micro").desc, col("doc_id").asc).limit(100)
+        .withColumn("rank_a", row_number().over(
+          Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)))
+      // leg B: cosine vs the query vector (vec 0), q23's vec_dot scoring
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = e.withColumn("nrm",
+        sqrt(graft.functions.VectorDot.vec_dot(col("v"), col("v"))))
+      val qv = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val cos = n.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          (graft.functions.VectorDot.vec_dot(col("qv"), col("v")) /
+            (col("qn") * col("nrm"))).as("sim"))
+      val topB = cos.orderBy(col("sim").desc, col("vec_id").asc).limit(100)
+        .withColumn("rank_b", row_number().over(
+          Window.orderBy(col("sim").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("doc_id"), col("rank_b"))
+      topA.select(col("doc_id"), col("rank_a"))
+        .join(topB, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          col("rank_a").cast("long").as("rank_a"),
+          col("rank_b").cast("long").as("rank_b"),
+          (coalesce(floor(lit(1e6) / (lit(60.0) + col("rank_a").cast("double")) + 0.5).cast("long"), lit(0L)) +
+           coalesce(floor(lit(1e6) / (lit(60.0) + col("rank_b").cast("double")) + 0.5).cast("long"), lit(0L))).as("rrf_micro"))
+    },
+    Some("""
+      WITH tc AS (
+        SELECT doc_id, tok, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tc GROUP BY 1),
+      dft AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+      vocab AS (SELECT tok, df FROM dft ORDER BY df DESC, tok ASC LIMIT 3),
+      stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl),
+      bm25 AS (
+        SELECT tc.doc_id, CAST(sum(CAST(floor(
+            ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+            * (tf::DOUBLE * 2.2)
+            / (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+                 / (sum_dl::DOUBLE / n_docs::DOUBLE)))
+            * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_micro
+        FROM tc JOIN vocab USING (tok) JOIN dl ON tc.doc_id = dl.doc_id, stats
+        GROUP BY 1),
+      ta AS (
+        SELECT doc_id, rn AS rank_a FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS rn
+          FROM bm25) WHERE rn <= 100),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      qv AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+      cos AS (
+        SELECT vec_id, list_dot_product(qv, v)/(qn * nrm) AS sim
+        FROM n, qv WHERE vec_id <> 0),
+      tb AS (
+        SELECT vec_id AS doc_id, rn AS rank_b FROM (
+          SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rn
+          FROM cos) WHERE rn <= 100)
+      SELECT COALESCE(ta.doc_id, tb.doc_id) AS doc_id,
+        CAST(rank_a AS BIGINT) AS rank_a,
+        CAST(rank_b AS BIGINT) AS rank_b,
+        COALESCE(CAST(floor(1000000.0 / (60.0 + rank_a::DOUBLE) + 0.5) AS BIGINT), 0) +
+        COALESCE(CAST(floor(1000000.0 / (60.0 + rank_b::DOUBLE) + 0.5) AS BIGINT), 0) AS rrf_micro
+      FROM ta FULL OUTER JOIN tb ON ta.doc_id = tb.doc_id"""))
+
+  /** Gap-fill + last-observation-carried-forward — densify each user's
+    * daily value series over their own date range and fill gaps with the
+    * IGNORE NULLS window form (the time-series repair every metrics store
+    * runs). No arithmetic touches the carried values, so no rounding belt
+    * is needed; the spine starts at each user's first observed day, so
+    * the carry is never null. Shuffles: daily agg, per-user bounds, and
+    * one window — all on user_id, so AQE coalesces them onto one layout. */
+  private val q126 = Q(
+    "q126_locf_gapfill",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(col("value")).as("v"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("v").isNotNull.as("observed"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS v
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      spine AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds)
+      SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+        v IS NOT NULL AS observed,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      FROM spine s LEFT JOIN daily USING (user_id, day)"""))
+
+  /** Sentence segmentation + per-document sentence statistics — the doc-
+    * structure quality signal (mean sentence length, longest run) beside
+    * q25's flat ratios. Regexp sentence split in the Java∩RE2 subset,
+    * trim+drop empties BEFORE the explode on both sides; exact-int ratio
+    * rounded r6. One shuffle (doc_id re-agg). */
+  private val q127 = Q(
+    "q127_sentence_stats",
+    (s, d) => {
+      val sents = filter(
+        transform(split(col("text"), "[.!?]+"), x => trim(x)), x => x =!= "")
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(sents).as("sent"))
+        .select(col("doc_id"),
+          size(filter(split(col("sent"), " "), x => x =!= "")).cast("long").as("n_tok"),
+          length(col("sent")).cast("long").as("n_chars"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sent"),
+          sum(col("n_tok")).as("sum_tok"),
+          max(col("n_chars")).as("max_sent_chars"))
+        .withColumn("avg_sent_tok",
+          r(col("sum_tok").cast("double") / col("n_sent").cast("double"), 6))
+    },
+    Some("""
+      SELECT doc_id, count(*) AS n_sent,
+        CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        max(n_chars) AS max_sent_chars,
+        floor(CAST(sum(n_tok) AS BIGINT)::DOUBLE / count(*)::DOUBLE
+          * 1000000 + 0.5)/1000000 AS avg_sent_tok
+      FROM (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(sent, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+          CAST(length(sent) AS BIGINT) AS n_chars
+        FROM (
+          SELECT doc_id,
+            unnest(list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+              x -> trim(x)), x -> x <> '')) AS sent
+          FROM documents))
+      GROUP BY 1"""))
+
+  /** PageRank (3 iterations, d=0.85) over the event-type transition graph
+    * — the iterative-dataflow pattern (label propagation, HITS, embedding
+    * propagation) expressed as a deterministic DataFrame loop: rank mass
+    * lives in integer micro-units, each edge contribution is floored to a
+    * long BEFORE the in-neighbor sum, so three rounds of float math stay
+    * bit-identical to the twin's three unrolled CTEs. The per-iteration
+    * shape — edges⋈ranks, groupBy(to), spine left-join — is the 100 TB
+    * Pregel step; nodes/nN broadcast, edges shuffle once per round.
+    * Dangling-node mass is dropped (simplified PR) on both sides. */
+  private val q128 = Q(
+    "q128_pagerank",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val pairs = ev
+        .select(col("user_id"), col("event_id"), col("event_type").as("from_t"))
+        .withColumn("to_t", lead(col("from_t"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("event_id"))))
+        .filter(col("to_t").isNotNull)
+      val edges = pairs.groupBy(col("from_t"), col("to_t")).agg(count(lit(1)).as("w"))
+      val nodes = ev.select(col("event_type")).distinct()
+      val nCnt = nodes.agg(count(lit(1)).as("n"))
+      val outw = edges.groupBy(col("from_t")).agg(sum(col("w")).as("outw"))
+      val ew = edges.join(broadcast(outw), "from_t")
+      var pr = nodes.crossJoin(broadcast(nCnt))
+        .select(col("event_type"),
+          floor(lit(1000000.0) / col("n").cast("double") + 0.5).cast("long").as("pr_micro"))
+      for (_ <- 1 to 3) {
+        val contribs = ew
+          .join(broadcast(pr.select(col("event_type").as("from_t"), col("pr_micro"))), "from_t")
+          .select(col("to_t").as("event_type"),
+            floor(lit(0.85) * col("pr_micro").cast("double") * col("w").cast("double")
+              / col("outw").cast("double") + 0.5).cast("long").as("c"))
+          .groupBy(col("event_type")).agg(sum(col("c")).as("csum"))
+        pr = nodes.crossJoin(broadcast(nCnt))
+          .join(contribs, Seq("event_type"), "left")
+          .select(col("event_type"),
+            (floor(lit(0.15) * lit(1000000.0) / col("n").cast("double") + 0.5).cast("long")
+              + coalesce(col("csum"), lit(0L))).as("pr_micro"))
+      }
+      pr
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT event_type AS from_t,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS to_t
+        FROM events),
+      edges AS (
+        SELECT from_t, to_t, count(*) AS w FROM pairs
+        WHERE to_t IS NOT NULL GROUP BY 1, 2),
+      nodes AS (SELECT DISTINCT event_type FROM events),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      outw AS (SELECT from_t, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY 1),
+      ew AS (SELECT e.from_t, e.to_t, e.w, o.outw FROM edges e JOIN outw o USING (from_t)),
+      pr0 AS (
+        SELECT event_type,
+          CAST(floor(1000000.0 / n::DOUBLE + 0.5) AS BIGINT) AS pr_micro
+        FROM nodes, nn),
+      c1 AS (
+        SELECT to_t AS event_type, CAST(sum(CAST(floor(
+            0.85 * pr_micro::DOUBLE * w::DOUBLE / outw::DOUBLE + 0.5) AS BIGINT)) AS BIGINT) AS csum
+        FROM ew JOIN pr0 ON ew.from_t = pr0.event_type GROUP BY 1),
+      pr1 AS (
+        SELECT b.event_type,
+          CAST(floor(0.15 * 1000000.0 / b.n::DOUBLE + 0.5) AS BIGINT) + COALESCE(csum, 0) AS pr_micro
+        FROM (SELECT event_type, n FROM nodes, nn) b LEFT JOIN c1 USING (event_type)),
+      c2 AS (
+        SELECT to_t AS event_type, CAST(sum(CAST(floor(
+            0.85 * pr_micro::DOUBLE * w::DOUBLE / outw::DOUBLE + 0.5) AS BIGINT)) AS BIGINT) AS csum
+        FROM ew JOIN pr1 ON ew.from_t = pr1.event_type GROUP BY 1),
+      pr2 AS (
+        SELECT b.event_type,
+          CAST(floor(0.15 * 1000000.0 / b.n::DOUBLE + 0.5) AS BIGINT) + COALESCE(csum, 0) AS pr_micro
+        FROM (SELECT event_type, n FROM nodes, nn) b LEFT JOIN c2 USING (event_type)),
+      c3 AS (
+        SELECT to_t AS event_type, CAST(sum(CAST(floor(
+            0.85 * pr_micro::DOUBLE * w::DOUBLE / outw::DOUBLE + 0.5) AS BIGINT)) AS BIGINT) AS csum
+        FROM ew JOIN pr2 ON ew.from_t = pr2.event_type GROUP BY 1)
+      SELECT b.event_type,
+        CAST(floor(0.15 * 1000000.0 / b.n::DOUBLE + 0.5) AS BIGINT) + COALESCE(csum, 0) AS pr_micro
+      FROM (SELECT event_type, n FROM nodes, nn) b LEFT JOIN c3 USING (event_type)"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -4239,7 +4497,7 @@ object QueryCatalog {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
-    q121, q122, q123, q124)
+    q121, q122, q123, q124, q125, q126, q127, q128)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
