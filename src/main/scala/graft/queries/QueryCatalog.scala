@@ -4482,6 +4482,235 @@ object QueryCatalog {
         CAST(floor(0.15 * 1000000.0 / b.n::DOUBLE + 0.5) AS BIGINT) + COALESCE(csum, 0) AS pr_micro
       FROM (SELECT event_type, n FROM nodes, nn) b LEFT JOIN c3 USING (event_type)"""))
 
+  /** Fixed-width histogram via width_bucket — 12 buckets over [0, 600k) in
+    * exact cents. Bucket boundaries are multiples of 5e6 cents (exactly
+    * representable), and non-boundary values sit ≥2e-7 of a bucket away —
+    * ulp-level formula differences between the engines' width_bucket
+    * implementations cannot flip a bucket, so the twin's arithmetic form
+    * is safe. One small hash aggregate. */
+  private val q129 = Q(
+    "q129_width_bucket",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .select(width_bucket(col("cents").cast("double"), lit(0.0),
+          lit(60000000.0), lit(12)).as("bucket"), col("cents"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+    },
+    Some("""
+      SELECT bucket, count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents
+      FROM (
+        SELECT CASE WHEN cents >= 60000000 THEN 13
+                    ELSE CAST(floor(cents::DOUBLE / 60000000.0 * 12.0) AS BIGINT) + 1 END AS bucket,
+               cents
+        FROM (SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders))
+      GROUP BY 1"""))
+
+  /** TPC-H-Q5-shaped star join — region filter → nation → customer →
+    * orders (date range) → lineitem → supplier with the same-nation
+    * constraint; local-supplier revenue per nation. Per-row revenue is
+    * floored to exact cents BEFORE the sum (a double sum's order is not
+    * cross-engine stable). No broadcast hints on the SF-growing tables
+    * (customer/supplier/orders) — nation/region hint only; at bench SF the
+    * threshold picks broadcast anyway, at 100 TB the big joins shuffle on
+    * their keys with AQE free to re-plan. */
+  private val q130 = Q(
+    "q130_star_revenue",
+    (s, d) => {
+      val nr = Tables.nation(s, d).join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+      Tables.customer(s, d)
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .select(col("n_name"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+            .cast("long").as("rev_cents"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_cents")).as("revenue_cents"))
+    },
+    Some("""
+      SELECT n_name, CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
+      FROM (
+        SELECT n.n_name,
+          CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS rev_cents
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01')
+      GROUP BY 1"""))
+
+  /** Pareto frontier (skyline) of per-customer (total spend, order count)
+    * — the non-dominated set, computed as one sort + one running max
+    * instead of the naive quadratic dominance anti-join: collapse to one
+    * row per spend value (max count — same-spend lower counts are
+    * dominated by definition), sort spend DESC, keep rows whose count
+    * strictly beats every earlier row's. The global window sees one row
+    * per distinct spend (already aggregated — bounded); the 100 TB form
+    * partitions by coarse spend buckets and merges per-bucket frontiers. */
+  private val q131 = Q(
+    "q131_pareto_frontier",
+    (s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("spend_cents"),
+          count(lit(1)).as("n_orders"))
+      val pts = per.groupBy(col("spend_cents")).agg(max(col("n_orders")).as("n_orders"))
+      val runPrev = max(col("n_orders")).over(
+        Window.orderBy(col("spend_cents").desc)
+          .rowsBetween(Window.unboundedPreceding, -1))
+      pts.withColumn("prev_max", runPrev)
+        .filter(col("prev_max").isNull || col("n_orders") > col("prev_max"))
+        .select(col("spend_cents"), col("n_orders"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents,
+          count(*) AS n_orders
+        FROM orders GROUP BY 1),
+      pts AS (
+        SELECT spend_cents, max(n_orders) AS n_orders FROM per GROUP BY 1),
+      run AS (
+        SELECT spend_cents, n_orders,
+          max(n_orders) OVER (ORDER BY spend_cents DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM pts)
+      SELECT spend_cents, n_orders FROM run
+      WHERE prev_max IS NULL OR n_orders > prev_max"""))
+
+  /** Median absolute deviation per language — the robust outlier gate
+    * (MAD tolerates the heavy tails that wreck q106's z-scores). Both
+    * medians are exact interpolations of values with at-worst quarter
+    * fractions (ints, then |int − half| devs), so every intermediate is
+    * exactly representable and NO rounding belt is needed. Group medians
+    * broadcast back; outliers = dev > 3·MAD. */
+  private val q132 = Q(
+    "q132_mad_outliers",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("lang"), col("n_chars"))
+      val med = docs.groupBy(col("lang")).agg(median(col("n_chars")).as("med_chars"))
+      val dev = docs.join(broadcast(med), "lang")
+        .withColumn("dev", abs(col("n_chars").cast("double") - col("med_chars")))
+      val mad = dev.groupBy(col("lang"), col("med_chars"))
+        .agg(median(col("dev")).as("mad"), count(lit(1)).as("n"))
+      dev.join(broadcast(mad.select(col("lang"), col("mad"))), "lang")
+        .groupBy(col("lang"))
+        .agg(count_if(col("dev") > lit(3.0) * col("mad")).as("n_outliers"))
+        .join(broadcast(mad), "lang")
+        .select(col("lang"), col("n"), col("med_chars"), col("mad"), col("n_outliers"))
+    },
+    Some("""
+      WITH med AS (
+        SELECT lang, CAST(median(n_chars) AS DOUBLE) AS med_chars
+        FROM documents GROUP BY 1),
+      dev AS (
+        SELECT d.lang, abs(d.n_chars::DOUBLE - med_chars) AS dev, med_chars
+        FROM documents d JOIN med USING (lang)),
+      mad AS (
+        SELECT lang, med_chars, CAST(median(dev) AS DOUBLE) AS mad, count(*) AS n
+        FROM dev GROUP BY 1, 2)
+      SELECT dev.lang, n, mad.med_chars, mad.mad,
+        count(*) FILTER (WHERE dev > 3.0 * mad.mad) AS n_outliers
+      FROM dev JOIN mad USING (lang)
+      GROUP BY 1, 2, 3, 4"""))
+
+  /** Join-skew diagnostics — per-key frequency profile of the two hot
+    * fact join keys (the pre-flight that decides when q45's salting or
+    * AQE skew handling is needed): row count, distinct keys, max rows per
+    * key, top-key share in micro-units, and the p75 per-key count (dyadic
+    * p → exact interpolation, the q114 rule). Two-level aggregate per
+    * table, map-side combine collapses keys before the shuffle. */
+  private val q133 = Q(
+    "q133_skew_report",
+    (s, d) => {
+      def profile(df: DataFrame, key: String, tag: String): DataFrame =
+        df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+          .agg(
+            sum(col("c")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max(col("c")).as("max_key_rows"),
+            expr("percentile(c, 0.75)").as("p75_key_rows"))
+          .select(lit(tag).as("key_col"), col("n_rows"), col("n_keys"),
+            col("max_key_rows"),
+            floor(col("max_key_rows").cast("double") / col("n_rows").cast("double")
+              * 1e6 + 0.5).cast("long").as("top_share_micro"),
+            col("p75_key_rows"))
+      profile(Tables.orders(s, d), "o_custkey", "orders.o_custkey")
+        .unionByName(profile(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey"))
+    },
+    Some("""
+      WITH oc AS (
+        SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+      lp AS (
+        SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+      po AS (
+        SELECT 'orders.o_custkey' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+          count(*) AS n_keys, max(c) AS max_key_rows,
+          quantile_cont(c, 0.75) AS p75_key_rows
+        FROM oc),
+      pl AS (
+        SELECT 'lineitem.l_partkey' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+          count(*) AS n_keys, max(c) AS max_key_rows,
+          quantile_cont(c, 0.75) AS p75_key_rows
+        FROM lp)
+      SELECT key_col, n_rows, n_keys, max_key_rows,
+        CAST(floor(max_key_rows::DOUBLE / n_rows::DOUBLE * 1000000 + 0.5) AS BIGINT) AS top_share_micro,
+        p75_key_rows
+      FROM po
+      UNION ALL
+      SELECT key_col, n_rows, n_keys, max_key_rows,
+        CAST(floor(max_key_rows::DOUBLE / n_rows::DOUBLE * 1000000 + 0.5) AS BIGINT) AS top_share_micro,
+        p75_key_rows
+      FROM pl"""))
+
+  /** Character-trigram profile per language — the feature extraction
+    * under q24's language-ID heuristic: top-10 trigrams by frequency with
+    * a deterministic (count DESC, trigram ASC) tiebreak. Docs shorter
+    * than 3 chars are dropped BEFORE the index sequence (sequence(1, 0)
+    * is a DESCENDING range in Spark — the q21 singleton trap). Explode is
+    * the scale path: counts combine map-side, and the rank window only
+    * sees per-language tails. */
+  private val q134 = Q(
+    "q134_char_trigrams",
+    (s, d) => {
+      val txt = lower(col("text"))
+      val tris = transform(sequence(lit(1), length(txt) - 2),
+        i => txt.substr(i, lit(3)))
+      val counts = Tables.documents(s, d)
+        .filter(length(col("text")) >= 3)
+        .select(col("lang"), explode(tris).as("tri"))
+        .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
+      Core.topKPerGroup(counts, Seq("lang"),
+        Seq(col("cnt").desc, col("tri").asc), 10)
+        .select(col("lang"), col("tri"), col("cnt"))
+    },
+    Some("""
+      WITH tris AS (
+        SELECT lang, unnest(list_transform(range(1, length(text) - 1),
+          i -> substr(lower(text), i, 3))) AS tri
+        FROM documents WHERE length(text) >= 3),
+      counts AS (
+        SELECT lang, tri, count(*) AS cnt FROM tris GROUP BY 1, 2),
+      ranked AS (
+        SELECT lang, tri, cnt,
+          row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri ASC) AS rn
+        FROM counts)
+      SELECT lang, tri, cnt FROM ranked WHERE rn <= 10"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -4497,7 +4726,8 @@ object QueryCatalog {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
-    q121, q122, q123, q124, q125, q126, q127, q128)
+    q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
+    q131, q132, q133, q134)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
