@@ -473,15 +473,24 @@ object QueryCatalog {
         count(*) AS n_copies
       FROM documents GROUP BY 1"""))
 
+  /** The driver fixtures are ONE parquet file per table → the scan opens
+    * as a single input partition and map-heavy work (shingling, md5) runs
+    * on one core. Spreading it with a repartition is a BENCH-ONLY aid for
+    * that degenerate layout: on splittable production input the scan
+    * already parallelizes and the extra shuffle is a scale-killer. Gated
+    * by conf `graft.bench.singleFileFixture` — default OFF, so the
+    * production plan has no shuffle (pinned in PlanShapeSpec); Bench.scala
+    * turns it on. */
+  private def spreadSingleFileFixture(s: SparkSession, df: DataFrame, key: String): DataFrame =
+    if (s.conf.get("graft.bench.singleFileFixture", "false").toBoolean)
+      df.repartition(col(key))
+    else df
+
   /** Shared by q20 (pair list) and q46 (cluster resolution over the same
     * pairs): prefix-blocked candidate pairs verified by exact Jaccard
     * >= 0.5 over distinct token sets. Returns (doc_a, doc_b, jac). */
   private def prefixJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      // deliberate full shuffle ONLY because the fixture is one parquet
-      // file (one input partition); on splittable production input the
-      // scan already parallelizes and this line should be dropped
-      .repartition(col("doc_id"))
+    val docs = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
       .select(
         col("doc_id"),
         substring(col("text"), 1, 30).as("pfx"),
@@ -535,10 +544,7 @@ object QueryCatalog {
       // the 16 seeded minima as plain aggregates. (A nested higher-order
       // formulation re-evaluates the inlined hash lambda per outer
       // iteration after CollapseProject — 16-64x duplicate md5 work.)
-      val shingleRows = Tables.documents(s, d)
-        // deliberate full shuffle ONLY for the single-file fixture scan
-        // (spreads the md5 work); drop on splittable production input
-        .repartition(col("doc_id"))
+      val shingleRows = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(transform(
@@ -3618,9 +3624,12 @@ object QueryCatalog {
     * (vec, dim, v), 64-row dim stats, broadcast back, regroup with a
     * sorted-struct collect so element order is rebuilt deterministically
     * (collect_list alone is arrival-ordered — the q34 canonicalization
-    * rule). Scaled values are rounded r6 BEFORE the rebuild so the array
-    * cells hash identically. At 100 TB the stats pass is a 64-row
-    * aggregate and the rebuild one shuffle on vec_id. */
+    * rule). Scaled values become integer MICRO-UNITS (floor(x*1e6+0.5) as
+    * BIGINT) and the rebuilt array is array_join'd to one '|' string: the
+    * driver's pandas comparator cannot sort/hash top-level ndarray cells
+    * (r5 oracle err), and long→string formatting is byte-identical across
+    * engines where double→string is not. At 100 TB the stats pass is a
+    * 64-row aggregate and the rebuild one shuffle on vec_id. */
   private val q107 = Q(
     "q107_minmax_scale",
     (s, d) => {
@@ -3630,11 +3639,13 @@ object QueryCatalog {
       val stats = ex.groupBy(col("dim"))
         .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
       ex.join(broadcast(stats), "dim")
-        .withColumn("scaled", r((col("v") - col("dmin")) / (col("dmax") - col("dmin")), 6))
+        .withColumn("scaled_u",
+          floor((col("v") - col("dmin")) / (col("dmax") - col("dmin")) * 1000000 + 0.5)
+            .cast("long"))
         .groupBy(col("vec_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("scaled")))),
-          x => x.getField("scaled")).as("scaled_vec"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("dim"), col("scaled_u")))),
+          x => x.getField("scaled_u").cast("string")), "|").as("scaled_vec"))
     },
     Some("""
       WITH ex AS (
@@ -3644,8 +3655,9 @@ object QueryCatalog {
         FROM embeddings),
       stats AS (SELECT dim, min(v) AS dmin, max(v) AS dmax FROM ex GROUP BY 1)
       SELECT vec_id,
-        array_agg(floor((v - dmin)/(dmax - dmin) * 1000000 + 0.5)/1000000
-                  ORDER BY dim) AS scaled_vec
+        array_to_string(
+          array_agg(CAST(floor((v - dmin)/(dmax - dmin) * 1000000 + 0.5) AS BIGINT)
+                    ORDER BY dim), '|') AS scaled_vec
       FROM ex JOIN stats USING (dim)
       GROUP BY 1"""))
 
@@ -3714,7 +3726,12 @@ object QueryCatalog {
         regexp_replace(col("c_name"), "[0-9]", "*").as("masked"),
         regexp_count(col("c_name"), lit("0")).cast("long").as("zeros"),
         col("c_name").rlike("[13579]$").as("odd_tail"),
-        regexp_extract_all(col("c_name"), lit("([0-9]{2})"), lit(1)).as("digit_pairs"))
+        // '|'-joined, not a raw array: the driver's comparator can't hash
+        // ndarray cells (r5 oracle err). DuckDB's array_to_string yields
+        // NULL on an empty list where array_join yields '' → coalesce twin.
+        array_join(
+          regexp_extract_all(col("c_name"), lit("([0-9]{2})"), lit(1)),
+          "|").as("digit_pairs"))
     },
     Some("""
       SELECT c_custkey,
@@ -3722,7 +3739,8 @@ object QueryCatalog {
         regexp_replace(c_name, '[0-9]', '*', 'g') AS masked,
         CAST(len(regexp_extract_all(c_name, '0')) AS BIGINT) AS zeros,
         regexp_matches(c_name, '[13579]$') AS odd_tail,
-        regexp_extract_all(c_name, '([0-9]{2})', 1) AS digit_pairs
+        coalesce(array_to_string(
+          regexp_extract_all(c_name, '([0-9]{2})', 1), '|'), '') AS digit_pairs
       FROM customer"""))
 
   /** Array set-algebra surface: distinct/sort/intersect/except/overlap/
@@ -3742,8 +3760,12 @@ object QueryCatalog {
             filter(split(col("text"), " "), x => x =!= ""))).as("toks"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_uniq"),
-          array_sort(array_intersect(col("toks"), stop)).as("stops_present"),
-          slice(array_sort(array_except(col("toks"), stop)), 1, 5).as("content_head"),
+          // '|'-joined strings, not raw arrays: the driver's comparator
+          // can't hash ndarray cells (r5 oracle err on this query).
+          array_join(array_sort(array_intersect(col("toks"), stop)), "|")
+            .as("stops_present"),
+          array_join(slice(array_sort(array_except(col("toks"), stop)), 1, 5), "|")
+            .as("content_head"),
           arrays_overlap(col("toks"), stop).as("has_stop"),
           array_contains(col("toks"), "the").as("has_the"))
     },
@@ -3755,9 +3777,13 @@ object QueryCatalog {
         FROM documents)
       SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_uniq,
-        list_sort(list_intersect(toks, ['the','a','of','and','to'])) AS stops_present,
-        list_sort(list_filter(toks,
-          x -> NOT list_contains(['the','a','of','and','to'], x)))[1:5] AS content_head,
+        coalesce(array_to_string(
+          list_sort(list_intersect(toks, ['the','a','of','and','to'])), '|'),
+          '') AS stops_present,
+        coalesce(array_to_string(
+          list_sort(list_filter(toks,
+            x -> NOT list_contains(['the','a','of','and','to'], x)))[1:5], '|'),
+          '') AS content_head,
         list_has_any(toks, ['the','a','of','and','to']) AS has_stop,
         list_contains(toks, 'the') AS has_the
       FROM t"""))
@@ -3939,12 +3965,17 @@ object QueryCatalog {
         .distinct()
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("df"),
-          slice(array_sort(collect_list(col("doc_id"))), 1, 10).as("postings"))
+          // '|'-joined posting head, not a raw array: the driver's
+          // comparator can't hash ndarray cells (r5 oracle err). df>=5
+          // guarantees non-empty, so no empty-list NULL quirk here.
+          array_join(transform(
+            slice(array_sort(collect_list(col("doc_id"))), 1, 10),
+            x => x.cast("string")), "|").as("postings"))
         .filter(col("df") >= 5)
     },
     Some("""
       SELECT tok, count(*) AS df,
-        (list_sort(list(doc_id)))[1:10] AS postings
+        array_to_string((list_sort(list(doc_id)))[1:10], '|') AS postings
       FROM (
         SELECT DISTINCT doc_id, tok FROM (
           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -4711,6 +4742,60 @@ object QueryCatalog {
         FROM counts)
       SELECT lang, tri, cnt FROM ranked WHERE rn <= 10"""))
 
+  /** S5 driver-checked: the CSV scan with explicit schema + header
+    * (`Bronze.readCsv`) exercised through REAL files — the query writes
+    * the nation dim to CSV (K2 sink) and reads it back through the S5
+    * scan, so header handling, quoting, and the declared types all face
+    * the oracle (which reads the original parquet — the round-trip must
+    * be value-exact). 25 rows: the write inside the query is deliberate
+    * and negligible; this is an IO-surface proof, not a perf query. */
+  private val q135 = Q(
+    "q135_csv_scan",
+    (s, d) => {
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q135_csv").getAbsolutePath
+      graft.sources.Bronze.writeCsv(
+        Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"), tmp)
+      graft.sources.Bronze.readCsv(s, tmp, StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))))
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
+
+  /** F17/F18 driver-checked: the calendar helpers (first/last day, yyyymmdd,
+    * month key) and the ISO-8601 UTC/KST timestamp pair over real order
+    * dates. `o_orderdate` is TIMESTAMP_NTZ in the fixture → cast to the
+    * session-TZ type (UTC, value-preserving) so `from_utc_timestamp` gets
+    * its contracted input; DuckDB mirrors KST as an explicit +9h shift.
+    * Pure projection, no shuffle. */
+  private val q136 = Q(
+    "q136_calendar_iso",
+    (s, d) => {
+      val ts = col("o_orderdate").cast("timestamp")
+      val dt = to_date(ts)
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        F.firstDayOfYear(dt).as("y0"),
+        F.firstDayOfMonth(dt).as("m0"),
+        F.lastDayOfMonth(dt).as("m1"),
+        F.yyyymmdd(dt).as("ymd"),
+        F.monthKey(dt).as("month_key"),
+        F.isoTimestamp(ts).as("iso_utc"),
+        F.isoTimestamp(F.toKst(ts)).as("iso_kst"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        CAST(date_trunc('year', o_orderdate) AS DATE) AS y0,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS m0,
+        last_day(CAST(o_orderdate AS DATE)) AS m1,
+        strftime(o_orderdate, '%Y%m%d') AS ymd,
+        strftime(o_orderdate, '%Y%m') AS month_key,
+        strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_utc,
+        strftime(o_orderdate + INTERVAL 9 HOUR, '%Y-%m-%dT%H:%M:%S') AS iso_kst
+      FROM orders"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -4727,7 +4812,7 @@ object QueryCatalog {
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134)
+    q131, q132, q133, q134, q135, q136)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

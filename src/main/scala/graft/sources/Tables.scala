@@ -21,14 +21,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a long of nanos and convert to a
-    * µs TimestampType — DuckDB's native timestamp is µs too, so the oracle
-    * sees identical values. */
+  /** `events.ts` has shipped in two physical layouts across fixture
+    * generations: TIMESTAMP(NANOS) — which Spark 4 rejects
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as a long of nanos — and plain
+    * TIMESTAMP(µs) with isAdjustedToUTC=false (Spark: TIMESTAMP_NTZ).
+    * Dispatch on the footer schema so either vintage lands on the same µs
+    * `TimestampType`: longs get the nanos→µs conversion, NTZ gets a plain
+    * cast (the session TZ is pinned UTC everywhere, so NTZ→TZ is
+    * value-preserving). DuckDB's native timestamp is µs too, so the oracle
+    * sees identical values either way. Hard-coding one layout cost round 5
+    * twenty queries and the whole bench — keep this dispatch. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already session-TZ TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -36,15 +36,21 @@ object Events {
   def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // A file stream needs an explicit schema; take it from the files
+    // already in the directory (one footer read) instead of hard-coding a
+    // layout — the fixture's ts column has shipped both as TIMESTAMP(NANOS)
+    // (→ long of nanos under the legacy flag) and TIMESTAMP(µs) (→ NTZ),
+    // and declaring the wrong one silently mis-decodes rows. Same dispatch
+    // as `Tables.events`; both vintages land on µs TimestampType.
+    val fileSchema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(fileSchema).parquet(dir)
+    fileSchema("ts").dataType match {
+      case LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
   }
 
   /** T2 (cluster path) — ENVIRONMENT-DEFERRED: the reference's hub is

@@ -212,10 +212,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(row.getAs[Double]("dot") == 11.0 && row.getAs[Double]("nrm") == 5.0)
   }
 
+  test("q21: fixture-spread repartition is conf-gated, default-off") {
+    // Production plan (default conf): the scan parallelizes on splittable
+    // input, so the catalog must NOT inject its single-file-fixture
+    // repartition — that extra full shuffle is a 100-TB scale-killer. The
+    // explicit repartition prints with shuffle origin REPARTITION_BY_COL,
+    // which distinguishes it from q21's genuine groupBy exchanges.
+    val before = plan("q21_minhash_lsh")
+    assert(!before.contains("REPARTITION_BY_COL"),
+      s"fixture-only repartition leaked into the default plan:\n$before")
+    try {
+      spark.conf.set("graft.bench.singleFileFixture", "true")
+      val benched = plan("q21_minhash_lsh")
+      assert(benched.contains("REPARTITION_BY_COL"),
+        s"bench flag did not spread the single-file scan:\n$benched")
+    } finally spark.conf.unset("graft.bench.singleFileFixture")
+  }
+
   test("queries and oracles are consistently keyed") {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
     assert(os.subsetOf(qs))
-    assert(qs.size == 134)
+    assert(qs.size == 136)
   }
 }
