@@ -309,6 +309,120 @@ object Similarity {
       q.getField("mn") +
         c.cast("double") * (q.getField("mx") - q.getField("mn")) / 255.0)
 
+  /** Unit-normalize an array<double> vector, with the (norm, v) pair
+    * let-bound through a single-element array+transform (ARCHITECTURE §8)
+    * so the norm is computed once per vector, not once per element
+    * (CollapseProject would otherwise inline it into the division lambda).
+    * Zero vectors pass through unchanged. */
+  def unitNorm(v: Column): Column =
+    element_at(
+      transform(array(struct(fastNorm(v).as("n"), v.as("v"))), p =>
+        transform(p.getField("v"), x =>
+          when(p.getField("n") === 0.0, x).otherwise(x / p.getField("n")))),
+      1)
+
+  /** Product-quantization codebooks: the dim-D space splits into `m`
+    * contiguous subspaces of D/m dims, each fitted with its own
+    * `kCent`-centroid k-means codebook (spark.ml KMeans, fixed seed per
+    * subspace, trained on a `trainFraction` sample — at 100 TB the sample
+    * is the only full-width pass; everything after runs on codes).
+    * Vectors are unit-normalized first so PQ's dot-product reconstruction
+    * approximates cosine directly. Returns codebooks(j)(c) = centroid `c`
+    * of subspace `j`, applied downstream as broadcast literals folded into
+    * codegen — the model never ships as an object. */
+  def pqTrainCodebooks(corpus: DataFrame, m: Int = 8, kCent: Int = 16,
+      dim: Int = 64, trainFraction: Double = 0.25): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim does not split into $m equal subspaces")
+    val subLen = dim / m
+    val unit = corpus.select(unitNorm(asDouble(col("embedding"))).as("nv"))
+    val sampled =
+      if (trainFraction >= 1.0) unit
+      else unit.sample(withReplacement = false, trainFraction, seed = 42L)
+    // same small-corpus guard as ivfCosineTopK: fall back to the full
+    // corpus exactly when that is free, never fit on a degenerate sample
+    val minTrain = 4L * kCent
+    val enough = sampled.limit(minTrain.toInt).count() >= minTrain
+    val base = (if (enough) sampled else unit).cache() // m sequential fits re-scan it
+    try {
+      (0 until m).map { j =>
+        val train = base.select(
+          array_to_vector(slice(col("nv"), j * subLen + 1, subLen)).as("features"))
+        new KMeans().setK(kCent).setSeed(42L + j).setMaxIter(10).fit(train)
+          .clusterCenters.map(_.toArray)
+      }.toArray
+    } finally { base.unpersist(); () }
+  }
+
+  /** PQ encoding: per subspace, the index of the nearest codebook centroid
+    * by squared distance (the ||v||² term is constant per subvector, so the
+    * ranking key is ||c||² - 2 v·c — one dot per centroid). `nv` must be
+    * unit-normalized ([[unitNorm]]). Output is array<int> of length m —
+    * at kCent ≤ 256 that is m bytes of information per vector, a 32×
+    * compression of a 64-float embedding; encode once at ingest, store the
+    * codes column, and scan codes instead of floats. */
+  def pqCodes(nv: Column, books: Array[Array[Array[Double]]]): Column = {
+    val subLen = books(0)(0).length
+    array(books.zipWithIndex.map { case (book, j) =>
+      element_at(
+        // let-bind the subvector so the K centroid dots share one slice
+        transform(array(slice(nv, j * subLen + 1, subLen)), sub =>
+          element_at(
+            array_sort(array(book.zipWithIndex.map { case (cArr, ci) =>
+              struct(
+                (lit(cArr.map(x => x * x).sum) -
+                  lit(2.0) * fastDot(sub, array(cArr.map(lit).toIndexedSeq: _*))).as("d"),
+                lit(ci).as("c"))
+            }.toIndexedSeq: _*)),
+            1).getField("c")),
+        1)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Decode PQ codes back to an approximate vector (centroid concatenation).
+    * The exact identity `adc_score(q, codes) == dot(q, pqReconstruct(codes))`
+    * is what the spec pins — ADC is a table-lookup factoring of that dot. */
+  def pqReconstruct(codes: Column, books: Array[Array[Array[Double]]]): Column =
+    concat(books.zipWithIndex.map { case (book, j) =>
+      element_at(
+        array(book.map(cArr => array(cArr.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*),
+        element_at(codes, j + 1) + 1)
+    }.toIndexedSeq: _*)
+
+  /** PQ top-k by asymmetric distance computation (ADC): each query
+    * precomputes its dot products against all m×kCent centroids ONCE (the
+    * `lut` column, materialized on the query side of the join), then every
+    * corpus vector scores as m array lookups + adds — the per-pair cost is
+    * O(m), not O(dim), and the corpus side reads only the codes column.
+    * The scan over codes is exhaustive here (correct baseline shape); the
+    * 100 TB form composes this with [[ivfCosineTopK]]'s cells — probe a
+    * cell, ADC-rank inside it — so neither pass ever touches full-width
+    * floats. Recall floor and the ADC/reconstruction identity are pinned
+    * in VectorAggSpec. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      kCent: Int = 16, dim: Int = 64, trainFraction: Double = 0.25): DataFrame = {
+    graft.plans.GraftExtensions.install(corpus.sparkSession)
+    val books = pqTrainCodebooks(corpus, m, kCent, dim, trainFraction)
+    val subLen = dim / m
+    val c = corpus.select(col("vec_id"), unitNorm(asDouble(col("embedding"))).as("nv"))
+      .select(col("vec_id"), pqCodes(col("nv"), books).as("codes"))
+    val q = queries
+      .select(col("vec_id").as("q_id"), unitNorm(asDouble(col("embedding"))).as("qv"))
+      .withColumn("lut", array((0 until m).map { j =>
+        array(books(j).map(cArr =>
+          fastDot(slice(col("qv"), j * subLen + 1, subLen),
+            array(cArr.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
+      }.toIndexedSeq: _*))
+      .select(col("q_id"), col("lut"))
+    val scored = q.join(c, col("vec_id") =!= col("q_id"))
+      .withColumn("sim", (0 until m).map(j =>
+        element_at(element_at(col("lut"), j + 1),
+          element_at(col("codes"), j + 1) + 1)).reduce[Column](_ + _))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    Core.topKPerGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("vec_id").asc), k)
+  }
+
   /** Exact-shape top-k over the QUANTIZED corpus: same join/rank plan as
     * [[bruteForceTopK]], but the corpus side stores only int8 codes and
     * dequantizes on the fly inside the scan projection — the memory/IO

@@ -4796,6 +4796,127 @@ object QueryCatalog {
         strftime(o_orderdate + INTERVAL 9 HOUR, '%Y-%m-%dT%H:%M:%S') AS iso_kst
       FROM orders"""))
 
+  /** Product-quantization ANN top-k (ADC) — the 32×-compressed codes path
+    * that composes with IVF cells at 100 TB (per-pair cost O(m) lookups,
+    * corpus side never reads full-width floats after encoding). k-means
+    * codebook training is not SQL-expressible, so there is NO DuckDB twin:
+    * the driver records the weaker rows-only check here, and the strong
+    * evidence lives in TextSimilaritySpec — the ADC == dot(reconstructed)
+    * identity, a recall@10 floor vs brute force, and exact determinism
+    * (fixed seeds end to end). */
+  private val q137 = Q(
+    "q137_pq_topk",
+    (s, d) => {
+      import graft.ops.Similarity
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 10)
+    },
+    None)
+
+  /** Zipf rank-frequency fit per language: slope/intercept of
+    * ln(cnt) ~ ln(rank) over the top-200 token ranks — the lexical-health
+    * diagnostic (natural text slopes near -1; templated/spammy corpora
+    * flatten or cliff). Determinism is the q117 discipline: ln() values are
+    * rounded to integer MICRO-UNITS per term, all sufficient statistics are
+    * BIGINT sums, and the closed-form fit is one double expression over
+    * identical longs on both engines. Rank ties break on (cnt DESC, tok
+    * ASC). Two shuffles (token count, per-lang stats); the rank window
+    * sees ≤200 rows per language. */
+  private val q138 = Q(
+    "q138_zipf_fit",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val ranked = counts.withColumn("rank",
+        row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("tok").asc)))
+        .filter(col("rank") <= 200)
+        .select(col("lang"),
+          floor(log(col("rank").cast("double")) * 1000000 + 0.5).cast("long").as("xu"),
+          floor(log(col("cnt").cast("double")) * 1000000 + 0.5).cast("long").as("yu"))
+      val sums = ranked.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("xu")).as("sx"), sum(col("yu")).as("sy"),
+        sum(col("xu") * col("yu")).as("sxy"),
+        sum(col("xu") * col("xu")).as("sxx"))
+      // exact long arithmetic up to the final divisions; micro-unit scale
+      // cancels in the slope, divides out once in the intercept
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      val slope = num.cast("double") / den.cast("double")
+      sums.select(
+        col("lang"), col("n"),
+        r(slope, 6).as("zipf_slope"),
+        r((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double") / 1000000.0, 6).as("zipf_intercept"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT lang, tok, count(*) AS cnt FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY 1, 2),
+      ranked AS (
+        SELECT lang,
+          CAST(floor(ln(CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY cnt DESC, tok ASC) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS xu,
+          CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS yu,
+          row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rank
+        FROM counts QUALIFY rank <= 200),
+      sums AS (
+        SELECT lang, count(*) AS n,
+          CAST(sum(xu) AS BIGINT) AS sx, CAST(sum(yu) AS BIGINT) AS sy,
+          CAST(sum(xu * yu) AS BIGINT) AS sxy,
+          CAST(sum(xu * xu) AS BIGINT) AS sxx
+        FROM ranked GROUP BY 1)
+      SELECT lang, n,
+        floor(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS zipf_slope,
+        floor((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000 AS zipf_intercept
+      FROM sums"""))
+
+  /** Gini coefficient of document length per language — the inequality
+    * gauge a curation pass uses to spot length-skewed domains (a few huge
+    * docs dominating a source's token budget). The sorted-index form
+    * G = (2·Σ(i·x_i) − (n+1)·Σx_i) / (n·Σx_i) is EXACT integer arithmetic
+    * until one final division of identical longs — no rounding belt
+    * needed, but r6 keeps the emitted width tame. One window (sort by
+    * length, doc_id tiebreak) + one keyed aggregate. */
+  private val q139 = Q(
+    "q139_length_gini",
+    (s, d) => {
+      val idx = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("i", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars").asc, col("doc_id").asc)).cast("long"))
+      val sums = idx.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("i") * col("n_chars")).as("six"))
+      sums.select(
+        col("lang"), col("n"),
+        r((lit(2L) * col("six") - (col("n") + 1L) * col("sx")).cast("double") /
+          (col("n") * col("sx")).cast("double"), 6).as("gini"))
+    },
+    Some("""
+      WITH idx AS (
+        SELECT lang, n_chars,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS i
+        FROM documents),
+      sums AS (
+        SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sx,
+          CAST(sum(i * n_chars) AS BIGINT) AS six
+        FROM idx GROUP BY 1)
+      SELECT lang, n,
+        floor(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                / CAST(n * sx AS DOUBLE) * 1000000 + 0.5) / 1000000 AS gini
+      FROM sums"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -4812,7 +4933,7 @@ object QueryCatalog {
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136)
+    q131, q132, q133, q134, q135, q136, q137, q138, q139)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

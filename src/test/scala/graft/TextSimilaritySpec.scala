@@ -275,4 +275,44 @@ class TextSimilaritySpec extends SparkSpec {
     assert(e48 < 0.12, s"mean cosine error at 48 dims: $e48")
     assert(e48 < e16, s"error should shrink with dims: $e48 !< $e16")
   }
+
+  test("PQ: ADC score is exactly the dot against the reconstructed vector") {
+    // The defining identity of product quantization: the table-lookup sum
+    // (ADC) must equal the dot product against the decoded centroid
+    // concatenation — only float re-association separates them. A failure
+    // means the lut indexing / code assignment / subspace slicing drifted.
+    graft.plans.GraftExtensions.install(spark) // unitNorm's vec_norm below
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val books = Similarity.pqTrainCodebooks(emb, m = 8, kCent = 16, dim = 64)
+    val nv = emb.select($"vec_id", Similarity.unitNorm(Similarity.asDouble($"embedding")).as("nv"))
+    val recon = nv.select($"vec_id",
+      Similarity.pqReconstruct(Similarity.pqCodes($"nv", books), books).as("rv"))
+    val qn = nv.select($"vec_id".as("q_id"), $"nv".as("qv"))
+    val maxErr = Similarity.pqTopK(emb, emb.filter($"vec_id" < 3), 5)
+      .join(recon, "vec_id").join(qn, "q_id")
+      .select(abs($"sim" - Similarity.dot($"qv", $"rv")).as("err"))
+      .agg(max($"err")).head().getDouble(0)
+    assert(maxErr < 1e-9, s"ADC/reconstruction identity broken: max err $maxErr")
+  }
+
+  test("PQ: recall@10 floor vs brute force on real embeddings, and determinism") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val queries = emb.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(emb, queries, 10))
+    val pq = pairs(Similarity.pqTopK(emb, queries, 10))
+    val pq16 = pairs(Similarity.pqTopK(emb, queries, 10, m = 16))
+    val recall = (bf & pq).size.toDouble / bf.size
+    val recall16 = (bf & pq16).size.toDouble / bf.size
+    info(f"PQ recall@10: m=8 $recall%.3f, m=16 $recall16%.3f")
+    // the fixture is uniform-random — PQ's worst case (no cluster structure
+    // to exploit); floors are regression pins at these exact parameters,
+    // not quality claims. Finer subspaces must not hurt recall.
+    assert(recall >= 0.20, f"PQ m=8 recall@10 $recall%.3f under floor")
+    assert(recall16 >= recall, f"m=16 recall $recall16%.3f < m=8 $recall%.3f")
+    // fixed seeds end-to-end (sample, kmeans, code assignment): a second
+    // run must reproduce the exact result set
+    assert(pairs(Similarity.pqTopK(emb, queries, 10)) == pq, "PQ not deterministic")
+  }
 }
