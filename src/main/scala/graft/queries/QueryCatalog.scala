@@ -3672,7 +3672,7 @@ object QueryCatalog {
   private val q108 = Q(
     "q108_pmi_cooccur",
     (s, d) => {
-      val doctok = Tables.documents(s, d)
+      val doctok = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .distinct()
@@ -4267,7 +4267,7 @@ object QueryCatalog {
     (s, d) => {
       graft.plans.GraftExtensions.install(s)
       // leg A: BM25 for the top-3-df query (q117's scoring, unchanged)
-      val tc = Tables.documents(s, d)
+      val tc = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -4721,7 +4721,10 @@ object QueryCatalog {
       val txt = lower(col("text"))
       val tris = transform(sequence(lit(1), length(txt) - 2),
         i => txt.substr(i, lit(3)))
-      val counts = Tables.documents(s, d)
+      // ~2000 trigrams explode from every doc: on the one-row-group fixture
+      // the whole fan-out would run on a single core without the bench-gated
+      // spread (production parquet splits at row-group granularity)
+      val counts = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
         .filter(length(col("text")) >= 3)
         .select(col("lang"), explode(tris).as("tri"))
         .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
@@ -4917,6 +4920,212 @@ object QueryCatalog {
                 / CAST(n * sx AS DOUBLE) * 1000000 + 0.5) / 1000000 AS gini
       FROM sums"""))
 
+  /** Temperature-weighted training-mixture allocation (τ=0.7): per-source
+    * token counts → natural share, temperature-flattened target share
+    * p_s ∝ n_s^τ, and the per-doc upweight p_s/share_s a sampler applies
+    * to hit the target mixture — the standard multi-source LM data recipe.
+    * Determinism: pow() is rounded to integer micro-units PER SOURCE
+    * before the normalizing sum (float summation order never enters), and
+    * every emitted ratio is a single double division of identical BIGINT
+    * products on both engines. One tiny aggregate (|sources| rows) + a
+    * broadcast of the 1-row totals. */
+  private val q140 = Q(
+    "q140_mixture_weights",
+    (s, d) => {
+      val bySrc = Tables.documents(s, d)
+        .select(col("source"),
+          size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("ntok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+        .withColumn("pu",
+          floor(pow(col("n_tokens").cast("double"), 0.7) * 1000000 + 0.5).cast("long"))
+      val tot = bySrc.agg(
+        sum(col("n_tokens")).as("tot_tokens"), sum(col("pu")).as("zu"))
+      bySrc.crossJoin(broadcast(tot)).select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        r(col("n_tokens").cast("double") / col("tot_tokens").cast("double"), 6)
+          .as("share"),
+        r(col("pu").cast("double") / col("zu").cast("double"), 6).as("p_tau"),
+        r((col("pu") * col("tot_tokens")).cast("double") /
+          (col("zu") * col("n_tokens")).cast("double"), 6).as("upweight"))
+    },
+    Some("""
+      WITH by_src AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      pu AS (
+        SELECT *, CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.7) * 1000000 + 0.5)
+          AS BIGINT) AS pu
+        FROM by_src),
+      tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+          CAST(sum(pu) AS BIGINT) AS zu FROM pu)
+      SELECT source, n_docs, n_tokens,
+        floor(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS share,
+        floor(CAST(pu AS DOUBLE) / CAST(zu AS DOUBLE) * 1000000 + 0.5) / 1000000
+          AS p_tau,
+        floor(CAST(pu * tot_tokens AS DOUBLE) / CAST(zu * n_tokens AS DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS upweight
+      FROM pu, tot"""))
+
+  /** Intra-document repetition ratio over 5-gram shingles — the
+    * boilerplate/spam signal (Gopher-style repetition filters): share of
+    * 5-grams that are duplicates of an earlier one in the SAME doc. Pure
+    * map-side HOF algebra (no explode, no shuffle): the gram array and its
+    * distinct form are built per row; all emitted values are exact
+    * integers. Docs under 5 tokens emit zero grams and ratio 0. */
+  private val q141 = Q(
+    "q141_repetition_ratio",
+    (s, d) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      // let-bind the token array (ARCHITECTURE §8) so the 5 element_at's
+      // per gram and both size() calls share one split+filter evaluation
+      val stats = element_at(
+        transform(array(toks), t => {
+          val grams = transform(sequence(lit(1), size(t) - 4), i =>
+            concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+              element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4)))
+          struct(
+            when(size(t) >= 5, size(grams)).otherwise(lit(0)).cast("long").as("ng"),
+            when(size(t) >= 5, size(array_distinct(grams))).otherwise(lit(0))
+              .cast("long").as("nd"))
+        }),
+        1)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        stats.getField("ng").as("n_grams"),
+        stats.getField("nd").as("n_distinct"),
+        when(stats.getField("ng") > 0,
+          floor((stats.getField("ng") - stats.getField("nd")).cast("double") /
+            stats.getField("ng").cast("double") * 1000000 + 0.5).cast("long"))
+          .otherwise(lit(0L)).as("rep_micro"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) >= 5 THEN
+            list_transform(range(1, len(toks) - 3), i ->
+              concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))
+          ELSE [] END AS grams
+        FROM t)
+      SELECT doc_id,
+        CAST(len(grams) AS BIGINT) AS n_grams,
+        CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        CASE WHEN len(grams) > 0 THEN
+          CAST(floor(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+            / CAST(len(grams) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+        ELSE 0 END AS rep_micro
+      FROM g"""))
+
+  /** SQL front door, UNPIVOT: the wide-to-long rotation as the declared
+    * SQL surface (the DataFrame twin is q05's pivot family). The twin
+    * derives the same rows with UNION ALL — proving the rotation against
+    * an implementation that never unpivots. Status counts are exact; the
+    * UNPIVOT default drops NULL cells, which cannot occur here (sums over
+    * CASE are never NULL on non-empty groups). */
+  private val q142 = Q(
+    "q142_sql_unpivot",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderpriority, status, cnt FROM (
+          SELECT o_orderpriority,
+            sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_cnt,
+            sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS full_cnt,
+            sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_cnt
+          FROM orders_v GROUP BY o_orderpriority)
+        UNPIVOT (cnt FOR status IN (open_cnt, full_cnt, pending_cnt))""")
+    },
+    Some("""
+      WITH w AS (
+        SELECT o_orderpriority,
+          CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_cnt,
+          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS full_cnt,
+          CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_cnt
+        FROM orders GROUP BY 1)
+      SELECT o_orderpriority, 'open_cnt' AS status, open_cnt AS cnt FROM w
+      UNION ALL
+      SELECT o_orderpriority, 'full_cnt', full_cnt FROM w
+      UNION ALL
+      SELECT o_orderpriority, 'pending_cnt', pending_cnt FROM w"""))
+
+  /** SQL front door, correlated LATERAL subquery with ORDER BY + LIMIT:
+    * top-2 nations by customer count per region — the "top-k per group as
+    * a join" phrasing users port from warehouse SQL. Spark decorrelates
+    * the lateral into a ranked join (DecorrelateInnerQuery handles the
+    * correlated LIMIT); the twin is the equivalent row_number form, so
+    * the rewrite is proven against an engine that never decorrelates.
+    * Count ties break on n_name ASC inside the subquery's ORDER BY. */
+  private val q143 = Q(
+    "q143_sql_lateral",
+    (s, d) => {
+      Tables.region(s, d).createOrReplaceTempView("region_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT r.r_name, t.n_name, t.n_cust
+        FROM region_v r,
+        LATERAL (
+          SELECT n.n_name, count(*) AS n_cust
+          FROM nation_v n JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_cust DESC, n.n_name ASC
+          LIMIT 2) t""")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT r.r_name, n.n_name, count(*) AS n_cust
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY r_name
+          ORDER BY n_cust DESC, n_name ASC) AS rn
+        FROM counts)
+      SELECT r_name, n_name, CAST(n_cust AS BIGINT) AS n_cust
+      FROM ranked WHERE rn <= 2"""))
+
+  /** SQL front door, PIVOT: customers per (segment × region) as the
+    * declared SQL rotation, aliased cell columns so both engines emit the
+    * same names. Spark PIVOT yields NULL for absent combinations where a
+    * conditional count yields 0 — the twin nullif's to match (the
+    * long-standing pivot null contract, q05's map canonicalization cousin). */
+  private val q144 = Q(
+    "q144_sql_pivot",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.region(s, d).createOrReplaceTempView("region_v")
+      s.sql("""
+        SELECT * FROM (
+          SELECT c.c_mktsegment AS seg, r.r_name
+          FROM customer_v c
+          JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+          JOIN region_v r ON n.n_regionkey = r.r_regionkey)
+        PIVOT (count(1) FOR r_name IN
+          ('AFRICA' AS africa, 'AMERICA' AS america, 'ASIA' AS asia,
+           'EUROPE' AS europe, 'MIDDLE EAST' AS middle_east))""")
+    },
+    Some("""
+      SELECT c.c_mktsegment AS seg,
+        nullif(count(*) FILTER (WHERE r.r_name = 'AFRICA'), 0) AS africa,
+        nullif(count(*) FILTER (WHERE r.r_name = 'AMERICA'), 0) AS america,
+        nullif(count(*) FILTER (WHERE r.r_name = 'ASIA'), 0) AS asia,
+        nullif(count(*) FILTER (WHERE r.r_name = 'EUROPE'), 0) AS europe,
+        nullif(count(*) FILTER (WHERE r.r_name = 'MIDDLE EAST'), 0) AS middle_east
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -4933,7 +5142,8 @@ object QueryCatalog {
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137, q138, q139)
+    q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
+    q141, q142, q143, q144)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
