@@ -5126,6 +5126,167 @@ object QueryCatalog {
       JOIN region r ON n.n_regionkey = r.r_regionkey
       GROUP BY 1"""))
 
+  /** Z-order vs linear layout, data-skipping efficacy measured: both
+    * layouts bucket lineitem 64 ways (Morton `z_value` top bits vs the
+    * leading column's top bits), build per-bucket min/max zone maps, and
+    * count buckets/rows a 2-D box predicate can prune. The interleaved
+    * layout prunes on BOTH dimensions where the linear sort serves only
+    * its leading column — the measurable reason to z-order a 100 TB table
+    * queried on two keys. All stats are exact integers; the DuckDB twin
+    * reproduces the 10-bit interleave arithmetically (bit-identical to
+    * `ZOrder.interleave` on sub-2^10 inputs). */
+  private val q145 = Q(
+    "q145_zorder_pruning",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      val m = Tables.lineitem(s, d).select(
+        (col("l_orderkey") % 1024).cast("long").as("xm"),
+        (col("l_partkey") % 1024).cast("long").as("ym"))
+      val pruned = col("min_x") > 511 || col("max_y") < 300 || col("min_y") > 399
+      def profile(df: DataFrame, tag: String): DataFrame = df
+        .groupBy(col("bucket"))
+        .agg(min(col("xm")).as("min_x"), max(col("xm")).as("max_x"),
+          min(col("ym")).as("min_y"), max(col("ym")).as("max_y"),
+          count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(when(pruned, 1L).otherwise(0L)).as("n_pruned"),
+          sum(when(pruned, col("c")).otherwise(0L)).as("rows_skipped"),
+          sum(col("c")).as("rows_total"))
+        .select(lit(tag).as("layout"), col("n_buckets"), col("n_pruned"),
+          col("rows_skipped"), col("rows_total"))
+      val zorder = profile(
+        m.withColumn("bucket",
+          shiftright(graft.functions.ZOrder.z_value(col("xm"), col("ym")), 14)),
+        "zorder")
+      val linear = profile(m.withColumn("bucket", shiftright(col("xm"), 4)), "linear")
+      zorder.unionByName(linear)
+    },
+    Some("""
+      WITH m AS (
+        SELECT CAST(l_orderkey % 1024 AS BIGINT) AS xm,
+               CAST(l_partkey % 1024 AS BIGINT) AS ym
+        FROM lineitem),
+      bz AS (
+        SELECT xm, ym,
+          CAST(list_sum(list_transform(range(0, 10), i ->
+            (((xm >> i) & 1) << (2*i)) + (((ym >> i) & 1) << (2*i+1))))
+            AS BIGINT) >> 14 AS bucket
+        FROM m),
+      bl AS (SELECT xm, ym, xm >> 4 AS bucket FROM m),
+      pz AS (
+        SELECT bucket, min(xm) AS min_x, max(xm) AS max_x,
+          min(ym) AS min_y, max(ym) AS max_y, count(*) AS c
+        FROM bz GROUP BY 1),
+      pl AS (
+        SELECT bucket, min(xm) AS min_x, max(xm) AS max_x,
+          min(ym) AS min_y, max(ym) AS max_y, count(*) AS c
+        FROM bl GROUP BY 1)
+      SELECT 'zorder' AS layout, count(*) AS n_buckets,
+        CAST(sum(CASE WHEN min_x > 511 OR max_y < 300 OR min_y > 399
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+        CAST(sum(CASE WHEN min_x > 511 OR max_y < 300 OR min_y > 399
+          THEN c ELSE 0 END) AS BIGINT) AS rows_skipped,
+        CAST(sum(c) AS BIGINT) AS rows_total
+      FROM pz
+      UNION ALL
+      SELECT 'linear', count(*),
+        CAST(sum(CASE WHEN min_x > 511 OR max_y < 300 OR min_y > 399
+          THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(sum(CASE WHEN min_x > 511 OR max_y < 300 OR min_y > 399
+          THEN c ELSE 0 END) AS BIGINT),
+        CAST(sum(c) AS BIGINT)
+      FROM pl"""))
+
+  /** Triangle count + global clustering coefficient over the near-dup
+    * graph (q20's prefix-blocked Jaccard pairs as edges): transitivity is
+    * the health check on a dedup pair set — triangles mean clusters, open
+    * wedges mean chains that connected-components (q46) will merge. The
+    * edge set is persisted so the three join branches share ONE evaluation
+    * of the expensive Jaccard subtree (the q21 re-evaluation lesson, at
+    * the DataFrame level). Edges stay oriented (doc_a < doc_b), so each
+    * triangle is counted exactly once; wedges come from undirected degrees.
+    * At 100 TB: materialize edges to storage first, order the triangle
+    * join by degree (node-iterator) so hub nodes don't explode a single
+    * join key. */
+  private val q146 = Q(
+    "q146_triangle_count",
+    (s, d) => {
+      val edges = prefixJaccardPairs(s, d).select(col("doc_a"), col("doc_b")).persist()
+      val e1 = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val e2 = edges.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+      val e3 = edges.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = edges.select(col("doc_a").as("node"))
+        .unionAll(edges.select(col("doc_b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val wedges = deg.agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+      nEdges.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          when(col("n_wedges") > 0,
+            floor(col("n_triangles").cast("double") * 3 /
+              col("n_wedges").cast("double") * 1000000 + 0.5).cast("long"))
+            .otherwise(lit(0L)).as("clustering_micro"))
+    },
+    Some("""
+      WITH dset AS (
+        SELECT doc_id, substr(text, 1, 30) AS pfx,
+          list_distinct(string_split(text, ' ')) AS toks
+        FROM documents),
+      e AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM dset a JOIN dset b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+      tri AS (
+        SELECT count(*) AS n_triangles FROM e e1
+        JOIN e e2 ON e2.doc_a = e1.doc_b
+        JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT doc_a AS node FROM e UNION ALL SELECT doc_b FROM e)
+        GROUP BY 1),
+      w AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+      ne AS (SELECT count(*) AS n_edges FROM e)
+      SELECT n_edges, n_wedges, n_triangles,
+        CASE WHEN n_wedges > 0 THEN
+          CAST(floor(CAST(n_triangles AS DOUBLE) * 3 / CAST(n_wedges AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT)
+        ELSE 0 END AS clustering_micro
+      FROM ne, w, tri"""))
+
+  /** Schema-evolution read (mergeSchema): two parquet generations — v1
+    * without a column, v2 with it — union under one evolved schema with
+    * NULL back-fill, the day-one reality of any long-lived 100 TB table.
+    * The query WRITES both generations (K2 sink) then reads them through
+    * the evolved scan; the oracle derives the identical frame from the
+    * original table, so the union + back-fill must be value-exact.
+    * mergeSchema is a footer-level merge (no data rewrite) — the
+    * production note is to keep it OFF for steady-state reads (footer
+    * sampling costs at 100 TB) and evolve the catalog schema instead. */
+  private val q147 = Q(
+    "q147_schema_evolution",
+    (s, d) => {
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q147_evo").getAbsolutePath
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice,
+        CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+      FROM orders"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -5143,7 +5304,7 @@ object QueryCatalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
-    q141, q142, q143, q144)
+    q141, q142, q143, q144, q145, q146, q147)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
