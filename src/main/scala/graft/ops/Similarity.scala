@@ -334,6 +334,7 @@ object Similarity {
       dim: Int = 64, trainFraction: Double = 0.25): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    graft.plans.GraftExtensions.install(corpus.sparkSession) // unitNorm's vec_norm
     require(dim % m == 0, s"dim $dim does not split into $m equal subspaces")
     val subLen = dim / m
     val unit = corpus.select(unitNorm(asDouble(col("embedding"))).as("nv"))
@@ -401,10 +402,19 @@ object Similarity {
     * floats. Recall floor and the ADC/reconstruction identity are pinned
     * in VectorAggSpec. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
-      kCent: Int = 16, dim: Int = 64, trainFraction: Double = 0.25): DataFrame = {
+      kCent: Int = 16, dim: Int = 64, trainFraction: Double = 0.25): DataFrame =
+    pqTopKWithBooks(corpus, queries, k,
+      pqTrainCodebooks(corpus, m, kCent, dim, trainFraction))
+
+  /** [[pqTopK]] against ALREADY-TRAINED codebooks — the production call
+    * shape: codebooks are a build-once artifact (train at index time,
+    * persist, reuse for every query batch); re-fitting per query would be
+    * like rebuilding an index per lookup. */
+  def pqTopKWithBooks(corpus: DataFrame, queries: DataFrame, k: Int,
+      books: Array[Array[Array[Double]]]): DataFrame = {
     graft.plans.GraftExtensions.install(corpus.sparkSession)
-    val books = pqTrainCodebooks(corpus, m, kCent, dim, trainFraction)
-    val subLen = dim / m
+    val m = books.length
+    val subLen = books(0)(0).length
     val c = corpus.select(col("vec_id"), unitNorm(asDouble(col("embedding"))).as("nv"))
       .select(col("vec_id"), pqCodes(col("nv"), books).as("codes"))
     val q = queries
