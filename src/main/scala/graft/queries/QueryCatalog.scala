@@ -5342,6 +5342,129 @@ object QueryCatalog {
           AS winsorized_mean
       FROM clipped GROUP BY 1"""))
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between sources over
+    * the doc-length distribution — the distribution-shift monitor a corpus
+    * pipeline runs between snapshots/sources. ENTIRELY exact integer
+    * arithmetic: D = max |CA·n_b − CB·n_a| over the merged support
+    * (cumulative counts cross-multiplied instead of divided), one final
+    * division micro-rounded. Pairwise over 5 pinned sources (10 pairs);
+    * at 100 TB the support is per-pair value-bucketed and the cumsum
+    * window stays per-pair (never global). */
+  private val q149 = Q(
+    "q149_ks_drift",
+    (s, d) => {
+      val srcs = Seq("src0", "src1", "src2", "src3", "src4")
+      val docs = Tables.documents(s, d).filter(col("source").isin(srcs: _*))
+      val cnt = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+      val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
+        .crossJoin(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))))
+        .filter(col("sa") < col("sb"))
+      val support = pairs
+        .join(cnt.select(col("source").as("sa"), col("n_chars").as("v")), Seq("sa"))
+        .select(col("sa"), col("sb"), col("v"))
+        .unionByName(pairs
+          .join(cnt.select(col("source").as("sb"), col("n_chars").as("v")), Seq("sb"))
+          .select(col("sa"), col("sb"), col("v")))
+        .distinct()
+      val w = Window.partitionBy(col("sa"), col("sb")).orderBy(col("v"))
+      val cum = support
+        .join(cnt.select(col("source").as("sa"), col("n_chars").as("v"),
+          col("c").as("ca_c")), Seq("sa", "v"), "left")
+        .join(cnt.select(col("source").as("sb"), col("n_chars").as("v"),
+          col("c").as("cb_c")), Seq("sb", "v"), "left")
+        .na.fill(0L, Seq("ca_c", "cb_c"))
+        .select(col("sa"), col("sb"),
+          sum(col("ca_c")).over(w).as("cca"), sum(col("cb_c")).over(w).as("ccb"))
+      cum.join(broadcast(pairs), Seq("sa", "sb"))
+        .groupBy(col("sa"), col("sb"), col("na"), col("nb"))
+        .agg(max(abs(col("cca") * col("nb") - col("ccb") * col("na"))).as("dint"))
+        .select(col("sa"), col("sb"),
+          floor(col("dint").cast("double") /
+            (col("na") * col("nb")).cast("double") * 1000000 + 0.5)
+            .cast("long").as("ks_micro"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT source, n_chars FROM documents
+        WHERE source IN ('src0','src1','src2','src3','src4')),
+      cnt AS (SELECT source, n_chars AS v, count(*) AS c FROM docs GROUP BY 1, 2),
+      tot AS (SELECT source, count(*) AS n FROM docs GROUP BY 1),
+      pairs AS (
+        SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+        FROM tot a, tot b WHERE a.source < b.source),
+      support AS (
+        SELECT DISTINCT sa, sb, v FROM (
+          SELECT p.sa, p.sb, c.v FROM pairs p JOIN cnt c ON c.source = p.sa
+          UNION ALL
+          SELECT p.sa, p.sb, c.v FROM pairs p JOIN cnt c ON c.source = p.sb)),
+      cum AS (
+        SELECT s.sa, s.sb,
+          sum(coalesce(ca.c, 0)) OVER (PARTITION BY s.sa, s.sb ORDER BY s.v) AS cca,
+          sum(coalesce(cb.c, 0)) OVER (PARTITION BY s.sa, s.sb ORDER BY s.v) AS ccb
+        FROM support s
+        LEFT JOIN cnt ca ON ca.source = s.sa AND ca.v = s.v
+        LEFT JOIN cnt cb ON cb.source = s.sb AND cb.v = s.v)
+      SELECT c.sa, c.sb,
+        CAST(floor(CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE)
+          / CAST(na * nb AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS ks_micro
+      FROM cum c JOIN pairs p ON p.sa = c.sa AND p.sb = c.sb
+      GROUP BY c.sa, c.sb, na, nb"""))
+
+  /** Population Stability Index per source vs the rest of the corpus over
+    * fixed-width length buckets — the binned drift score model-monitoring
+    * stacks report next to KS. Each bucket term (p−q)·ln(p/q) is computed
+    * from EXACT integer counts (cross-multiplied ratios of longs), rounded
+    * to NANO-units per bucket, then summed as BIGINTs — float summation
+    * order never enters (q140's pow rule, applied to ln). Zero-count
+    * buckets on either side are excluded (the unsmoothed-PSI convention);
+    * emitted as psi_nano BIGINT. */
+  private val q150 = Q(
+    "q150_psi_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), (col("n_chars") / 100).cast("long").as("bucket"))
+      val bySrc = docs.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c_sb"))
+      val byBucket = docs.groupBy(col("bucket")).agg(count(lit(1)).as("c_b"))
+      val nS = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val nAll = docs.agg(count(lit(1)).as("n_all"))
+      val j = bySrc.join(byBucket, "bucket").join(nS, "source")
+        .crossJoin(broadcast(nAll))
+        .withColumn("c_rest", col("c_b") - col("c_sb"))
+        .withColumn("n_rest", col("n_all") - col("n_s"))
+        .filter(col("c_sb") > 0 && col("c_rest") > 0)
+      val p = col("c_sb").cast("double") / col("n_s").cast("double")
+      val q = col("c_rest").cast("double") / col("n_rest").cast("double")
+      val lnRatio = log((col("c_sb") * col("n_rest")).cast("double") /
+        (col("c_rest") * col("n_s")).cast("double"))
+      j.withColumn("term_nano",
+          floor((p - q) * lnRatio * 1000000000L + 0.5).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("term_nano")).as("psi_nano"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT source, CAST(n_chars // 100 AS BIGINT) AS bucket FROM documents),
+      by_src AS (SELECT source, bucket, count(*) AS c_sb FROM docs GROUP BY 1, 2),
+      by_bucket AS (SELECT bucket, count(*) AS c_b FROM docs GROUP BY 1),
+      n_s AS (SELECT source, count(*) AS n_s FROM docs GROUP BY 1),
+      n_all AS (SELECT count(*) AS n_all FROM docs),
+      j AS (
+        SELECT s.source, s.c_sb, b.c_b - s.c_sb AS c_rest, ns.n_s,
+          a.n_all - ns.n_s AS n_rest
+        FROM by_src s
+        JOIN by_bucket b USING (bucket)
+        JOIN n_s ns ON ns.source = s.source
+        CROSS JOIN n_all a
+        WHERE s.c_sb > 0 AND b.c_b - s.c_sb > 0)
+      SELECT source, count(*) AS n_buckets,
+        CAST(sum(CAST(floor(
+          (CAST(c_sb AS DOUBLE) / CAST(n_s AS DOUBLE)
+            - CAST(c_rest AS DOUBLE) / CAST(n_rest AS DOUBLE))
+          * ln(CAST(c_sb * n_rest AS DOUBLE) / CAST(c_rest * n_s AS DOUBLE))
+          * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS psi_nano
+      FROM j GROUP BY 1"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -5359,7 +5482,7 @@ object QueryCatalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
-    q141, q142, q143, q144, q145, q146, q147, q148)
+    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
