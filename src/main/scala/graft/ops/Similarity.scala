@@ -72,7 +72,7 @@ object Similarity {
   def lshBucket(v: Column, numPlanes: Int, dim: Int): Column = {
     val ps = planes(numPlanes, dim)
     val bits = ps.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.map(lit).toIndexedSeq: _*)
       when(fastDot(v, planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -140,7 +140,7 @@ object Similarity {
     }
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
     val centers = model.clusterCenters.map(_.toArray)
-    def centerCol(c: Array[Double]) = array(c.map(lit): _*)
+    def centerCol(c: Array[Double]) = array(c.map(lit).toIndexedSeq: _*)
     // centroid ranks as a sorted struct array, computed per row from
     // broadcast literals via the codegen'd vec_dot (no UDF). The ranking
     // key is ||c||^2 - 2 v.c — the ||v||^2 term of the true squared
@@ -151,7 +151,7 @@ object Similarity {
         val d = c.map(x => lit(x * x)).reduce[Column](_ + _) -
           lit(2.0) * fastDot(v, centerCol(c))
         struct(d.as("dist"), lit(i).as("cell"))
-      }: _*))
+      }.toIndexedSeq: _*))
     val c0 = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", fastNorm(col("v")))
       .withColumn("cell", element_at(cellRanks(col("v")), 1).getField("cell"))
@@ -192,8 +192,8 @@ object Similarity {
     else {
       val ps = planes(numPlanes, dim)
       val margins = array_sort(array(ps.zipWithIndex.map { case (plane, p) =>
-        struct(abs(fastDot(v, array(plane.map(lit): _*))).as("m"), lit(p).as("p"))
-      }: _*))
+        struct(abs(fastDot(v, array(plane.map(lit).toIndexedSeq: _*))).as("m"), lit(p).as("p"))
+      }.toIndexedSeq: _*))
       // shiftleft, not pow(2,p).cast(long): pow is double math, inexact
       // for p > 52 and wrong at p >= 63, which would silently corrupt
       // probe buckets if numPlanes is raised toward 64

@@ -52,7 +52,7 @@ object Bronze {
   /** K1 — event-JSON serialization: one JSON string per record
     * (json.dumps at functions/exchange_rate_trigger.py:48). */
   def toEventJson(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
 
   /** K1/K2 — sinks. The reference's Event-Hub batch send and blob/file
     * dumps become ordinary DataFrame writes (streaming callers use
