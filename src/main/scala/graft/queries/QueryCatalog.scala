@@ -5465,6 +5465,60 @@ object QueryCatalog {
           * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS psi_nano
       FROM j GROUP BY 1"""))
 
+  /** Multimodal decode path, driver-checked end to end: payload attach →
+    * `mapPartitions` stub decode (16-bin byte histogram + derived
+    * dims/frames) → integer-exact aHash. The oracle RECOMPUTES the decode
+    * from raw characters (the corpus is ASCII, so byte values = code
+    * points), which pins the whole typed-Dataset pipeline — encode,
+    * per-partition decode, histogram, dimension arithmetic — against an
+    * engine with none of that machinery. The hash uses the exact integer
+    * rule 16·hist[i] > total (the boundary-safe twin of
+    * `Multimodal.perceptualHash`'s float-mean form, which the spec covers);
+    * the histogram emits as a '|'-joined string (the q107 array rule). */
+  private val q151 = Q(
+    "q151_media_decode",
+    (s, d) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal.attachPayload(Tables.documents(s, d))
+        .as[graft.ops.Multimodal.MediaRecord]
+      val dec = graft.ops.Multimodal.decode(media).toDF()
+      val total = aggregate(col("pixels"), lit(0), (a, x) => a + x)
+      dec
+        .withColumn("total", total)
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          aggregate(
+            transform(sequence(lit(0), lit(15)), i =>
+              when(element_at(col("pixels"), i + 1) * 16 > col("total"),
+                call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+            lit(0L), (a, x) => a + x).as("phash"),
+          array_join(transform(col("pixels"), x => x.cast("string")), "|")
+            .as("hist"))
+    },
+    Some("""
+      WITH ch AS (
+        SELECT doc_id, unicode(c) // 16 AS bin FROM (
+          SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),
+      counts AS (
+        SELECT doc_id, bin, count(*) AS c FROM ch GROUP BY 1, 2),
+      tot AS (SELECT doc_id, strlen(text) AS total FROM documents),
+      grid AS (
+        SELECT t.doc_id, r.range AS bin, coalesce(c.c, 0) AS c, t.total
+        FROM tot t
+        CROSS JOIN range(0, 16) r
+        LEFT JOIN counts c ON c.doc_id = t.doc_id AND c.bin = r.range),
+      agg AS (
+        SELECT doc_id,
+          array_to_string(array_agg(CAST(c AS VARCHAR) ORDER BY bin), '|') AS hist,
+          CAST(sum(CASE WHEN c * 16 > total THEN 1 << bin ELSE 0 END) AS BIGINT)
+            AS phash
+        FROM grid GROUP BY doc_id)
+      SELECT a.doc_id,
+        16 AS width,
+        CAST((strlen(text) + 15) // 16 AS INTEGER) AS height,
+        CAST(((strlen(text) + 15) // 16) // 16 + 1 AS INTEGER) AS n_frames,
+        a.phash, a.hist
+      FROM agg a JOIN documents USING (doc_id)"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -5482,7 +5536,8 @@ object QueryCatalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
-    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
+    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
+    q151)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
