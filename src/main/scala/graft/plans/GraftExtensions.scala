@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.kllDescriptors.foreach(e.injectFunction)
     GraftExtensions.sketchMergeDescriptors.foreach(e.injectFunction)
     e.injectFunction(GraftExtensions.zValueDescriptor)
+    e.injectFunction(GraftExtensions.topkDescriptor)
   }
 }
 
@@ -152,6 +153,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[graft.functions.ZValue].getName, "z_value"),
     (exprs: Seq[Expression]) => graft.functions.ZOrder.build(exprs))
 
+  private[plans] val topkDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_by"),
+    new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "topk_by"),
+    (exprs: Seq[Expression]) => graft.functions.TopK.build(exprs))
+
   /** Register everything on a live session (idempotent). */
   def install(spark: SparkSession): Unit = {
     RollingHash.register(spark)
@@ -165,5 +172,6 @@ object GraftExtensions {
     graft.functions.QuantileSketch.register(spark)
     graft.functions.SketchMerge.register(spark)
     graft.functions.ZOrder.register(spark)
+    graft.functions.TopK.register(spark)
   }
 }

@@ -5519,6 +5519,37 @@ object QueryCatalog {
         a.phash, a.hist
       FROM agg a JOIN documents USING (doc_id)"""))
 
+  /** Top-3 per group through the BOUNDED-HEAP aggregate (`topk_by`, a
+    * custom `TypedImperativeAggregate`) instead of the window form — the
+    * W3/O2 semantics with a hash-aggregate plan: no per-group sort, and
+    * partial heaps combine MAP-SIDE so the shuffle carries ≤ k entries per
+    * (partition, group) instead of every row — the 100 TB shape for heavy
+    * groups. The twin is the row_number window form, proving the heap
+    * path row-identical (ties on price break on orderkey ASC both sides);
+    * the merge invariant itself (any partitioning == single pass) is
+    * PropertySpec-pinned. */
+  private val q152 = Q(
+    "q152_topk_aggregate",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopK.topk_by(
+          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"), explode(col("top")).as("t"))
+        .select(col("o_orderpriority"),
+          col("t.id").as("o_orderkey"),
+          col("t.score").as("o_totalprice"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders)
+      SELECT o_orderpriority, o_orderkey, o_totalprice
+      FROM ranked WHERE rn <= 3"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -5537,7 +5568,7 @@ object QueryCatalog {
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151)
+    q151, q152)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

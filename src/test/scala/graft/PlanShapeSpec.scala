@@ -212,6 +212,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(row.getAs[Double]("dot") == 11.0 && row.getAs[Double]("nrm") == 5.0)
   }
 
+  test("q152: bounded-heap topk runs partial+final with NO sort node") {
+    // the whole point of the heap aggregate vs the window form: a hash
+    // aggregate (partial map-side, final after a k-bounded shuffle) and
+    // zero Sort operators in the plan — the window form would sort every
+    // group. explode() sits above the aggregate, not in it.
+    val p = plan("q152_topk_aggregate")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial_topk_by") || p.contains("topk_by"), p)
+    assert(!p.contains("Window"), s"heap topk fell back to a window:\n$p")
+    if (p.contains("ObjectHashAggregate"))
+      assert(!p.contains("Sort "), s"unexpected sort in heap-topk plan:\n$p")
+  }
+
   test("q21: fixture-spread repartition is conf-gated, default-off") {
     // Production plan (default conf): the scan parallelizes on splittable
     // input, so the catalog must NOT inject its single-file-fixture
@@ -233,6 +246,6 @@ class PlanShapeSpec extends SparkSpec {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
     assert(os.subsetOf(qs))
-    assert(qs.size == 151)
+    assert(qs.size == 152)
   }
 }

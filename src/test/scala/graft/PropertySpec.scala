@@ -132,6 +132,27 @@ class PropertySpec extends SparkSpec {
     assert(row.getSeq[Double](1) == expS.map(_ / vecs.size))
   }
 
+  test("topk_by: every partitioning equals the single-pass result, ties break on id") {
+    graft.plans.GraftExtensions.install(spark)
+    // scores collide heavily (mod 37) so the id tiebreak is exercised on
+    // every boundary; the bounded-heap merge must be partitioning-invariant
+    val data = (1L to 500L).map(i => (i, (i % 37).toDouble))
+    val expected = data.sortBy { case (i, s) => (-s, i) }.take(10).toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val df = data.toDF("id", "score").repartition(parts)
+      val got = df.agg(graft.functions.TopK.topk_by(col("score"), col("id"), 10))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(1), r.getDouble(0)))
+      assert(got == expected, s"$parts partitions diverged from single-pass order")
+    }
+    // NaN poisoning is rejected, not silently mis-ranked
+    val ex = intercept[Exception] {
+      Seq((1L, Double.NaN)).toDF("id", "score")
+        .agg(graft.functions.TopK.topk_by(col("score"), col("id"), 3)).collect()
+    }
+    assert(msgs(ex).exists(_.contains("NaN")), msgs(ex).mkString("; "))
+  }
+
   test("Misra-Gries guarantee: items over N/capacity survive distributed merges") {
     graft.plans.GraftExtensions.install(spark)
     // noise tail + one genuinely heavy item: N = 4500, capacity 64 ⇒
