@@ -5550,6 +5550,73 @@ object QueryCatalog {
       SELECT o_orderpriority, o_orderkey, o_totalprice
       FROM ranked WHERE rn <= 3"""))
 
+  /** PPJoin-style set-similarity join with EXACT recall: tokens are
+    * globally ordered by (df ASC, tok ASC) — rarest first — and each doc
+    * blocks only on its PREFIX of length |x| − ⌈t·|x|⌉ + 1. The prefix-
+    * filtering theorem guarantees every pair with Jaccard ≥ t shares a
+    * prefix token, so unlike q20's char-prefix blocking (a heuristic) or
+    * q21's MinHash (probabilistic), the candidate set provably contains
+    * ALL qualifying pairs — the oracle is therefore the NAIVE QUADRATIC
+    * all-pairs join, and row equality proves both the theorem's
+    * application and the verify step. Rare-token blocking keys are also
+    * the least skewed (df-ordered prefixes put docs in small buckets) —
+    * the scale property that makes PPJoin the textbook exact set-join at
+    * 100 TB. Shuffles: df count, per-doc rank window, candidate groupBy.
+    *
+    * FIXTURE CAVEAT: prefix filtering's win assumes a Zipfian vocabulary
+    * (rare tokens exist). The synthetic corpus has ~31 tokens per
+    * language, so EVERY token is common, candidate pruning is degenerate,
+    * and the full corpus is near-all-pairs-similar at t=0.5 (even the
+    * oracle's quadratic check is minutes at sf0.1). The query therefore
+    * runs on a deterministic 1-in-10 doc sample — enough to prove the
+    * plan row-identical to the naive quadratic — while the operator
+    * itself is written for the real-corpus regime. */
+  private val q153 = Q(
+    "q153_ppjoin",
+    (s, d) => {
+      val t = 0.5
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          array_distinct(filter(split(col("text"), " "), x => x =!= "")).as("toks"))
+        .filter(size(col("toks")) > 0)
+      val tokRows = docs.select(col("doc_id"), size(col("toks")).as("n"),
+        explode(col("toks")).as("tok"))
+      val dfTok = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val prefixLen = (col("n") - ceil(col("n") * t) + 1).cast("int")
+      val prefix = tokRows.join(dfTok, "tok")
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("tok").asc)))
+        .filter(col("rn") <= prefixLen)
+        .select(col("doc_id"), col("tok"))
+      val cand = prefix.select(col("doc_id").as("doc_a"), col("tok"))
+        .join(prefix.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      val jac = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+        size(array_union(col("toks_a"), col("toks_b")))
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("jac", jac)
+        .filter(col("jac") >= t)
+        .select(col("doc_a"), col("doc_b"), r(col("jac"), 3).as("jaccard"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        FROM documents
+        WHERE doc_id % 10 = 0
+          AND len(list_filter(string_split(text, ' '), x -> x <> '')) > 0)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        floor((len(list_intersect(a.toks, b.toks))::DOUBLE
+               / len(list_distinct(list_concat(a.toks, b.toks)))) * 1000 + 0.5)/1000
+          AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -5568,7 +5635,7 @@ object QueryCatalog {
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152)
+    q151, q152, q153)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
