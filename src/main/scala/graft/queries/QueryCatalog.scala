@@ -5617,6 +5617,47 @@ object QueryCatalog {
       WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
             / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5"""))
 
+  /** Rolling 7-day distinct users via SKETCH-MERGE OVER A WINDOW — the
+    * scale path q82's exact interval-join form cannot take: one HLL
+    * sketch per day (a keyed aggregate), then `hll_merge` over a trailing
+    * 7-row frame and an estimate on top. At 100 TB the per-day sketches
+    * are tiny mergeable binaries, so the trailing-window pass touches 30
+    * rows of sketches instead of re-scanning a week of raw events per
+    * day — the whole point of mergeable sketch state. The global window
+    * runs over ≤ days rows (pre-aggregated — the q74 rule). The oracle is
+    * EXACT count-distinct: both fixture scales stay inside the HLL sparse
+    * phase (150 / 1,500 users < 4,096), where the estimate is exact by
+    * construction (pinned in DistinctSketchSpec). */
+  private val q154 = Q(
+    "q154_sketch_wau",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      val daySketch = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(
+          call_function("hll_sketch", col("user_id")).as("sk"),
+          count_distinct(col("user_id")).as("dau"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daySketch.select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"),
+        call_function("hll_estimate",
+          call_function("hll_merge", col("sk")).over(w))
+          .cast("long").as("wau"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY 1),
+      wau AS (
+        SELECT sp.day, count(DISTINCT u.user_id) AS wau
+        FROM dau sp JOIN daily u
+          ON u.day BETWEEN sp.day - INTERVAL 6 DAY AND sp.day
+        GROUP BY 1)
+      SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
+      FROM dau JOIN wau USING (day)"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -5635,7 +5676,7 @@ object QueryCatalog {
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153)
+    q151, q152, q153, q154)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
