@@ -5658,6 +5658,187 @@ object QueryCatalog {
       SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
       FROM dau JOIN wau USING (day)"""))
 
+  /** Exact ROC-AUC per source via the Mann-Whitney rank-sum identity —
+    * the eval metric a data-quality classifier reports, computed at scale
+    * without a single per-row window: scores are pre-grouped to
+    * (source, score, count, positives), tie-averaged ranks come from a
+    * cumulative window over the GROUPED rows (≤ distinct scores per
+    * source), and doubling the rank sum keeps every intermediate an exact
+    * integer — 2·avgrank = 2·minrank + cnt − 1, so
+    * AUC = (S2 − n_pos(n_pos+1)) / (2·n_pos·n_neg) is one division of
+    * exact longs, micro-rounded. Degenerate sources (no positives or no
+    * negatives) are excluded rather than emitting a 0/0. Label: lang='en';
+    * score: n_chars. */
+  private val q155 = Q(
+    "q155_group_auc",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(
+        col("source"), col("n_chars").as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+      val grouped = base.groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+      val w = Window.partitionBy(col("source")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = grouped.withColumn("minrank",
+        coalesce(sum(col("c")).over(w), lit(0L)) + 1L)
+      val sums = ranked.groupBy(col("source")).agg(
+        sum(col("p") * (lit(2L) * col("minrank") + col("c") - 1L)).as("s2"),
+        sum(col("p")).as("n_pos"), sum(col("c")).as("n"))
+      sums.withColumn("n_neg", col("n") - col("n_pos"))
+        .filter(col("n_pos") > 0 && col("n_neg") > 0)
+        .select(col("source"), col("n_pos"), col("n_neg"),
+          floor((col("s2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double") * 1000000 + 0.5)
+            .cast("long").as("auc_micro"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT source, n_chars AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents),
+      grouped AS (
+        SELECT source, score, count(*) AS c, CAST(sum(pos) AS BIGINT) AS p
+        FROM base GROUP BY 1, 2),
+      ranked AS (
+        SELECT source, score, c, p,
+          coalesce(sum(c) OVER (PARTITION BY source ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS minrank
+        FROM grouped),
+      sums AS (
+        SELECT source,
+          CAST(sum(p * (2 * minrank + c - 1)) AS BIGINT) AS s2,
+          CAST(sum(p) AS BIGINT) AS n_pos,
+          CAST(sum(c) AS BIGINT) AS n
+        FROM ranked GROUP BY 1)
+      SELECT source, n_pos, n - n_pos AS n_neg,
+        CAST(floor(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+          / CAST(2 * n_pos * (n - n_pos) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          AS auc_micro
+      FROM sums
+      WHERE n_pos > 0 AND n - n_pos > 0"""))
+
+  /** Jensen–Shannon divergence between source TOKEN distributions over a
+    * pinned top-50 vocabulary — the content-drift complement to q149/q150's
+    * length-based monitors (two sources can share a length profile and
+    * still diverge in what they say). JSD needs no smoothing: at q=0 the
+    * term is exactly p·ln2, so absent tokens are handled by the formula,
+    * not a fudge constant. Each term is computed from exact integer counts
+    * (cross-multiplied rationals), nano-rounded per token, then summed as
+    * BIGINTs — the q150 transcendental rule. Vocab and per-source totals
+    * broadcast; one shuffle for the token counts. */
+  private val q156 = Q(
+    "q156_jsd_drift",
+    (s, d) => {
+      val srcs = Seq("src0", "src1", "src2", "src3", "src4")
+      val toks = Tables.documents(s, d).filter(col("source").isin(srcs: _*))
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val dfTok = toks.groupBy(col("tok")).agg(count(lit(1)).as("tot"))
+      val vocab = dfTok.orderBy(col("tot").desc, col("tok").asc).limit(50)
+        .select(col("tok"))
+      val cnt = toks.join(broadcast(vocab), "tok")
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val nS = toks.join(broadcast(vocab), "tok")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      // (pair × vocab) grid with zero back-fill — mirrors the twin row for
+      // row: 10 source pairs × 50 tokens, counts left-joined in, rows where
+      // BOTH sides are zero dropped (they contribute nothing to JSD)
+      val withN = nS.select(col("source").as("sa"), col("n").as("na"))
+        .crossJoin(broadcast(nS.select(col("source").as("sb"), col("n").as("nb"))))
+        .filter(col("sa") < col("sb"))
+        .crossJoin(broadcast(vocab))
+        .join(cnt.select(col("source").as("sa"), col("tok"), col("c").as("ca")),
+          Seq("sa", "tok"), "left")
+        .join(cnt.select(col("source").as("sb"), col("tok"), col("c").as("cb")),
+          Seq("sb", "tok"), "left")
+        .na.fill(0L, Seq("ca", "cb"))
+        .filter(col("ca") + col("cb") > 0)
+      val p = col("ca").cast("double") / col("na").cast("double")
+      val q = col("cb").cast("double") / col("nb").cast("double")
+      // 0.5[p ln(2p/(p+q)) + q ln(2q/(p+q))], each ln on exact-long ratios
+      val termP = when(col("ca") > 0,
+        p * log(lit(2.0) * (col("ca") * col("nb")).cast("double") /
+          (col("ca") * col("nb") + col("cb") * col("na")).cast("double")))
+        .otherwise(lit(0.0))
+      val termQ = when(col("cb") > 0,
+        q * log(lit(2.0) * (col("cb") * col("na")).cast("double") /
+          (col("ca") * col("nb") + col("cb") * col("na")).cast("double")))
+        .otherwise(lit(0.0))
+      withN
+        .withColumn("term_nano",
+          floor((termP + termQ) * 0.5 * 1000000000L + 0.5).cast("long"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("term_nano")).as("jsd_nano"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, tok FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+          WHERE source IN ('src0','src1','src2','src3','src4'))
+        WHERE tok <> ''),
+      vocab AS (
+        SELECT tok FROM (SELECT tok, count(*) AS tot FROM toks GROUP BY 1)
+        ORDER BY tot DESC, tok ASC LIMIT 50),
+      cnt AS (
+        SELECT source, t.tok, count(*) AS c
+        FROM toks t JOIN vocab v USING (tok) GROUP BY 1, 2),
+      ns AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM toks t JOIN vocab v USING (tok) GROUP BY 1),
+      pairs AS (
+        SELECT a.source AS sa, b.source AS sb, v.tok,
+          coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        FROM ns a
+        JOIN ns b ON a.source < b.source
+        CROSS JOIN vocab v
+        LEFT JOIN cnt ca ON ca.source = a.source AND ca.tok = v.tok
+        LEFT JOIN cnt cb ON cb.source = b.source AND cb.tok = v.tok
+        WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0),
+      terms AS (
+        SELECT sa, sb,
+          CAST(floor((
+            CASE WHEN ca > 0 THEN
+              CAST(ca AS DOUBLE) / CAST(na.n AS DOUBLE)
+                * ln(2.0 * CAST(ca * nb.n AS DOUBLE)
+                     / CAST(ca * nb.n + cb * na.n AS DOUBLE))
+            ELSE 0.0 END
+            + CASE WHEN cb > 0 THEN
+              CAST(cb AS DOUBLE) / CAST(nb.n AS DOUBLE)
+                * ln(2.0 * CAST(cb * na.n AS DOUBLE)
+                     / CAST(ca * nb.n + cb * na.n AS DOUBLE))
+            ELSE 0.0 END) * 0.5 * 1000000000 + 0.5) AS BIGINT) AS term_nano
+        FROM pairs
+        JOIN ns na ON na.source = pairs.sa
+        JOIN ns nb ON nb.source = pairs.sb)
+      SELECT sa, sb, count(*) AS n_tokens,
+        CAST(sum(term_nano) AS BIGINT) AS jsd_nano
+      FROM terms GROUP BY 1, 2"""))
+
+  /** Partitioned-write round-trip with partition pruning, driver-checked:
+    * orders lands as parquet partitioned by o_orderpriority (the layout
+    * the 100 TB table actually ships with), then the read filters one
+    * partition — Spark prunes at the directory level, so the scan never
+    * opens the other four partitions' files (the spec twin pins the
+    * PartitionFilters plan shape; this row pins the VALUES through real
+    * partition directories, including the partition-column string
+    * round-trip). The oracle filters the source table directly. */
+  private val q157 = Q(
+    "q157_partitioned_prune",
+    (s, d) => {
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q157_part").getAbsolutePath
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority").cast("string").as("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderpriority = '1-URGENT'"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -5676,7 +5857,7 @@ object QueryCatalog {
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154)
+    q151, q152, q153, q154, q155, q156, q157)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
