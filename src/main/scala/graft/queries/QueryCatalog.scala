@@ -5839,6 +5839,123 @@ object QueryCatalog {
       SELECT o_orderkey, o_totalprice, o_orderpriority
       FROM orders WHERE o_orderpriority = '1-URGENT'"""))
 
+  /** NDCG@10 per source — the graded-ranking eval beside q155's AUC:
+    * docs ranked by (n_chars DESC, doc_id ASC), relevance = lang='en',
+    * discount weights 1/log2(i+1) converted to integer MICRO-units per
+    * position BEFORE any summation (binary relevance × integer weights =
+    * exact BIGINT DCG), ideal DCG built from the same retrieved-10 set
+    * via a sequence HOF, final ratio one division of exact longs. Sources
+    * with no positive in the top 10 emit 0 (idcg=0 convention). The rank
+    * window is per-source; nothing global. */
+  private val q158 = Q(
+    "q158_ndcg",
+    (s, d) => {
+      def wMicro(pos: Column): Column =
+        floor(lit(1000000.0) / log2(pos.cast("double") + 1.0) + 0.5).cast("long")
+      val ranked = Tables.documents(s, d)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 10)
+        .select(col("source"), col("rn"),
+          (col("lang") === "en").cast("long").as("rel"))
+      ranked.groupBy(col("source"))
+        .agg(
+          sum(col("rel") * wMicro(col("rn"))).as("dcg_micro"),
+          sum(col("rel")).as("n_pos"))
+        .withColumn("idcg_micro",
+          aggregate(
+            transform(sequence(lit(1L), col("n_pos")),
+              j => wMicro(j)),
+            lit(0L), (a, x) => a + x))
+        .select(col("source"), col("n_pos"), col("dcg_micro"),
+          when(col("idcg_micro") > 0,
+            floor(col("dcg_micro").cast("double") /
+              col("idcg_micro").cast("double") * 1000000 + 0.5).cast("long"))
+            .otherwise(lit(0L)).as("ndcg_micro"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+        FROM documents QUALIFY rn <= 10),
+      agg AS (
+        SELECT source,
+          CAST(sum(rel * CAST(floor(1000000.0 / log2(rn + 1.0) + 0.5) AS BIGINT))
+            AS BIGINT) AS dcg_micro,
+          CAST(sum(rel) AS BIGINT) AS n_pos
+        FROM ranked GROUP BY 1),
+      ideal AS (
+        SELECT source, dcg_micro, n_pos,
+          CAST(coalesce(list_sum(list_transform(range(1, n_pos + 1),
+            j -> CAST(floor(1000000.0 / log2(j + 1.0) + 0.5) AS BIGINT))), 0)
+            AS BIGINT) AS idcg_micro
+        FROM agg)
+      SELECT source, n_pos, dcg_micro,
+        CASE WHEN idcg_micro > 0 THEN
+          CAST(floor(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT)
+        ELSE 0 END AS ndcg_micro
+      FROM ideal"""))
+
+  /** One-pass dataset card — the "nutrition label" a corpus release ships
+    * with: size, token/char totals, language/source breadth, English
+    * share, exact length percentiles, and the exact-dup rate, in TWO
+    * aggregates total (one over documents, one over content fingerprints)
+    * combined by a 1-row broadcast. Everything except the percentiles is
+    * exact integer arithmetic; the percentiles follow the q50
+    * interpolation-parity rule. At 100 TB this is the query that runs
+    * once per snapshot and lands in the release notes. */
+  private val q159 = Q(
+    "q159_dataset_card",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        sum((col("lang") === "en").cast("long")).as("n_en"),
+        r(percentile(col("n_chars"), lit(0.5)), 6).as("chars_p50"),
+        r(percentile(col("n_chars"), lit(0.9)), 6).as("chars_p90"))
+      val dup = docs.groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          sum(col("n") - 1).as("dup_docs"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"))
+      base.crossJoin(broadcast(dup)).select(
+        col("n_docs"), col("n_tokens"), col("n_chars_total"),
+        col("n_langs"), col("n_sources"),
+        floor(col("n_en").cast("double") / col("n_docs").cast("double")
+          * 1000000 + 0.5).cast("long").as("en_share_micro"),
+        col("chars_p50"), col("chars_p90"),
+        col("dup_docs"), col("dup_groups"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT count(*) AS n_docs,
+          CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS n_tokens,
+          CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+          count(DISTINCT lang) AS n_langs,
+          count(DISTINCT source) AS n_sources,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+          floor(quantile_cont(n_chars, 0.5) * 1000000 + 0.5) / 1000000 AS chars_p50,
+          floor(quantile_cont(n_chars, 0.9) * 1000000 + 0.5) / 1000000 AS chars_p90
+        FROM documents),
+      dup AS (
+        SELECT CAST(sum(n - 1) AS BIGINT) AS dup_docs,
+          CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups
+        FROM (SELECT md5(text) AS fp, count(*) AS n FROM documents GROUP BY 1))
+      SELECT n_docs, n_tokens, n_chars_total, n_langs, n_sources,
+        CAST(floor(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          * 1000000 + 0.5) AS BIGINT) AS en_share_micro,
+        chars_p50, chars_p90, dup_docs, dup_groups
+      FROM base, dup"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -5857,7 +5974,7 @@ object QueryCatalog {
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
