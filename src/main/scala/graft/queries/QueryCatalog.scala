@@ -5956,6 +5956,35 @@ object QueryCatalog {
         chars_p50, chars_p90, dup_docs, dup_groups
       FROM base, dup"""))
 
+  /** Exact-proportion stratified split — the deterministic 8/1/1
+    * train/val/test assignment with GUARANTEED per-stratum counts
+    * (row_number mod 10 inside each language), the complement to q59's
+    * hash split (hash gives expected proportions and replay stability;
+    * this gives exact proportions and replay stability, at the cost of a
+    * per-stratum rank window). Emitted as per-(lang, split) counts so the
+    * oracle verifies the guarantee itself, not just row placement. */
+  private val q160 = Q(
+    "q160_stratified_split",
+    (s, d) => {
+      val rn = row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("doc_id").asc))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(rn % 10 === 0, "val")
+            .when(rn % 10 === 1, "test")
+            .otherwise("train"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""
+      WITH assigned AS (
+        SELECT lang,
+          CASE row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) % 10
+            WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END AS split
+        FROM documents)
+      SELECT lang, split, count(*) AS n_docs
+      FROM assigned GROUP BY 1, 2"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -5974,7 +6003,7 @@ object QueryCatalog {
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
