@@ -37,6 +37,28 @@ class FixtureCanarySpec extends SparkSpec {
     }
   }
 
+  test("canary: embeddings are 64-dim — the similarity family's assumed width") {
+    // pqTrainCodebooks/lshBucket/ivfCosineTopK all default to dim=64; a
+    // driver-side regeneration at another width must fail HERE by name,
+    // not as 20 cryptic similarity failures
+    val dims = graft.sources.Tables.embeddings(spark, sf())
+      .selectExpr("size(embedding) AS d").distinct().collect().map(_.getInt(0)).toSet
+    assert(dims == Set(64), s"embedding dims drifted: $dims")
+  }
+
+  test("canary: documents/events column sets match what the catalog assumes") {
+    val docCols = graft.sources.Tables.documents(spark, sf()).columns.toSet
+    assert(Set("doc_id", "text", "lang", "source", "n_chars").subsetOf(docCols),
+      s"documents columns drifted: $docCols")
+    val evCols = graft.sources.Tables.events(spark, sf()).columns.toSet
+    assert(Set("event_id", "ts", "user_id", "event_type", "value").subsetOf(evCols),
+      s"events columns drifted: $evCols")
+  }
+
+  test("canary: SparkEntry.entry (the driver's smoke check) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("canary: events.ts reads as session-TZ TimestampType at every sf vintage") {
     val df = Tables.events(spark, sf())
     assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
