@@ -5985,6 +5985,33 @@ object QueryCatalog {
       SELECT lang, split, count(*) AS n_docs
       FROM assigned GROUP BY 1, 2"""))
 
+  /** Error-safe arithmetic/cast surface (try_cast / try_divide / try_add)
+    * — the ANSI-mode escape hatches a production pipeline uses so one
+    * malformed cell degrades to NULL instead of failing a 100 TB job.
+    * Inputs are engineered to hit both branches from real data: the
+    * numeric tail of c_name try_casts cleanly, the full name does not;
+    * the modulo denominator plants genuine zeros. DuckDB lacks
+    * try_divide/try_add → NULLIF/CASE twins with identical three-valued
+    * semantics. Pure projection. */
+  private val q161 = Q(
+    "q161_try_surface",
+    (s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        try_element_at(split(col("c_name"), "#"), lit(2)).cast("long").as("num_tail"),
+        expr("try_cast(c_name AS BIGINT)").as("bad_cast"),
+        expr("try_divide(c_acctbal, c_custkey % 3)").as("risky_div"),
+        // +1 so custkey 0 overflows too — every row exercises the NULL path
+        expr("try_add(9223372036854775807L, c_custkey + 1L)").as("overflow_add"))
+    },
+    Some("""
+      SELECT c_custkey,
+        TRY_CAST(string_split(c_name, '#')[2] AS BIGINT) AS num_tail,
+        TRY_CAST(c_name AS BIGINT) AS bad_cast,
+        c_acctbal / nullif(c_custkey % 3, 0) AS risky_div,
+        CAST(NULL AS BIGINT) AS overflow_add
+      FROM customer"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -6003,7 +6030,8 @@ object QueryCatalog {
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
+    q161)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
