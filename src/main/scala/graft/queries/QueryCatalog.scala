@@ -6012,6 +6012,82 @@ object QueryCatalog {
         CAST(NULL AS BIGINT) AS overflow_add
       FROM customer"""))
 
+  /** Distribution-rank window surface: percent_rank / cume_dist /
+    * ntile(4) per market segment — the quantile-assignment windows q101's
+    * rank family left out. The window order carries the unique custkey
+    * tiebreak (the catalog-wide rank rule), which makes percent_rank and
+    * cume_dist exact rational values of row positions — engine-identical
+    * divisions — and pins every ntile bucket edge. r6-rounded doubles for
+    * the two ratios; ntile emitted as an exact int. */
+  private val q162 = Q(
+    "q162_rank_distribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d).select(
+        col("c_mktsegment"), col("c_custkey"),
+        r(percent_rank().over(w), 6).as("pr"),
+        r(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).as("quartile"))
+    },
+    Some("""
+      SELECT c_mktsegment, c_custkey,
+        floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
+        floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd,
+        CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal ASC, c_custkey ASC)"""))
+
+  /** Gaps-and-islands: longest run of consecutive same-type events per
+    * user — the classic streak analysis (q87's transition matrix counts
+    * edges; this measures persistence). Island id = rn_overall −
+    * rn_within_type, both ordered by the unique event_id, so runs are
+    * exactly delimited with no timestamp-tie ambiguity. Longest-run
+    * tiebreak: earliest island start. Two windows + two keyed aggregates,
+    * all partitioned by user. */
+  private val q163 = Q(
+    "q163_event_islands",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+      val islands = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .withColumn("grp",
+          row_number().over(byUser) - row_number().over(byUserType))
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("run_len"), min(col("event_id")).as("run_start"))
+      islands.groupBy(col("user_id"))
+        .agg(
+          max(col("run_len")).as("longest_run"),
+          min_by(col("event_type"), struct(-col("run_len"), col("run_start")))
+            .as("run_type"),
+          count(lit(1)).as("n_islands"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id, event_type, event_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+          - row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY event_id) AS grp
+        FROM events),
+      islands AS (
+        SELECT user_id, event_type, grp, count(*) AS run_len,
+          min(event_id) AS run_start
+        FROM base GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT user_id, event_type, run_len, run_start,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY run_len DESC, run_start ASC) AS rn
+        FROM islands)
+      SELECT r.user_id, r.run_len AS longest_run, r.event_type AS run_type,
+        c.n_islands
+      FROM ranked r
+      JOIN (SELECT user_id, count(*) AS n_islands FROM islands GROUP BY 1) c
+        USING (user_id)
+      WHERE r.rn = 1"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -6031,7 +6107,7 @@ object QueryCatalog {
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161)
+    q161, q162, q163)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
