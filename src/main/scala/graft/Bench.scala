@@ -60,7 +60,9 @@ object Bench {
       } :+ ("events" -> (() => graft.sources.Tables.events(spark, sfDir).count()))
     tableWarmups.foreach { case (t, load) =>
       try load() catch {
-        case ex: Throwable =>
+        // NonFatal only: an OOM/LinkageError means the JVM is corrupted —
+        // continuing would report misleading per-query failures.
+        case scala.util.control.NonFatal(ex) =>
           System.err.println(s"[bench] table warm-up failed for $t: ${ex.getMessage}")
       }
     }
@@ -68,7 +70,7 @@ object Bench {
     // first time; the timed pass below measures steady-state execution
     selected.foreach { case (name, fn) =>
       try materialize(fn(spark, sfDir)) catch {
-        case t: Throwable =>
+        case scala.util.control.NonFatal(t) =>
           System.err.println(s"[bench] warm-up failed for $name: ${t.getMessage}")
       }
     }
@@ -83,7 +85,7 @@ object Bench {
             materialize(fn(spark, sfDir))
             Some((System.nanoTime() - t0) / 1e9)
           } catch {
-            case t: Throwable =>
+            case scala.util.control.NonFatal(t) =>
               System.err.println(s"[bench] FAILED $name: ${t.getMessage}")
               errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
               None

@@ -5638,7 +5638,12 @@ object QueryCatalog {
         .agg(
           call_function("hll_sketch", col("user_id")).as("sk"),
           count_distinct(col("user_id")).as("dau"))
-      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      // Calendar range frame (not rowsBetween): a fixture gap day must
+      // NOT let the frame reach back >7 calendar days, or the Spark side
+      // diverges from the twin's `day BETWEEN sp.day - 6 AND sp.day`.
+      val w = Window
+        .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
       daySketch.select(
         date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("dau"),
@@ -5863,10 +5868,15 @@ object QueryCatalog {
           sum(col("rel") * wMicro(col("rn"))).as("dcg_micro"),
           sum(col("rel")).as("n_pos"))
         .withColumn("idcg_micro",
-          aggregate(
-            transform(sequence(lit(1L), col("n_pos")),
-              j => wMicro(j)),
-            lit(0L), (a, x) => a + x))
+          // n_pos=0 must short-circuit: sequence(1, 0) is DESCENDING [1,0]
+          // under Spark semantics, so wMicro(0) would divide by log2(1)=0.
+          // The guard matches the twin's coalesce-to-0 convention.
+          when(col("n_pos") > 0,
+            aggregate(
+              transform(sequence(lit(1L), col("n_pos")),
+                j => wMicro(j)),
+              lit(0L), (a, x) => a + x))
+            .otherwise(lit(0L)))
         .select(col("source"), col("n_pos"), col("dcg_micro"),
           when(col("idcg_micro") > 0,
             floor(col("dcg_micro").cast("double") /

@@ -42,7 +42,19 @@ object Events {
     // (→ long of nanos under the legacy flag) and TIMESTAMP(µs) (→ NTZ),
     // and declaring the wrong one silently mis-decodes rows. Same dispatch
     // as `Tables.events`; both vintages land on µs TimestampType.
-    val fileSchema = spark.read.parquet(dir).schema
+    // Footer dispatch only works once files exist; the normal
+    // stream-starts-before-producer case (empty landing dir) must still
+    // start an idle stream, so fall back to the known current fixture
+    // layout (ts as TIMESTAMP(NANOS) → long nanos under the legacy flag).
+    val fileSchema =
+      scala.util.Try(spark.read.parquet(dir).schema).getOrElse(
+        StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", LongType), // TIMESTAMP(NANOS) vintage
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType))))
     val stream = spark.readStream.schema(fileSchema).parquet(dir)
     fileSchema("ts").dataType match {
       case LongType =>
