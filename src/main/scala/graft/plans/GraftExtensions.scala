@@ -173,5 +173,6 @@ object GraftExtensions {
     graft.functions.SketchMerge.register(spark)
     graft.functions.ZOrder.register(spark)
     graft.functions.TopK.register(spark)
+    graft.functions.CharNgrams.register(spark)
   }
 }

@@ -4710,23 +4710,27 @@ object QueryCatalog {
 
   /** Character-trigram profile per language — the feature extraction
     * under q24's language-ID heuristic: top-10 trigrams by frequency with
-    * a deterministic (count DESC, trigram ASC) tiebreak. Docs shorter
-    * than 3 chars are dropped BEFORE the index sequence (sequence(1, 0)
-    * is a DESCENDING range in Spark — the q21 singleton trap). Explode is
-    * the scale path: counts combine map-side, and the rank window only
-    * sees per-language tails. */
+    * a deterministic (count DESC, trigram ASC) tiebreak. Extraction is the
+    * one-pass `char_ngrams` codegen expression (`functions/CharNgrams`),
+    * NOT the HOF `transform(sequence(...), i -> substr(s, i, 3))` spelling:
+    * that form is O(L²) per row — CollapseProject inlines `lower(text)`
+    * into the lambda so it re-lowers per index, and each `substr` re-scans
+    * UTF-8 bytes from 0 to find its start. `lower` now runs once per row
+    * (it sits under a plain expression, not a lambda), and docs with < 3
+    * chars yield an empty array → zero exploded rows, identical to the
+    * twin's length filter. Explode is the scale path: counts combine
+    * map-side, and the rank window only sees per-language tails. */
   private val q134 = Q(
     "q134_char_trigrams",
     (s, d) => {
-      val txt = lower(col("text"))
-      val tris = transform(sequence(lit(1), length(txt) - 2),
-        i => txt.substr(i, lit(3)))
+      graft.plans.GraftExtensions.install(s)
       // ~2000 trigrams explode from every doc: on the one-row-group fixture
       // the whole fan-out would run on a single core without the bench-gated
       // spread (production parquet splits at row-group granularity)
       val counts = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
-        .filter(length(col("text")) >= 3)
-        .select(col("lang"), explode(tris).as("tri"))
+        .select(col("lang"),
+          explode(graft.functions.CharNgrams.char_ngrams(lower(col("text")), 3))
+            .as("tri"))
         .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
       Core.topKPerGroup(counts, Seq("lang"),
         Seq(col("cnt").desc, col("tri").asc), 10)
