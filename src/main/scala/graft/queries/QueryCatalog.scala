@@ -4830,6 +4830,28 @@ object QueryCatalog {
     },
     None)
 
+  /** q137's SERVING half with a hash-green oracle row: train/serve split.
+    * Training (k-means) stays un-SQL-expressible, but a production PQ
+    * index never re-trains per query batch — it serves a PERSISTED
+    * codebook. `PqCodebookArtifact` freezes that artifact in the repo
+    * (provenance: `graft.PqArtifactGen`, seeded fit on the sf0.01
+    * embeddings), so encode + ADC become a pure function of literals that
+    * DuckDB evaluates identically (`PqServe.oracleSql` — the q42
+    * literal-lookup move applied to a vector index). Plan is q137's
+    * exactly: codes-only corpus scan side, per-query LUT, O(m) per pair,
+    * top-10 window per query. */
+  private val q137b = Q(
+    "q137b_pq_serve",
+    (s, d) => {
+      import graft.ops.{PqCodebookArtifact, Similarity}
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopKWithBooks(
+          emb, emb.filter(col("vec_id") < 10), 10, PqCodebookArtifact.books)
+        .select(col("q_id"), col("vec_id"),
+          r(col("sim"), 6).as("adc_sim"))
+    },
+    Some(graft.ops.PqServe.oracleSql))
+
   /** Zipf rank-frequency fit per language: slope/intercept of
     * ln(cnt) ~ ln(rank) over the top-200 token ranks — the lexical-health
     * diagnostic (natural text slopes near -1; templated/spammy corpora
@@ -6118,7 +6140,7 @@ object QueryCatalog {
     q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120,
     q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
+    q131, q132, q133, q134, q135, q136, q137, q137b, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163)
