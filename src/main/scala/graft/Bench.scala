@@ -48,7 +48,11 @@ object Bench {
     // The driver fixtures are one parquet file per table (one input
     // partition): let map-heavy queries (q20/q21/q46) spread the scan.
     // Default-off everywhere else so the production plan stays shuffle-free.
-    spark.conf.set("graft.bench.singleFileFixture", "true")
+    // SPARK_GRAFT_SINGLE_FILE=false for multi-row-group fixtures (the sf1
+    // scale probe), where the scan parallelizes natively and the spread
+    // would inject a shuffle the production plan doesn't have.
+    spark.conf.set("graft.bench.singleFileFixture",
+      sys.env.getOrElse("SPARK_GRAFT_SINGLE_FILE", "true"))
     // Table warm-up is guarded per table: round 5 lost the ENTIRE bench
     // (rc=1, zero timings) to one unguarded count when a fixture's physical
     // schema drifted. A broken table must degrade to per-query errors in

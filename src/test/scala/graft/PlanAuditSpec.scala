@@ -1,0 +1,90 @@
+package graft
+
+/** Catalog-wide scale-bug tripwire — the plan analog of FixtureCanarySpec:
+  * sweeps every query's static physical plan at sf0.001 and FAILS BY NAME
+  * when a regression introduces a cartesian product, a broadcast
+  * nested-loop join, or a new partition-less WindowExec (all rows to one
+  * partition — the shape that cannot exist at 100 TB unless the input was
+  * provably bounded first). The allowlist below is the frozen set of
+  * bounded-input exceptions; growing it is a reviewed decision, not an
+  * accident. */
+class PlanAuditSpec extends SparkSpec {
+
+  test("no cartesian products, no BNLJ, global windows frozen to allowlist") {
+    // Global-window allowlist: each entry is bounded BEFORE the window —
+    //   q125_rrf_fusion (2): both retrieval legs are cut to top-100 by
+    //     TakeOrderedAndProject before the single-partition rank window;
+    //   q131_pareto_frontier: frontier scan over pre-aggregated group rows;
+    //   q154_sketch_wau: the trailing merge window sees one sketch row per
+    //     DAY (tiny mergeable state at any sf);
+    //   q74_vocab_coverage: sort+limit prunes to the top-40 vocab rows
+    //     before the rank window (40 rows at any corpus size).
+    val allowedGlobalWindows = Map(
+      "q125_rrf_fusion" -> 2,
+      "q131_pareto_frontier" -> 1,
+      "q154_sketch_wau" -> 1,
+      "q74_vocab_coverage" -> 1)
+
+    // BNLJ allowlist: BroadcastNestedLoopJoinExec is legitimate exactly
+    // when the broadcast side is BOUNDED (a handful of query rows, a
+    // 1-row aggregate, a histogram) and the predicate is non-equi — the
+    // "stream the big table past a tiny broadcast" shape that DOES hold at
+    // 100 TB. Every entry here is that shape: ANN query sets (q23/q137/
+    // q137b), 1-row stats broadcasts (q38/q57/q63/q69/q74/q82/q88/q140/
+    // q150/q159), bounded histogram/frontier sides (q117/q125/q149/q156),
+    // pair/range predicates over bounded sides (q44/q51/q108/q146), and
+    // PageRank's dangling-mass 1-row broadcast (q128). A NEW BNLJ — or a
+    // count regression on an existing one — fails by name.
+    val allowedBnlj = Map(
+      "q108_pmi_cooccur" -> 1, "q117_bm25" -> 2, "q125_rrf_fusion" -> 3,
+      "q128_pagerank" -> 4, "q137_pq_topk" -> 1, "q137b_pq_serve" -> 1,
+      "q140_mixture_weights" -> 1, "q146_triangle_count" -> 2,
+      "q149_ks_drift" -> 3, "q150_psi_drift" -> 1, "q156_jsd_drift" -> 2,
+      "q159_dataset_card" -> 1, "q23_cosine_topk" -> 1,
+      "q38_trends_gold" -> 1, "q44_theta_cohorts" -> 1,
+      "q51_range_join" -> 1, "q57_tfidf" -> 1,
+      "q63_temperature_sample" -> 1, "q69_bigram_lm" -> 1,
+      "q74_vocab_coverage" -> 1, "q82_rolling_dau" -> 1,
+      "q88_calendar_spine" -> 1)
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val results = PlanAudit.sweep(spark, sf())
+      val errors = results.collect { case (n, c) if c.error.isDefined =>
+        s"$n: ${c.error.get}" }
+      assert(errors.isEmpty, s"plan build failed:\n${errors.mkString("\n")}")
+
+      val cart = results.collect { case (n, c) if c.cartesian > 0 => n }
+      assert(cart.isEmpty, s"CartesianProductExec in: ${cart.mkString(", ")}")
+
+      val badBnlj = results.collect {
+        case (n, c) if c.bnlj > allowedBnlj.getOrElse(n, 0) =>
+          s"$n (${c.bnlj} > ${allowedBnlj.getOrElse(n, 0)})"
+      }
+      assert(badBnlj.isEmpty,
+        "NEW BroadcastNestedLoopJoinExec beyond the bounded-broadcast " +
+          s"allowlist: ${badBnlj.mkString(", ")}")
+
+      val staleBnlj = allowedBnlj.keys.filterNot(n =>
+        results.exists { case (qn, c) => qn == n && c.bnlj > 0 })
+      assert(staleBnlj.isEmpty,
+        s"stale BNLJ allowlist entries: ${staleBnlj.mkString(", ")}")
+
+      val badWindows = results.collect {
+        case (n, c) if c.globalWindows > allowedGlobalWindows.getOrElse(n, 0) =>
+          s"$n (${c.globalWindows} > ${allowedGlobalWindows.getOrElse(n, 0)})"
+      }
+      assert(badWindows.isEmpty,
+        "NEW partition-less WindowExec (all rows -> one partition). " +
+          "Either bound the input before the window or, if provably " +
+          s"bounded, extend the allowlist: ${badWindows.mkString(", ")}")
+
+      // allowlist hygiene: entries that stopped matching are stale
+      val stale = allowedGlobalWindows.keys.filterNot(n =>
+        results.exists { case (qn, c) => qn == n && c.globalWindows > 0 })
+      assert(stale.isEmpty,
+        s"stale global-window allowlist entries: ${stale.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+}
