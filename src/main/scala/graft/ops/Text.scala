@@ -728,4 +728,53 @@ object Text {
         hamming64(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** PPJoin candidate pairs — EXACT-recall prefix filtering for the
+    * set-similarity join (Chaudhuri/Ganti/Kaushik SSJoin + Xiao et al.
+    * PPJoin prefix principle): order each doc's tokens by ascending
+    * document frequency, keep only the first n − ⌈t·n⌉ + 1 (the PREFIX);
+    * any pair with Jaccard ≥ t MUST share a prefix token, so joining on
+    * prefix tokens loses nothing. Rarest-first ordering makes the join
+    * keys the LEAST skewed tokens — the candidate blow-up a raw
+    * token-join would hit on stopwords cannot happen here.
+    *
+    * Input: (idCol, toksCol) with toksCol an array of DISTINCT tokens.
+    * Output: distinct (doc_a < doc_b) candidate id pairs. Three bounded
+    * shuffles: token df, per-doc rank window, candidate distinct. */
+  def ppJoinCandidates(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", toksCol: String = "toks"): DataFrame = {
+    val tokRows = docs.select(col(idCol).as("__id"),
+      size(col(toksCol)).as("__n"), explode(col(toksCol)).as("__tok"))
+    val dfTok = tokRows.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val prefixLen =
+      (col("__n") - ceil(col("__n") * threshold) + 1).cast("int")
+    val prefix = tokRows.join(dfTok, "__tok")
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("__id"))
+        .orderBy(col("__df").asc, col("__tok").asc)))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("__id"), col("__tok"))
+    prefix.select(col("__id").as("doc_a"), col("__tok"))
+      .join(prefix.select(col("__id").as("doc_b"), col("__tok")), Seq("__tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Exact set-similarity self-join: [[ppJoinCandidates]] then exact
+    * Jaccard verification of only the candidates. Row-identical to the
+    * naive O(n²) all-pairs join at ANY threshold (prefix filtering is
+    * lossless), but the verify join touches candidates, not n²/2 pairs.
+    * Output: (doc_a, doc_b, jac) with raw double Jaccard ≥ threshold. */
+  def ppJoin(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", toksCol: String = "toks"): DataFrame = {
+    val a = docs.select(col(idCol).as("doc_a"), col(toksCol).as("__toks_a"))
+    val b = docs.select(col(idCol).as("doc_b"), col(toksCol).as("__toks_b"))
+    val jac =
+      size(array_intersect(col("__toks_a"), col("__toks_b"))).cast("double") /
+        size(array_union(col("__toks_a"), col("__toks_b")))
+    ppJoinCandidates(docs, threshold, idCol, toksCol)
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jac", jac)
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
 }

@@ -5600,32 +5600,12 @@ object QueryCatalog {
   private val q153 = Q(
     "q153_ppjoin",
     (s, d) => {
-      val t = 0.5
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"),
           array_distinct(filter(split(col("text"), " "), x => x =!= "")).as("toks"))
         .filter(size(col("toks")) > 0)
-      val tokRows = docs.select(col("doc_id"), size(col("toks")).as("n"),
-        explode(col("toks")).as("tok"))
-      val dfTok = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val prefixLen = (col("n") - ceil(col("n") * t) + 1).cast("int")
-      val prefix = tokRows.join(dfTok, "tok")
-        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
-          .orderBy(col("df").asc, col("tok").asc)))
-        .filter(col("rn") <= prefixLen)
-        .select(col("doc_id"), col("tok"))
-      val cand = prefix.select(col("doc_id").as("doc_a"), col("tok"))
-        .join(prefix.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-      val jac = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-        size(array_union(col("toks_a"), col("toks_b")))
-      cand.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("jac", jac)
-        .filter(col("jac") >= t)
+      graft.ops.Text.ppJoin(docs, 0.5)
         .select(col("doc_a"), col("doc_b"), r(col("jac"), 3).as("jaccard"))
     },
     Some("""
