@@ -900,6 +900,35 @@ object QueryCatalog {
         count(*) AS n_rows
       FROM lineitem GROUP BY 1"""))
 
+  /** q31 without the Expand: multi-column count_distinct compiles to an
+    * Expand that replicates EVERY input row once per distinct column (3×
+    * the shuffle here) before a 3-way null-partitioned aggregate. This
+    * form re-aggregates instead: per-column distinct via (flag, key)
+    * groupBy — which partial-aggregates map-side, so the shuffle carries
+    * per-partition DISTINCT keys, not rows — then counts the tiny
+    * distinct sets and joins three ≤5-row aggregates. At 100 TB with
+    * n_distinct ≪ n_rows this is the shuffle-volume winner; q41's sketch
+    * form wins when even the distinct sets are too big to shuffle. Same
+    * oracle as q31 — all three forms must agree. */
+  private val q31b = Q(
+    "q31b_distinct_reagg",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      def nDistinct(key: String, as: String) =
+        li.select(col("l_returnflag"), col(key)).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+      nDistinct("l_orderkey", "n_orders")
+        .join(nDistinct("l_partkey", "n_parts"), "l_returnflag")
+        .join(li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows")),
+          "l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        count(*) AS n_rows
+      FROM lineitem GROUP BY 1"""))
+
   /** Embedding-cosine near-dup pairs, metadata-blocked: candidate pairs
     * share a label (the blocking key — at 100 TB this is an LSH bucket or
     * IVF cell, see graft.ops.Similarity.lshCosineTopK), then exact cosine
@@ -6110,7 +6139,7 @@ object QueryCatalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+    q31, q31b, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
