@@ -321,6 +321,30 @@ object Similarity {
           when(p.getField("n") === 0.0, x).otherwise(x / p.getField("n")))),
       1)
 
+  /** Full-dimension k-means centroids over unit-normalized embeddings —
+    * the cell structure SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+    * partitions a corpus with before running within-cell cosine dedup.
+    * Same seeded spark.ml fit + small-corpus sample guard as
+    * [[pqTrainCodebooks]]; like the PQ codebooks this is a TRAIN-ONCE
+    * index artifact (see `graft.CentroidArtifactGen`), applied downstream
+    * as broadcast literals folded into codegen. */
+  def trainCentroids(corpus: DataFrame, k: Int = 8,
+      trainFraction: Double = 1.0): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.plans.GraftExtensions.install(corpus.sparkSession)
+    val unit = corpus.select(unitNorm(asDouble(col("embedding"))).as("nv"))
+    val sampled =
+      if (trainFraction >= 1.0) unit
+      else unit.sample(withReplacement = false, trainFraction, seed = 42L)
+    val minTrain = 4L * k
+    val enough = sampled.limit(minTrain.toInt).count() >= minTrain
+    val train = (if (enough) sampled else unit)
+      .select(array_to_vector(col("nv")).as("features"))
+    new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(train)
+      .clusterCenters.map(_.toArray)
+  }
+
   /** Product-quantization codebooks: the dim-D space splits into `m`
     * contiguous subspaces of D/m dims, each fitted with its own
     * `kCent`-centroid k-means codebook (spark.ml KMeans, fixed seed per

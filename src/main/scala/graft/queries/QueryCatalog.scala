@@ -6133,6 +6133,113 @@ object QueryCatalog {
         USING (user_id)
       WHERE r.rn = 1"""))
 
+  /** SemDeDup (Abbas et al. 2023) over the embeddings corpus: k-means-cell
+    * blocking + within-cell cosine ≥ 0.40 + keep-lowest-id — semantic
+    * dedup as one declarative query. The cells come from the FROZEN
+    * [[graft.ops.CentroidArtifact]] (train-once index artifact, the q137b
+    * serving-path move), which is what makes the DuckDB twin possible:
+    * both engines evaluate the same centroid literals. This is the scale
+    * answer to q32's documented label-blocked quadratic — the blocking key
+    * here is a real learned cell whose count (not the corpus) bounds the
+    * pair fan-out; output carries no float column, so the hash check rides
+    * only on comparisons running the identical IEEE op sequence. */
+  private val q164 = Q(
+    "q164_semdedup",
+    (s, d) => graft.ops.SemDedup.semDedup(Tables.embeddings(s, d), tau = 0.40),
+    Some(graft.ops.SemDedup.oracleSql(tau = 0.40)))
+
+  /** Spark 4 VARIANT surface (semi-structured data without a schema):
+    * build a JSON event payload from real columns (the q122 synthesize-
+    * then-parse discipline — the parser is checked against ground truth,
+    * not another parser), `parse_json` it into an open VariantType cell,
+    * and extract typed fields back out with `variant_get` paths, including
+    * an array index, a missing-key null, and an out-of-range index null.
+    * The DuckDB twin runs its native JSON path functions over the same
+    * string. Float formatting inside the payload may differ per engine
+    * (shortest-repr vs Java rules) — harmless by construction, because the
+    * checked columns are the PARSED-BACK values, not the string.
+    * At 100 TB variant columns are the schema-drift-proof landing format
+    * for event payloads: shredded on read, no reprocess on key add. */
+  private val q165 = Q(
+    "q165_variant_json",
+    (s, d) => {
+      val payload = concat(
+        lit("""{"user":{"id":"""), col("user_id"),
+        lit("""},"event":{"type":""""), col("event_type"), lit("\""),
+        lit(""","value":"""), r2(col("value")),
+        lit("""},"props":"""), col("props"),
+        lit(""","tags":["""), col("event_id") % 7, lit(","), col("event_id") % 3,
+        lit("]}"))
+      Tables.events(s, d)
+        .select(col("event_id"), parse_json(payload).as("v"))
+        .select(
+          col("event_id"),
+          try_variant_get(col("v"), "$.user.id", "bigint").as("uid"),
+          try_variant_get(col("v"), "$.event.type", "string").as("etype"),
+          try_variant_get(col("v"), "$.event.value", "double").as("value"),
+          try_variant_get(col("v"), "$.props.k", "bigint").as("prop_k"),
+          try_variant_get(col("v"), "$.tags[1]", "bigint").as("tag1"),
+          try_variant_get(col("v"), "$.tags[5]", "bigint").as("tag_oob"),
+          try_variant_get(col("v"), "$.missing.key", "string").as("absent"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT event_id,
+          '{"user":{"id":' || user_id ||
+          '},"event":{"type":"' || event_type ||
+          '","value":' || floor(value*100 + 0.5)/100 ||
+          '},"props":' || props ||
+          ',"tags":[' || event_id % 7 || ',' || event_id % 3 || ']}' AS s
+        FROM events)
+      SELECT event_id,
+        json_extract_string(s, '$.user.id')::BIGINT AS uid,
+        json_extract_string(s, '$.event.type') AS etype,
+        json_extract_string(s, '$.event.value')::DOUBLE AS value,
+        json_extract_string(s, '$.props.k')::BIGINT AS prop_k,
+        json_extract_string(s, '$.tags[1]')::BIGINT AS tag1,
+        json_extract_string(s, '$.tags[5]')::BIGINT AS tag_oob,
+        json_extract_string(s, '$.missing.key') AS absent
+      FROM j"""))
+
+  /** Containment (asymmetric set-overlap) near-dup: |A∩B|/|A| over
+    * distinct token sets — the sub-document-duplication signal Jaccard
+    * (q20) misses: when a short doc A is wholly inside a long doc B,
+    * containment(A→B)=1.0 while Jaccard is tiny. Emitted per ORDERED pair
+    * (both directions), so the asymmetry itself is in the checked output.
+    * Same 30-char-prefix blocking as q20/q46 (at 100 TB: a band/bucket
+    * key); set sizes ride along so the asymmetry is auditable. */
+  private val q166 = Q(
+    "q166_containment_neardup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        substring(col("text"), 1, 30).as("pfx"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      val a = docs.as("a")
+      val b = docs.as("b")
+      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      a.join(b, col("a.pfx") === col("b.pfx") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(col("a.toks")).as("n_a"), size(col("b.toks")).as("n_b"),
+          (inter.cast("double") / size(col("a.toks"))).as("cont"))
+        .filter(col("cont") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          r(col("cont"), 3).as("containment"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, substr(text, 1, 30) AS pfx,
+          list_distinct(string_split(text, ' ')) AS toks
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(a.toks) AS INT) AS n_a, CAST(len(b.toks) AS INT) AS n_b,
+        floor((len(list_intersect(a.toks, b.toks))::DOUBLE
+               / len(a.toks))*1000 + 0.5)/1000 AS containment
+      FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id <> b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks) >= 0.9"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -6152,7 +6259,7 @@ object QueryCatalog {
     q131, q132, q133, q134, q135, q136, q137, q137b, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163)
+    q161, q162, q163, q164, q165, q166)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
