@@ -242,6 +242,74 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.unset("graft.bench.singleFileFixture")
   }
 
+  test("parquet aggregate pushdown: count/min/max answered by footer stats (DSv2)") {
+    // At 100 TB a bare count/min/max over a table should read parquet
+    // FOOTERS, not data pages. The v1 file source can't push aggregates;
+    // DSv2 + aggregatePushdown can, and the scan advertises it as
+    // PushedAggregation. Values must match the v1 full-scan answer.
+    import org.apache.spark.sql.functions.{count => cnt, max => mx, min => mn, col => c}
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agg = spark.read.parquet(sf() + "/lineitem.parquet")
+        .agg(cnt("*").as("n"), mn(c("l_quantity")).as("lo"), mx(c("l_quantity")).as("hi"))
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*)"), s"aggregate not pushed:\n$p")
+      val Array(pushed) = agg.collect()
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      val Array(full) = spark.read.parquet(sf() + "/lineitem.parquet")
+        .agg(cnt("*").as("n"), mn(c("l_quantity")).as("lo"), mx(c("l_quantity")).as("hi"))
+        .collect()
+      assert(pushed == full, s"pushed $pushed != full-scan $full")
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    }
+  }
+
+  test("runtime bloom-filter join injection prunes the probe side") {
+    // AQE's InjectRuntimeFilter: when a shuffle join's build side carries
+    // a selective filter, Spark plants bloom_filter_agg on the build side
+    // and might_contain on the probe-side SCAN — rows that can't join die
+    // before the exchange. This is the engine-native form of
+    // Core.bloomReducedJoin (q61), and the thresholds below only shrink
+    // the size gates so the fixture qualifies; the rewrite itself is
+    // stock. Result must equal the unfiltered join.
+    import org.apache.spark.sql.functions.{col => c}
+    def conf(k: String) = spark.conf.get(k)
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf(k))
+    def q = {
+      val li = spark.read.parquet(sf() + "/lineitem.parquet")
+        .select(c("l_orderkey"), c("l_quantity"))
+      val ord = spark.read.parquet(sf() + "/orders.parquet")
+        .filter(c("o_orderpriority") === "1-URGENT")
+        .select(c("o_orderkey"))
+      li.join(ord, c("l_orderkey") === c("o_orderkey")).groupBy()
+        .agg(org.apache.spark.sql.functions.sum(c("l_quantity")).as("s"))
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val df = q
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$p")
+      val withFilter = df.collect()(0).getDouble(0)
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      val plain = q.collect()(0).getDouble(0)
+      assert(withFilter == plain, s"bloom-filtered $withFilter != plain $plain")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("queries and oracles are consistently keyed") {
     val qs = QueryCatalog.queries.keySet
     val os = QueryCatalog.oracleSql.keySet
