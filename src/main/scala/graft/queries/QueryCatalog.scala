@@ -6240,6 +6240,135 @@ object QueryCatalog {
       FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id <> b.doc_id
       WHERE len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks) >= 0.9"""))
 
+  /** The WHOLE dedup pipeline as one declarative query — candidates
+    * (q20's prefix-blocked Jaccard edges) → connected components (q46's
+    * min-label fixpoint) → keep-BEST canonical per cluster (q121's
+    * (n_chars DESC, doc_id ASC) rule, not keep-min-id) → the surviving
+    * corpus MANIFEST with reduction accounting (docs and chars freed per
+    * keeper). This is the end product the stages exist for: what ships to
+    * training after dedup, with per-cluster provenance. One row per kept
+    * doc, all-integer output. The twin recomputes the same fixpoint with
+    * a recursive CTE and the same window rule. */
+  private val q167 = Q(
+    "q167_dedup_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = graft.ops.Text.dedupClusters(
+        docs, prefixJaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
+      val sized = clusters.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      sized
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cluster_chars",
+          sum(col("n_chars")).over(Window.partitionBy(col("cluster_id"))))
+        .filter(col("rk") === 1)
+        .select(
+          col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("cluster_size") - 1).as("n_dropped"),
+          col("n_chars").as("kept_chars"),
+          (col("cluster_chars") - col("n_chars")).as("dropped_chars"))
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, substr(text, 1, 30) AS pfx,
+          list_distinct(string_split(text, ' ')) AS toks
+        FROM documents),
+      e AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+      sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+      comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+      sized AS (
+        SELECT c.doc_id, c.cluster_id, dd.n_chars,
+          count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+          sum(dd.n_chars) OVER (PARTITION BY c.cluster_id) AS cluster_chars,
+          row_number() OVER (PARTITION BY c.cluster_id
+            ORDER BY dd.n_chars DESC, c.doc_id ASC) AS rk
+        FROM comp c JOIN documents dd USING (doc_id))
+      SELECT doc_id, cluster_id, cluster_size,
+        cluster_size - 1 AS n_dropped,
+        n_chars AS kept_chars,
+        cluster_chars - n_chars AS dropped_chars
+      FROM sized WHERE rk = 1"""))
+
+  /** Embedding-space drift per cohort — the vector companion of the
+    * scalar drift monitors (KS q149 / PSI q150 / JSD q156): each label's
+    * mean embedding vs the global mean, reported as cosine similarity and
+    * L2 shift. Exact-integer discipline end to end: components are
+    * micro-rounded BIGINTs, so the per-(label,dim) sums are
+    * order-independent; the per-dim mean products are pico-rounded back
+    * to BIGINTs before the 64-term reduction (q117's move), so no float
+    * summation order exists anywhere. Map-side explode + two keyed
+    * aggregates + a 64-row broadcast join — at 100 TB the width (64)
+    * stays constant, the shuffle carries labels × dims rows. */
+  private val q168 = Q(
+    "q168_embedding_drift",
+    (s, d) => {
+      val comp = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), col("pos"),
+          floor(col("x").cast("double") * 1000000 + 0.5).cast("long").as("c"))
+      val byLabel = comp.groupBy(col("label"), col("pos"))
+        .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+      val global = byLabel.groupBy(col("pos"))
+        .agg(sum(col("s")).as("sg"), sum(col("n")).as("ng"))
+      val t = byLabel.join(broadcast(global), Seq("pos"))
+        .withColumn("ml", col("s").cast("double") / col("n"))
+        .withColumn("mg", col("sg").cast("double") / col("ng"))
+        .select(col("label"), col("n"),
+          floor(col("ml") * col("mg") + 0.5).cast("long").as("dot_t"),
+          floor(col("ml") * col("ml") + 0.5).cast("long").as("nl_t"),
+          floor(col("mg") * col("mg") + 0.5).cast("long").as("ng_t"),
+          floor((col("ml") - col("mg")) * (col("ml") - col("mg")) + 0.5)
+            .cast("long").as("d2_t"))
+      t.groupBy(col("label"))
+        .agg(
+          max(col("n")).as("n_vecs"),
+          sum(col("dot_t")).as("dot"), sum(col("nl_t")).as("nl"),
+          sum(col("ng_t")).as("ng"), sum(col("d2_t")).as("d2"))
+        .select(
+          col("label"), col("n_vecs"),
+          r(col("dot").cast("double") /
+            (sqrt(col("nl").cast("double")) * sqrt(col("ng").cast("double"))), 6)
+            .as("cos_to_global"),
+          r(sqrt(col("d2").cast("double")) / 1000000, 6).as("l2_shift"))
+    },
+    Some("""
+      WITH comp AS (
+        SELECT label,
+          unnest(range(len(embedding))) AS pos,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS c
+        FROM embeddings),
+      by_label AS (
+        SELECT label, pos, CAST(sum(c) AS BIGINT) AS s, count(*) AS n
+        FROM comp GROUP BY 1, 2),
+      gstats AS (
+        SELECT pos, CAST(sum(s) AS BIGINT) AS sg, CAST(sum(n) AS BIGINT) AS ng
+        FROM by_label GROUP BY 1),
+      t AS (
+        SELECT label, n,
+          CAST(floor((s::DOUBLE / n) * (sg::DOUBLE / ng) + 0.5) AS BIGINT) AS dot_t,
+          CAST(floor((s::DOUBLE / n) * (s::DOUBLE / n) + 0.5) AS BIGINT) AS nl_t,
+          CAST(floor((sg::DOUBLE / ng) * (sg::DOUBLE / ng) + 0.5) AS BIGINT) AS ng_t,
+          CAST(floor((s::DOUBLE / n - sg::DOUBLE / ng)
+                   * (s::DOUBLE / n - sg::DOUBLE / ng) + 0.5) AS BIGINT) AS d2_t
+        FROM by_label JOIN gstats USING (pos))
+      SELECT label, max(n) AS n_vecs,
+        floor(CAST(sum(dot_t) AS BIGINT)::DOUBLE
+              / (sqrt(CAST(sum(nl_t) AS BIGINT)::DOUBLE)
+                 * sqrt(CAST(sum(ng_t) AS BIGINT)::DOUBLE)) * 1000000 + 0.5)
+          / 1000000 AS cos_to_global,
+        floor(sqrt(CAST(sum(d2_t) AS BIGINT)::DOUBLE) / 1000000 * 1000000 + 0.5)
+          / 1000000 AS l2_shift
+      FROM t GROUP BY label"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -6259,7 +6388,7 @@ object QueryCatalog {
     q131, q132, q133, q134, q135, q136, q137, q137b, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163, q164, q165, q166)
+    q161, q162, q163, q164, q165, q166, q167, q168)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
