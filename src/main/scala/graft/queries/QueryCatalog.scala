@@ -6369,6 +6369,107 @@ object QueryCatalog {
           / 1000000 AS l2_shift
       FROM t GROUP BY label"""))
 
+  /** Spark 4 collation surface: a case-insensitive equi-join via
+    * UTF8_LCASE collation — no lower() rewrite on either side, the
+    * comparison itself is collation-aware (and at scale stays a plain
+    * hash join on the collation key). Mixed case is synthesized
+    * deterministically (every even doc_id upper-cased) so both branches
+    * are exercised; the DuckDB twin is the classic lower()-normalized
+    * join, proving the collated join equals the rewrite it replaces. */
+  private val q169 = Q(
+    "q169_collated_join",
+    (s, d) => {
+      import s.implicits._
+      val langNames = Seq(
+        ("en", "English"), ("de", "German"), ("es", "Spanish"),
+        ("fr", "French"), ("zh", "Chinese")).toDF("lang_key", "lang_name")
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0, upper(col("lang")))
+          .otherwise(col("lang")).as("lang_mixed"))
+      docs.join(broadcast(langNames),
+          collate(col("lang_mixed"), "UTF8_LCASE") ===
+            collate(col("lang_key"), "UTF8_LCASE"))
+        .select(col("doc_id"), col("lang_mixed"), col("lang_name"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS lang_mixed
+        FROM documents),
+      names(lang_key, lang_name) AS (VALUES
+        ('en', 'English'), ('de', 'German'), ('es', 'Spanish'),
+        ('fr', 'French'), ('zh', 'Chinese'))
+      SELECT doc_id, lang_mixed, lang_name
+      FROM docs JOIN names ON lower(lang_mixed) = lang_key"""))
+
+  /** XML ingestion surface (`from_xml`, Spark 4): build an XML event
+    * record from real columns, parse it back through a typed schema, and
+    * emit the extracted fields — the q122/q165 synthesize-then-parse
+    * discipline, where the oracle recomputes the SAME fields from the
+    * SOURCE columns, so the parser is checked against ground truth rather
+    * than against another XML parser (DuckDB has none). Round-trip
+    * exactness: ids are integers, the value is r2-rounded before
+    * rendering, and shortest-repr double → string → double is lossless. */
+  private val q170 = Q(
+    "q170_xml_extract",
+    (s, d) => {
+      val xml = concat(
+        lit("<event id=\""), col("event_id"), lit("\">"),
+        lit("<user>"), col("user_id"), lit("</user>"),
+        lit("<type>"), col("event_type"), lit("</type>"),
+        lit("<value>"), r2(col("value")), lit("</value>"),
+        lit("</event>"))
+      Tables.events(s, d)
+        .select(col("event_id").as("source_id"), from_xml(xml,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "_id BIGINT, user BIGINT, type STRING, value DOUBLE")).as("x"))
+        .select(
+          col("source_id"),
+          col("x._id").as("xml_id"),
+          col("x.user").as("user_id"),
+          col("x.type").as("event_type"),
+          col("x.value").as("value"))
+    },
+    Some("""
+      SELECT event_id AS source_id, event_id AS xml_id, user_id, event_type,
+        floor(value*100 + 0.5)/100 AS value
+      FROM events"""))
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
+    * predicate every SCD/CDC merge needs when keys are nullable — plain
+    * `=` silently drops null-key rows, `<=>` matches null to null. Both
+    * sides collapse a nulled-out key (the hottest priority mapped to
+    * NULL) to per-key counts, so the null bucket is REAL on both sides
+    * and must pair up for the row to survive. Still compiles to a plain
+    * hash join — null-safe equality is a valid equi-join key. */
+  private val q171 = Q(
+    "q171_nullsafe_join",
+    (s, d) => {
+      def side(year: Int, as: String) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit(f"$year-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit(f"${year + 1}-01-01")))
+        .groupBy(nullif(col("o_orderpriority"), lit("1-URGENT")).as(s"k_$as"))
+        .agg(count(lit(1)).as(s"n_$as"))
+      side(1995, "a").join(side(1996, "b"), col("k_a") <=> col("k_b"))
+        .select(col("k_a").as("priority_key"), col("n_a"), col("n_b"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT nullif(o_orderpriority, '1-URGENT') AS k, count(*) AS n_a
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1),
+      b AS (
+        SELECT nullif(o_orderpriority, '1-URGENT') AS k, count(*) AS n_b
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1)
+      SELECT a.k AS priority_key, a.n_a, b.n_b
+      FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -6388,7 +6489,7 @@ object QueryCatalog {
     q131, q132, q133, q134, q135, q136, q137, q137b, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163, q164, q165, q166, q167, q168)
+    q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
