@@ -6470,6 +6470,88 @@ object QueryCatalog {
       SELECT a.k AS priority_key, a.n_a, b.n_b
       FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k"""))
 
+  /** Mutual information + chi-squared independence between two
+    * categorical columns (lang × source) from ONE contingency table — the
+    * dependence diagnostic behind stratification choices: MI ≈ 0 says the
+    * columns stratify independently, high Cramér's V says a per-source
+    * language audit is redundant. Exact BIGINT cell/margin counts; each
+    * per-cell MI/chi² term is one closed-form double in identical textual
+    * order both engines, nano-rounded BEFORE the sum (q117/q150
+    * discipline), so no float summation order exists. Three keyed
+    * aggregates + two broadcast-size margin joins; at 100 TB the shuffle
+    * carries one row per (lang, source) cell. */
+  private val q172 = Q(
+    "q172_mutual_information",
+    (s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_ls"))
+      val byLang = cells.groupBy(col("lang")).agg(sum(col("n_ls")).as("n_l"))
+      val bySrc = cells.groupBy(col("source")).agg(sum(col("n_ls")).as("n_s"))
+      val total = cells.agg(
+        sum(col("n_ls")).as("n"),
+        countDistinct(col("lang")).as("k_l"),
+        countDistinct(col("source")).as("k_s"))
+      val t = cells
+        .join(broadcast(byLang), Seq("lang"))
+        .join(broadcast(bySrc), Seq("source"))
+        .join(broadcast(total))
+        .withColumn("e", col("n_l").cast("double") * col("n_s") / col("n"))
+        .select(
+          col("n"), col("k_l"), col("k_s"),
+          floor((col("n_ls").cast("double") / col("n")) *
+            log(col("n_ls").cast("double") * col("n") /
+              (col("n_l").cast("double") * col("n_s"))) * 1e9 + 0.5)
+            .cast("long").as("mi_t"),
+          floor((col("n_ls").cast("double") - col("e")) *
+            (col("n_ls").cast("double") - col("e")) / col("e") * 1e9 + 0.5)
+            .cast("long").as("chi_t"))
+      t.groupBy(col("n"), col("k_l"), col("k_s"))
+        .agg(sum(col("mi_t")).as("mi_sum"), sum(col("chi_t")).as("chi_sum"))
+        .select(
+          col("n"),
+          r(col("mi_sum").cast("double") / 1e9, 6).as("mi_nats"),
+          r(col("chi_sum").cast("double") / 1e9, 4).as("chi2"),
+          ((col("k_l") - 1) * (col("k_s") - 1)).as("dof"),
+          r(sqrt((col("chi_sum").cast("double") / 1e9) /
+            (col("n").cast("double") * least(col("k_l") - 1, col("k_s") - 1))), 6)
+            .as("cramers_v"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ls
+        FROM documents GROUP BY 1, 2),
+      by_lang AS (
+        SELECT lang, CAST(sum(n_ls) AS BIGINT) AS n_l FROM cells GROUP BY 1),
+      by_src AS (
+        SELECT source, CAST(sum(n_ls) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(n_ls) AS BIGINT) AS n,
+          CAST(count(DISTINCT lang) AS BIGINT) AS k_l,
+          CAST(count(DISTINCT source) AS BIGINT) AS k_s
+        FROM cells),
+      t AS (
+        SELECT n, k_l, k_s,
+          CAST(floor((n_ls::DOUBLE / n) *
+            ln(n_ls::DOUBLE * n / (n_l::DOUBLE * n_s)) * 1e9 + 0.5) AS BIGINT)
+            AS mi_t,
+          CAST(floor((n_ls::DOUBLE - n_l::DOUBLE * n_s / n) *
+            (n_ls::DOUBLE - n_l::DOUBLE * n_s / n)
+            / (n_l::DOUBLE * n_s / n) * 1e9 + 0.5) AS BIGINT) AS chi_t
+        FROM cells
+        JOIN by_lang USING (lang)
+        JOIN by_src USING (source)
+        CROSS JOIN tot)
+      SELECT n,
+        floor(CAST(sum(mi_t) AS BIGINT)::DOUBLE / 1e9 * 1000000 + 0.5)
+          / 1000000 AS mi_nats,
+        floor(CAST(sum(chi_t) AS BIGINT)::DOUBLE / 1e9 * 10000 + 0.5)
+          / 10000 AS chi2,
+        (k_l - 1) * (k_s - 1) AS dof,
+        floor(sqrt((CAST(sum(chi_t) AS BIGINT)::DOUBLE / 1e9)
+              / (n::DOUBLE * least(k_l - 1, k_s - 1))) * 1000000 + 0.5)
+          / 1000000 AS cramers_v
+      FROM t GROUP BY n, k_l, k_s"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -6489,7 +6571,8 @@ object QueryCatalog {
     q131, q132, q133, q134, q135, q136, q137, q137b, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171)
+    q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
+    q172)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
