@@ -406,6 +406,21 @@ object Events {
       .drop(s"r_$key")
   }
 
+  /** Stream-static enrichment join — the silver-layer step the reference's
+    * ASA "simple transform" stage performs against reference data
+    * (README.md:66-83): every micro-batch of the stream joins the STATIC
+    * dimension (broadcast when small — the planner sees a bounded batch
+    * relation, so the usual threshold applies). Stateless by contract:
+    * unlike stream-stream joins, no watermark and no join state exist —
+    * the static side is just re-evaluated per micro-batch, which also
+    * means a dim TABLE that changes between batches is picked up (the
+    * slowly-changing-dimension refresh pattern). Left join keeps
+    * unmatched stream rows with null dim columns — fact rows must never
+    * be dropped by incomplete reference data (P7's left-mode rule). */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String], joinType: String = "left"): DataFrame =
+    stream.join(dim, keys, joinType)
+
   /** K2+ as an executable sink: foreachBatch + latest-wins upsert
     * (`Core.upsert`) into a parquet target, made idempotent against batch
     * replays by recording the last applied batchId beside the data — a

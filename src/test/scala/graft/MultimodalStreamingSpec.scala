@@ -36,6 +36,37 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(math.abs(f1(0L).sum - 1.0) < 1e-9)
   }
 
+  test("enrichStream: stream-static join equals batch, keeps unmatched rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("purchase", "revenue"))
+      .toDF("event_type", "category") // no row for "view": left join must keep it
+    val rows = Seq(
+      (0L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "view", 2.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:02:00"), 1L, "purchase", 4.0))
+    val batch = Events.enrichStream(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"), dim,
+      keys = Seq("event_type"))
+      .select($"event_id", $"category").orderBy($"event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(batch.toSeq == Seq(
+      (0L, Some("engagement")), (1L, None), (2L, Some("revenue"))))
+
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    stream.addData(rows: _*)
+    val sdf = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    // stateless: legal in append mode with NO watermark on either side
+    val q = Events.enrichStream(sdf, dim, keys = Seq("event_type"))
+      .select($"event_id", $"category")
+      .writeStream.format("memory").queryName("ss_join").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    q.stop()
+    val streamGot = spark.sql("SELECT * FROM ss_join").orderBy($"event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(streamGot.toSeq == batch.toSeq)
+  }
+
   test("multimodal: frame sampling batch shape") {
     val frames = Multimodal.frameSample(Multimodal.attachPayload(docs), stride = 4)
     val h = frames.filter($"doc_id" === 1L).head().getAs[scala.collection.Seq[Array[Byte]]]("frames")
