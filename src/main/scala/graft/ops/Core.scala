@@ -227,6 +227,45 @@ object Core {
     * `compareCols` defaults to every shared non-key column. Keys must be
     * unique per side (the usual snapshot contract); duplicate keys would
     * fan out the join. */
+  /** SCD2 (slowly-changing-dimension type 2) history construction between
+    * two snapshots — the HISTORIZED form of [[snapshotDiff]]: instead of
+    * emitting change rows, emit the version intervals a warehouse keeps.
+    * One row per (key, version): `valid_from`/`valid_to` labels, open rows
+    * have null `valid_to`. Changed keys close the old version at
+    * `newVersion` and open a new one; deleted keys close with no
+    * successor; unchanged keys keep their open `oldVersion` row; inserted
+    * keys open at `newVersion`. Same full-outer + null-safe compare core
+    * as snapshotDiff (one shuffle on the keys); on a Delta deployment
+    * this is the MERGE-with-history pattern, expressed connector-free. */
+  def scd2(old: DataFrame, neu: DataFrame, keys: Seq[String],
+      compareCols: Seq[String], oldVersion: String, newVersion: String): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    val cmp = compareCols
+    val reserved = Seq("__o", "__n") ++ cmp.flatMap(c => Seq(s"__o_$c", s"__n_$c"))
+    require(!(old.columns ++ neu.columns).exists(reserved.contains),
+      "scd2 reserves __o/__n-prefixed column names")
+    val o = old.select(
+      keys.map(col) ++ cmp.map(c => col(c).as(s"__o_$c")) :+ lit(1).as("__o"): _*)
+    val n = neu.select(
+      keys.map(col) ++ cmp.map(c => col(c).as(s"__n_$c")) :+ lit(1).as("__n"): _*)
+    val changed = cmp.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val j = o.join(n, keys, "full_outer")
+    def emit(side: String, from: String, to: Option[String]) =
+      j.select(keys.map(col) ++ cmp.map(c => col(s"__${side}_$c").as(c))
+        :+ lit(from).as("valid_from")
+        :+ to.map(lit(_)).getOrElse(lit(null).cast("string")).as("valid_to")
+        :+ col("__o") :+ col("__n") :+ changed.as("__chg"): _*)
+    val closedOld = emit("o", oldVersion, Some(newVersion))
+      .filter(col("__o") === 1 && (col("__n").isNull || col("__chg")))
+    val openOld = emit("o", oldVersion, None)
+      .filter(col("__o") === 1 && col("__n") === 1 && !col("__chg"))
+    val openNew = emit("n", newVersion, None)
+      .filter(col("__n") === 1 && (col("__o").isNull || col("__chg")))
+    closedOld.unionAll(openOld).unionAll(openNew)
+      .drop("__o", "__n", "__chg")
+  }
+
   def snapshotDiff(old: DataFrame, neu: DataFrame, keys: Seq[String],
       compareCols: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff needs at least one key column")

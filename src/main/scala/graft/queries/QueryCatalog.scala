@@ -6552,6 +6552,83 @@ object QueryCatalog {
           / 1000000 AS cramers_v
       FROM t GROUP BY n, k_l, k_s"""))
 
+  /** SCD2 history construction (Core.scd2): two yearly per-priority
+    * snapshots become the version-interval table a warehouse keeps — the
+    * historized form of q70's change rows. The snapshots deliberately
+    * disagree on key coverage ('5-LOW' retired from the old year,
+    * '1-URGENT' absent from the new) so every SCD2 row shape is real:
+    * closed-with-successor (update), closed-without (delete), open
+    * unchanged, open inserted. One full-outer shuffle on the key; the
+    * Delta deployment of this is MERGE-with-history. */
+  private val q173 = Q(
+    "q173_scd2_history",
+    (s, d) => {
+      def snap(year: Int, dropPriority: String) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit(f"$year-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit(f"${year + 1}-01-01")) &&
+          col("o_orderpriority") =!= dropPriority)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      Core.scd2(
+        snap(1995, "5-LOW"), snap(1996, "1-URGENT"),
+        keys = Seq("o_orderpriority"), compareCols = Seq("n_orders"),
+        oldVersion = "1995", newVersion = "1996")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND o_orderpriority <> '5-LOW'
+        GROUP BY 1),
+      n AS (
+        SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND o_orderpriority <> '1-URGENT'
+        GROUP BY 1),
+      j AS (
+        SELECT coalesce(o.o_orderpriority, n.o_orderpriority) AS k,
+          o.n_orders AS o_n, n.n_orders AS n_n,
+          o.o_orderpriority IS NOT NULL AS has_o,
+          n.o_orderpriority IS NOT NULL AS has_n,
+          (o.n_orders IS DISTINCT FROM n.n_orders) AS chg
+        FROM o FULL JOIN n ON o.o_orderpriority = n.o_orderpriority)
+      SELECT k AS o_orderpriority, o_n AS n_orders,
+        '1995' AS valid_from, '1996' AS valid_to
+      FROM j WHERE has_o AND (NOT has_n OR chg)
+      UNION ALL
+      SELECT k, o_n, '1995', NULL FROM j WHERE has_o AND has_n AND NOT chg
+      UNION ALL
+      SELECT k, n_n, '1996', NULL FROM j WHERE has_n AND (NOT has_o OR chg)"""))
+
+  /** Nested (telescoping) corpus subsets for scaling-law runs: ONE
+    * md5-uniform per doc yields 1% ⊂ 10% ⊂ 100% tiers simultaneously —
+    * the 1% set is a true subset of the 10% set by construction (same
+    * hash, nested thresholds), so per-scale training runs are comparable.
+    * A fresh draw per tier would break nesting AND reproducibility; this
+    * is q47's hash-sampling discipline extended to telescoping tiers.
+    * Pure map-side, zero shuffle. */
+  private val q174 = Q(
+    "q174_nested_subsets",
+    (s, d) => {
+      val u = graft.ops.Corpus.uniformHash(col("doc_id"), "graft-tiers")
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        when(u < 0.01, lit(1)).when(u < 0.1, lit(10)).otherwise(lit(100))
+          .as("smallest_tier_pct"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, lang,
+          (('0x' || substr(md5(doc_id::VARCHAR || 'graft-tiers'), 1, 15))::BIGINT)::DOUBLE
+            / 1152921504606846976 AS uh
+        FROM documents)
+      SELECT doc_id, lang,
+        CAST(CASE WHEN uh < 0.01 THEN 1 WHEN uh < 0.1 THEN 10 ELSE 100 END
+          AS INT) AS smallest_tier_pct
+      FROM u"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -6572,7 +6649,7 @@ object QueryCatalog {
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172)
+    q172, q173, q174)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
