@@ -6629,6 +6629,108 @@ object QueryCatalog {
           AS INT) AS smallest_tier_pct
       FROM u"""))
 
+  /** k-anonymity audit over quasi-identifiers — the privacy gate beside
+    * q52's PII redaction: redaction removes direct identifiers, but a
+    * (lang, source, length-bucket) combination occurring in < k documents
+    * can still single someone out on release. One exact hash aggregate
+    * flags every sub-k group and sizes the suppression cost (how many
+    * docs a k-anonymous release must drop or generalize). At 100 TB the
+    * shuffle carries one row per QI combination. */
+  private val q175 = Q(
+    "q175_k_anonymity",
+    (s, d) => {
+      val k = 5
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          (col("n_chars") / 100).cast("int").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("k_anonymous", col("n_docs") >= k)
+        .withColumn("suppressed_docs",
+          when(col("n_docs") < k, col("n_docs")).otherwise(lit(0L)))
+    },
+    Some("""
+      SELECT lang, source,
+        CAST(n_chars // 100 AS INT) AS len_bucket,
+        count(*) AS n_docs,
+        count(*) >= 5 AS k_anonymous,
+        CASE WHEN count(*) < 5 THEN count(*) ELSE 0 END AS suppressed_docs
+      FROM documents
+      GROUP BY 1, 2, 3"""))
+
+  /** BPE-style merge training as iterative dataflow: 3 rounds of
+    * (count adjacent token pairs → argmax with deterministic tiebreak →
+    * greedy left-to-right merge), the core loop of tokenizer training
+    * (Sennrich et al. 2016) run corpus-wide on the engine. The merge
+    * APPLICATION is the trick: docs live as '|tok||tok|'-delimited
+    * strings, so one literal `replace('|a||b|' → '|a+b|')` IS the greedy
+    * non-overlapping left-to-right merge — both engines' replace has
+    * exactly those semantics (validated against an imperative reference).
+    * Per round: one pair-count shuffle + a 1-row winner broadcast; fully
+    * declarative here (3 unrolled rounds, bounded recompute), per-round
+    * `localCheckpoint` at production depth like connectedComponents.
+    * Output: the 3 learned merges with pair counts and the corpus token
+    * count after each round. */
+  private val q176 = Q(
+    "q176_bpe_merges",
+    (s, d) => {
+      def toks(sc: Column) = split(regexp_replace(sc, "^\\||\\|$", ""), "\\|\\|")
+      def pairCounts(corpus: DataFrame) = corpus
+        .select(toks(col("s")).as("t"))
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(element_at(col("t"), i).as("a"),
+            element_at(col("t"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+      def winner(corpus: DataFrame) =
+        pairCounts(corpus).orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+      def applyMerge(corpus: DataFrame, w: DataFrame) =
+        corpus.crossJoin(broadcast(w)).select(col("doc_id"), expr(
+          "replace(s, '|' || a || '||' || b || '|', '|' || a || '+' || b || '|')").as("s"))
+      def tokensAfter(corpus: DataFrame) = corpus
+        .select(size(toks(col("s"))).cast("long").as("k"))
+        .agg(sum(col("k")).as("tokens_after"))
+      var corpus = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(lit("|"), array_join(split(col("text"), " "), "||"), lit("|")).as("s"))
+      val rounds = (1 to 3).map { r =>
+        val w = winner(corpus)
+        val next = applyMerge(corpus, w)
+        val row = w.crossJoin(broadcast(tokensAfter(next))).select(
+          lit(r).as("round"), col("a").as("left_tok"), col("b").as("right_tok"),
+          col("n").as("pair_count"), col("tokens_after"))
+        corpus = next
+        row
+      }
+      rounds.reduce(_.unionAll(_))
+    },
+    Some {
+      def round(src: String, i: Int) = s"""p$i AS (
+        SELECT u.p.a AS a, u.p.b AS b, count(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(t)),
+            i -> struct_pack(a := t[i], b := t[i+1]))) AS p
+          FROM (SELECT string_split(trim(s, '|'), '||') AS t FROM $src)) u
+        GROUP BY 1, 2),
+      w$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+      r$i AS (
+        SELECT doc_id, replace(s, '|' || w$i.a || '||' || w$i.b || '|',
+                                  '|' || w$i.a || '+' || w$i.b || '|') AS s
+        FROM $src CROSS JOIN w$i),
+      a$i AS (SELECT CAST(sum(len(string_split(trim(s, '|'), '||'))) AS BIGINT)
+                AS tokens_after FROM r$i)"""
+      s"""
+      WITH r0 AS (
+        SELECT doc_id,
+          '|' || array_to_string(string_split(text, ' '), '||') || '|' AS s
+        FROM documents),
+      ${round("r0", 1)},
+      ${round("r1", 2)},
+      ${round("r2", 3)}
+      SELECT CAST(1 AS INT) AS round, a AS left_tok, b AS right_tok,
+        n AS pair_count, tokens_after FROM w1 CROSS JOIN a1
+      UNION ALL SELECT 2, a, b, n, tokens_after FROM w2 CROSS JOIN a2
+      UNION ALL SELECT 3, a, b, n, tokens_after FROM w3 CROSS JOIN a3"""
+    })
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -6649,7 +6751,7 @@ object QueryCatalog {
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174)
+    q172, q173, q174, q175, q176)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -33,8 +33,11 @@ class PlanAuditSpec extends SparkSpec {
     // q137b), 1-row stats broadcasts (q38/q57/q63/q69/q74/q82/q88/q140/
     // q150/q159), bounded histogram/frontier sides (q117/q125/q149/q156),
     // pair/range predicates over bounded sides (q44/q51/q108/q146), and
-    // PageRank's dangling-mass 1-row broadcast (q128), and q172's 1-row
-    // contingency-total broadcast. A NEW BNLJ — or a
+    // PageRank's dangling-mass 1-row broadcast (q128), q172's 1-row
+    // contingency-total broadcast, and q176's per-round 1-row BPE winner
+    // broadcasts (12 = the 3 unrolled rounds' winner+stats crossJoins,
+    // multiplied by lineage duplication of earlier rounds in the static
+    // plan). A NEW BNLJ — or a
     // count regression on an existing one — fails by name.
     val allowedBnlj = Map(
       "q108_pmi_cooccur" -> 1, "q117_bm25" -> 2, "q125_rrf_fusion" -> 3,
@@ -42,7 +45,7 @@ class PlanAuditSpec extends SparkSpec {
       "q140_mixture_weights" -> 1, "q146_triangle_count" -> 2,
       "q149_ks_drift" -> 3, "q150_psi_drift" -> 1, "q156_jsd_drift" -> 2,
       "q159_dataset_card" -> 1, "q172_mutual_information" -> 1,
-      "q23_cosine_topk" -> 1,
+      "q176_bpe_merges" -> 12, "q23_cosine_topk" -> 1,
       "q38_trends_gold" -> 1, "q44_theta_cohorts" -> 1,
       "q51_range_join" -> 1, "q57_tfidf" -> 1,
       "q63_temperature_sample" -> 1, "q69_bigram_lm" -> 1,
