@@ -6731,6 +6731,47 @@ object QueryCatalog {
       UNION ALL SELECT 3, a, b, n, tokens_after FROM w3 CROSS JOIN a3"""
     })
 
+  /** Batch model inference in the engine: a frozen logistic-regression
+    * head scored over the embedding column — the quality-classifier
+    * serving shape every curation stack runs (FineWeb-style classifier
+    * sweeps). The model IS data: 64 weights + bias as literals folded
+    * into the codegen'd vec_dot (the frozen-artifact discipline of
+    * q137b/q164 — deterministic seedless weights here, since the point is
+    * the serving shape, not the fit). Map-side score + sigmoid, top-20 by
+    * raw score with the unique tiebreak → TakeOrderedAndProject; no
+    * shuffle other than the top-k. The twin evaluates the identical
+    * literals through list_dot_product. */
+  private val q177 = {
+    // deterministic pseudo-random weights, same derivation style as
+    // Similarity.planes (seedless function of (j, tag) — reproducible)
+    val w = Array.tabulate(64) { j =>
+      (scala.util.hashing.MurmurHash3.productHash((j, "graft-linear")) % 1000) / 1000.0
+    }
+    val bias = -0.1
+    Q(
+      "q177_linear_scoring",
+      (s, d) => {
+        graft.plans.GraftExtensions.install(s)
+        val z = graft.functions.VectorDot.vec_dot(
+          transform(col("embedding"), x => x.cast("double")),
+          array(w.map(lit).toIndexedSeq: _*)) + lit(bias)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            (lit(1.0) / (lit(1.0) + exp(-z))).as("sc"))
+          .orderBy(col("sc").desc, col("vec_id").asc)
+          .limit(20)
+          .select(col("vec_id"), col("label"), r(col("sc"), 6).as("score"))
+      },
+      Some(s"""
+      WITH s AS (
+        SELECT vec_id, label,
+          1.0 / (1.0 + exp(-(list_dot_product(embedding::DOUBLE[],
+            ${w.map(_.toString).mkString("[", ", ", "]")}) + $bias))) AS sc
+        FROM embeddings)
+      SELECT vec_id, label, floor(sc * 1000000 + 0.5) / 1000000 AS score
+      FROM s ORDER BY sc DESC, vec_id ASC LIMIT 20"""))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -6751,7 +6792,7 @@ object QueryCatalog {
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176)
+    q172, q173, q174, q175, q176, q177)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -85,6 +85,33 @@ class CoreSpec extends SparkSpec {
     assert(flips.toSeq == Seq((1L, "now", "update")))
   }
 
+  test("scd2 history: every row shape, one open row per surviving key") {
+    val vOld = Seq(
+      (1L, 10.0),  // unchanged -> one open 1995 row
+      (2L, 20.0),  // updated   -> closed 1995 + open 1996
+      (3L, 30.0)   // deleted   -> closed 1995, no successor
+    ).toDF("k", "x")
+    val vNew = Seq(
+      (1L, 10.0),
+      (2L, 25.0),
+      (4L, 40.0)   // inserted  -> open 1996
+    ).toDF("k", "x")
+    val got = Core.scd2(vOld, vNew, Seq("k"), Seq("x"), "1995", "1996")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), Option(r.getString(3))))
+      .sortBy(t => (t._1, t._3))
+    assert(got.toSeq == Seq(
+      (1L, 10.0, "1995", None),           // unchanged: still-open original
+      (2L, 20.0, "1995", Some("1996")),   // closed with successor
+      (2L, 25.0, "1996", None),           // the successor
+      (3L, 30.0, "1995", Some("1996")),   // closed, no successor
+      (4L, 40.0, "1996", None)), got.toString)
+    // invariant: every key present in the NEW snapshot has EXACTLY one
+    // open row; keys only in the old snapshot have none
+    val openByKey = got.filter(_._4.isEmpty).groupBy(_._1).view.mapValues(_.length).toMap
+    assert(openByKey == Map(1L -> 1, 2L -> 1, 4L -> 1))
+  }
+
   test("unionAll is name-based, column order free") {
     val a = Seq((1, "x")).toDF("id", "v")
     val b = Seq(("y", 2)).toDF("v", "id")
