@@ -58,6 +58,16 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("raising tau only shrinks the dropped set (monotonicity)") {
+    def dropped(tau: Double) = SemDedup.semDedup(emb, tau).collect()
+      .filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    val loose = dropped(0.35)
+    val tight = dropped(0.45)
+    assert(tight.subsetOf(loose),
+      s"tau=0.45 dropped ${tight.diff(loose)} that tau=0.35 kept")
+    assert(tight.size < loose.size, "fixture should separate the two taus")
+  }
+
   test("deterministic across runs") {
     def run() = SemDedup.semDedup(emb, tau = 0.40).collect()
       .map(r => (r.getLong(0), r.getInt(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
