@@ -6772,6 +6772,249 @@ object QueryCatalog {
       FROM s ORDER BY sc DESC, vec_id ASC LIMIT 20"""))
   }
 
+  /** Deterministic data augmentation (token dropout): each (doc, position)
+    * draws its own md5-uniform, positions under the 10% rate drop, and the
+    * augmented text is fingerprinted — reproducible augmentation, the
+    * property `rand()`-based dropout can never give (same augmented corpus
+    * on any engine, any run, any retry; the q47 hash-sampling discipline
+    * at token granularity). Pure map-side HOF algebra on the Spark side
+    * (indexed filter lambda), zero shuffle. */
+  private val q178 = Q(
+    "q178_token_dropout",
+    (s, d) => {
+      def u(pos: Column) = conv(substring(
+        md5(concat(col("doc_id"), lit("-"), pos, lit("-aug"))), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1152921504606846976L).cast("double")
+      val toks = split(col("text"), " ")
+      val kept = filter(toks, (_, i) => u(i) >= 0.1)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_orig"),
+        size(kept).as("n_kept"),
+        conv(substring(md5(array_join(kept, " ")), 1, 15), 16, 10)
+          .cast("long").as("aug_fingerprint"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT doc_id,
+          unnest(range(len(string_split(text, ' ')))) AS pos,
+          unnest(string_split(text, ' ')) AS tok,
+          len(string_split(text, ' ')) AS n_orig
+        FROM documents),
+      flagged AS (
+        SELECT doc_id, n_orig, pos, tok,
+          (('0x' || substr(md5(doc_id::VARCHAR || '-' || pos::VARCHAR || '-aug'), 1, 15))::BIGINT)::DOUBLE
+              / 1152921504606846976 >= 0.1 AS keep
+        FROM ex)
+      -- string_agg skips the CASE's NULLs, so a doc whose every token
+      -- drops still emits a row (empty-string fingerprint), matching the
+      -- Spark side's always-present filter result
+      SELECT doc_id, CAST(any_value(n_orig) AS INT) AS n_orig,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        ('0x' || substr(md5(coalesce(
+          string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY pos), '')), 1, 15))::BIGINT
+          AS aug_fingerprint
+      FROM flagged GROUP BY doc_id"""))
+
+  /** Approximate-operator METROLOGY inside the engine: q21's MinHash-LSH
+    * candidate generation evaluated against exact SHINGLE-Jaccard ground
+    * truth — TP/FP/FN, recall and precision as one query. This is how a
+    * 100 TB pipeline certifies banding parameters before a full run:
+    * truth by all-pairs on a bounded deterministic 20% sample, candidates
+    * by the production banding, both exact integers. The fixture has
+    * almost no natural shingle-level near-dups, so the sample is AUGMENTED
+    * with deterministic mutated twins (every 13th token dropped → planted
+    * pairs at shingle-Jaccard ≈ 0.63, exactly the regime 4×4 banding is
+    * supposed to catch about half of — the measured recall says whether
+    * the parameters deliver). Truth is measured (all pairs ≥ 0.5), never
+    * assumed from the planting. The twin recomputes the identical md5
+    * minhash algebra. */
+  private val q179 = Q(
+    "q179_lsh_quality",
+    (s, d) => {
+      val M = 2147483647L
+      def hexint(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val sampled = Tables.documents(s, d)
+        .filter(graft.ops.Corpus.uniformHash(col("doc_id"), "lsh-eval") < 0.2)
+        .select(col("doc_id"), col("text"))
+      val variants = sampled.select(
+        (col("doc_id") + 1000000000L).as("doc_id"),
+        array_join(filter(split(col("text"), " "),
+          (_, i) => i % 13 =!= 0), " ").as("text"))
+      val corpus = sampled.unionAll(variants)
+      val toks = split(col("text"), " ")
+      def shingleSet(tks: Column) = array_distinct(transform(
+        sequence(lit(1), size(tks) - 2),
+        i => concat_ws(" ", element_at(tks, i),
+          element_at(tks, i + 1), element_at(tks, i + 2))))
+      // exact ground truth: all pairs on the bounded corpus, shingle
+      // Jaccard >= 0.5 (what MinHash actually estimates)
+      val tokset = corpus.filter(size(toks) >= 3)
+        .select(col("doc_id"), shingleSet(toks).as("ts"))
+      val jac = size(array_intersect(col("a.ts"), col("b.ts"))).cast("double") /
+        size(array_union(col("a.ts"), col("b.ts")))
+      val truth = tokset.as("a").join(tokset.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (jac >= 0.5).as("is_dup"))
+      // production candidates: q21's 16-minhash / 4-band bucketing
+      val shingleRows = corpus
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("sh"))
+        .select(col("doc_id"), (hexint(col("sh")) % M).as("h"))
+      val minCols = (0 until 16).map(seed =>
+        min((col("h") * (seed * 2 + 1) + seed * 1000003L) % M).as(s"m$seed"))
+      val banded = shingleRows.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"), array((0 until 16).map(i => col(s"m$i")): _*).as("mh"))
+        .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)), b => struct(
+          b.as("band_id"),
+          md5(array_join(transform(slice(col("mh"), b * 4 + 1, lit(4)),
+            x => x.cast("string")), "|")).as("band_hash")))).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      val cand = banded.groupBy(col("band_id"), col("band_hash"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(flatten(transform(
+          sequence(lit(1), size(col("ids")) - 1),
+          i => transform(
+            sequence(i + 1, size(col("ids"))),
+            j => struct(
+              element_at(col("ids"), i).as("doc_a"),
+              element_at(col("ids"), j).as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b")).distinct()
+        .withColumn("is_cand", lit(true))
+      truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+        .select(
+          coalesce(col("is_dup"), lit(false)).as("is_dup"),
+          coalesce(col("is_cand"), lit(false)).as("is_cand"))
+        .agg(
+          sum(when(col("is_dup") && col("is_cand"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("is_dup") && col("is_cand"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("is_dup") && !col("is_cand"), 1L).otherwise(0L)).as("fn"))
+        .select(col("tp"), col("fp"), col("fn"),
+          r(col("tp").cast("double") /
+            greatest(col("tp") + col("fn"), lit(1L)), 6).as("recall"),
+          r(col("tp").cast("double") /
+            greatest(col("tp") + col("fp"), lit(1L)), 6).as("precision"))
+    },
+    Some("""
+      WITH sampled AS (
+        SELECT doc_id, text FROM documents
+        WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'lsh-eval'), 1, 15))::BIGINT)::DOUBLE
+              / 1152921504606846976 < 0.2),
+      variants AS (
+        SELECT doc_id + 1000000000 AS doc_id,
+          array_to_string(list_filter(string_split(text, ' '),
+            (x, i) -> (i - 1) % 13 <> 0), ' ') AS text
+        FROM sampled),
+      corpus AS (SELECT * FROM sampled UNION ALL SELECT * FROM variants),
+      tokset AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ts
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+        WHERE len(toks) >= 3),
+      truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          (len(list_intersect(a.ts, b.ts))::DOUBLE
+           / len(list_distinct(list_concat(a.ts, b.ts)))) >= 0.5 AS is_dup
+        FROM tokset a JOIN tokset b ON a.doc_id < b.doc_id),
+      sh AS (
+        SELECT doc_id, toks,
+          list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+        WHERE len(toks) >= 3),
+      m AS (
+        SELECT doc_id,
+          list_transform(range(0, 16), seed ->
+            list_min(list_transform(shingles, sg ->
+              ((('0x' || substr(md5(sg), 1, 15))::BIGINT % 2147483647)
+               * (seed*2 + 1) + seed*1000003) % 2147483647))) AS mh
+        FROM sh),
+      banded AS (
+        SELECT doc_id, b.band_id,
+          md5(array_to_string(list_transform(mh[b.band_id*4+1 : b.band_id*4+4],
+            x -> x::VARCHAR), '|')) AS band_hash
+        FROM m, (SELECT unnest([0,1,2,3]) AS band_id) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, true AS is_cand
+        FROM banded a JOIN banded b2
+          ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+         AND a.doc_id < b2.doc_id),
+      j AS (
+        SELECT coalesce(t.is_dup, false) AS is_dup,
+          coalesce(c.is_cand, false) AS is_cand
+        FROM truth t FULL JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+      SELECT
+        CAST(sum(CASE WHEN is_dup AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN NOT is_dup AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN is_dup AND NOT is_cand THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        floor(sum(CASE WHEN is_dup AND is_cand THEN 1 ELSE 0 END)::DOUBLE
+              / greatest(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 1)
+              * 1000000 + 0.5) / 1000000 AS recall,
+        floor(sum(CASE WHEN is_dup AND is_cand THEN 1 ELSE 0 END)::DOUBLE
+              / greatest(sum(CASE WHEN is_cand THEN 1 ELSE 0 END), 1)
+              * 1000000 + 0.5) / 1000000 AS precision
+      FROM j"""))
+
+  /** q89's exact equi-depth histogram WITHOUT the 3-task ceiling: the
+    * sf3 probe measured q89 at 4.3× for 3× data because ntile's window
+    * partitions by the 3-value returnflag — parallelism caps at 3 and
+    * each task sorts n/3 rows. This form distributes the same total
+    * order across a RANGE exchange (Corpus.globalIndex: many partitions,
+    * each sorted locally, zipWithIndex offsets — no single-task sort),
+    * then recovers ntile's exact remainder-first bucket assignment by
+    * CLOSED-FORM integer arithmetic from (per-group index, group size):
+    * first n%8 buckets get ⌈n/8⌉ rows, the rest ⌊n/8⌋, assigned in
+    * order. Row-identical to q89 by construction — the oracle is the
+    * SAME ntile SQL — so the scalable plan is proven, not argued. The
+    * group-offset window runs over a 3-row aggregate (bounded). */
+  private val q89b = Q(
+    "q89b_equidepth_scalable",
+    (s, d) => {
+      import graft.ops.Corpus
+      val base = Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      val idxed = Corpus.globalIndex(base,
+        Seq(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber")),
+        numPartitions = 16, indexName = "gidx")
+      val offs = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("grp_n"))
+        .withColumn("off", coalesce(
+          sum(col("grp_n")).over(Window.orderBy(col("l_returnflag"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      idxed.join(broadcast(offs), Seq("l_returnflag"))
+        .withColumn("idx", col("gidx") - col("off"))
+        .withColumn("bucket", expr("""
+          CAST(CASE WHEN idx < (grp_n % 8) * (grp_n DIV 8 + 1)
+            THEN idx DIV (grp_n DIV 8 + 1)
+            ELSE (grp_n % 8) + (idx - (grp_n % 8) * (grp_n DIV 8 + 1)) DIV (grp_n DIV 8)
+          END + 1 AS INT)"""))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          r2(min(col("l_extendedprice"))).as("lo"),
+          r2(max(col("l_extendedprice"))).as("hi"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT l_returnflag, l_extendedprice,
+          ntile(8) OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        FROM lineitem)
+      SELECT l_returnflag, bucket, count(*) AS n,
+        floor(min(l_extendedprice)*100 + 0.5)/100 AS lo,
+        floor(max(l_extendedprice)*100 + 0.5)/100 AS hi
+      FROM b GROUP BY 1, 2"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -6792,7 +7035,7 @@ object QueryCatalog {
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176, q177)
+    q172, q173, q174, q175, q176, q177, q178, q179, q89b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

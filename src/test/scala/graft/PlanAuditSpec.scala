@@ -18,12 +18,17 @@ class PlanAuditSpec extends SparkSpec {
     //   q154_sketch_wau: the trailing merge window sees one sketch row per
     //     DAY (tiny mergeable state at any sf);
     //   q74_vocab_coverage: sort+limit prunes to the top-40 vocab rows
-    //     before the rank window (40 rows at any corpus size).
+    //     before the rank window (40 rows at any corpus size);
+    //   q89b_equidepth_scalable: offset window over the 3-row group-count
+    //     aggregate.
     val allowedGlobalWindows = Map(
       "q125_rrf_fusion" -> 2,
       "q131_pareto_frontier" -> 1,
       "q154_sketch_wau" -> 1,
-      "q74_vocab_coverage" -> 1)
+      "q74_vocab_coverage" -> 1,
+      // q89b: the group-offset running sum runs over the 3-row
+      // per-returnflag count aggregate (bounded by the key cardinality)
+      "q89b_equidepth_scalable" -> 1)
 
     // BNLJ allowlist: BroadcastNestedLoopJoinExec is legitimate exactly
     // when the broadcast side is BOUNDED (a handful of query rows, a
@@ -45,7 +50,11 @@ class PlanAuditSpec extends SparkSpec {
       "q140_mixture_weights" -> 1, "q146_triangle_count" -> 2,
       "q149_ks_drift" -> 3, "q150_psi_drift" -> 1, "q156_jsd_drift" -> 2,
       "q159_dataset_card" -> 1, "q172_mutual_information" -> 1,
-      "q176_bpe_merges" -> 12, "q23_cosine_topk" -> 1,
+      "q176_bpe_merges" -> 12,
+      // q179: the ground-truth all-pairs join runs on the BOUNDED 20%
+      // metrology sample by design (truth must be exact there)
+      "q179_lsh_quality" -> 1,
+      "q23_cosine_topk" -> 1,
       "q38_trends_gold" -> 1, "q44_theta_cohorts" -> 1,
       "q51_range_join" -> 1, "q57_tfidf" -> 1,
       "q63_temperature_sample" -> 1, "q69_bigram_lm" -> 1,
