@@ -411,10 +411,13 @@ object Events {
     * (README.md:66-83): every micro-batch of the stream joins the STATIC
     * dimension (broadcast when small — the planner sees a bounded batch
     * relation, so the usual threshold applies). Stateless by contract:
-    * unlike stream-stream joins, no watermark and no join state exist —
-    * the static side is just re-evaluated per micro-batch, which also
-    * means a dim TABLE that changes between batches is picked up (the
-    * slowly-changing-dimension refresh pattern). Left join keeps
+    * unlike stream-stream joins, no watermark and no join state exist.
+    * Dim-refresh caveat (measured, not assumed): a PLAIN-PARQUET static
+    * side does NOT see files changed after query start — the listing is
+    * frozen at plan time, and an overwrite mid-stream fails the query
+    * with FAILED_READ_FILE. Live dim refresh needs a snapshot-isolated
+    * table format (Delta — environment-deferred here) or a re-read
+    * inside foreachBatch (the `upsertSink` pattern). Left join keeps
     * unmatched stream rows with null dim columns — fact rows must never
     * be dropped by incomplete reference data (P7's left-mode rule). */
   def enrichStream(stream: DataFrame, dim: DataFrame,
