@@ -7015,6 +7015,54 @@ object QueryCatalog {
         floor(max(l_extendedprice)*100 + 0.5)/100 AS hi
       FROM b GROUP BY 1, 2"""))
 
+  /** Incremental aggregate maintenance: yesterday's per-key aggregate
+    * state plus today's CDC rows produce today's aggregate WITHOUT
+    * rescanning the base — the materialized-view maintenance identity
+    * (agg_new = agg_old + Σinserts − Σdeletes per key) that makes daily
+    * 100 TB rollups O(changes), not O(corpus). Old/new snapshots are
+    * carved from orders by modulus so both real deletes and real inserts
+    * exist; the ORACLE IS THE FULL RECOMPUTE over the new snapshot, so a
+    * green row proves increment ≡ recompute exactly. Works for the
+    * self-inverting aggregates (count, sum — exact BIGINT cents here);
+    * min/max are NOT incrementally maintainable under deletes and are
+    * deliberately absent (that is what the q154-style sketch partials or
+    * a recompute handle). */
+  private val q180 = Q(
+    "q180_incremental_agg",
+    (s, d) => {
+      val orders = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val oldSnap = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val newSnap = orders.filter(col("o_orderkey") % 5 =!= 0)
+      val oldAgg = oldSnap.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      // CDC between the snapshots: rows leaving = deletes, arriving = inserts
+      val deletes = oldSnap.join(newSnap.select(col("o_orderkey")),
+        Seq("o_orderkey"), "left_anti")
+      val inserts = newSnap.join(oldSnap.select(col("o_orderkey")),
+        Seq("o_orderkey"), "left_anti")
+      val delta = deletes.select(col("o_orderpriority"),
+          lit(-1L).as("dn"), (-col("cents")).as("dc"))
+        .unionAll(inserts.select(col("o_orderpriority"),
+          lit(1L).as("dn"), col("cents").as("dc")))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+      oldAgg.join(delta, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+          (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("total_cents"))
+        .filter(col("n_orders") > 0)
+    },
+    Some("""
+      SELECT o_orderpriority,
+        count(*) AS n_orders,
+        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          AS total_cents
+      FROM orders
+      WHERE o_orderkey % 5 <> 0
+      GROUP BY 1"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -7035,7 +7083,7 @@ object QueryCatalog {
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176, q177, q178, q179, q89b)
+    q172, q173, q174, q175, q176, q177, q178, q179, q180, q89b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
