@@ -6820,7 +6820,11 @@ object QueryCatalog {
     * candidate generation evaluated against exact SHINGLE-Jaccard ground
     * truth — TP/FP/FN, recall and precision as one query. This is how a
     * 100 TB pipeline certifies banding parameters before a full run:
-    * truth by all-pairs on a bounded deterministic 20% sample, candidates
+    * truth by all-pairs on an ABSOLUTELY bounded deterministic sample —
+    * the rate is derived from the corpus count to target ~100 docs at
+    * ANY scale (proportional sampling would quietly turn the truth join
+    * quadratic as the corpus grows; measured 41.7 s at sf0.1 before this
+    * bound, 1-2 s after), candidates
     * by the production banding, both exact integers. The fixture has
     * almost no natural shingle-level near-dups, so the sample is AUGMENTED
     * with deterministic mutated twins (every 13th token dropped → planted
@@ -6834,8 +6838,11 @@ object QueryCatalog {
     (s, d) => {
       val M = 2147483647L
       def hexint(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val total = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
       val sampled = Tables.documents(s, d)
-        .filter(graft.ops.Corpus.uniformHash(col("doc_id"), "lsh-eval") < 0.2)
+        .crossJoin(broadcast(total))
+        .filter(graft.ops.Corpus.uniformHash(col("doc_id"), "lsh-eval") <
+          least(lit(0.2), lit(100.0) / col("n_total")))
         .select(col("doc_id"), col("text"))
       val variants = sampled.select(
         (col("doc_id") + 1000000000L).as("doc_id"),
@@ -6906,7 +6913,8 @@ object QueryCatalog {
       WITH sampled AS (
         SELECT doc_id, text FROM documents
         WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'lsh-eval'), 1, 15))::BIGINT)::DOUBLE
-              / 1152921504606846976 < 0.2),
+              / 1152921504606846976
+              < least(0.2, 100.0 / (SELECT count(*) FROM documents))),
       variants AS (
         SELECT doc_id + 1000000000 AS doc_id,
           array_to_string(list_filter(string_split(text, ' '),

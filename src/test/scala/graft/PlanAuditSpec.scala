@@ -51,9 +51,11 @@ class PlanAuditSpec extends SparkSpec {
       "q149_ks_drift" -> 3, "q150_psi_drift" -> 1, "q156_jsd_drift" -> 2,
       "q159_dataset_card" -> 1, "q172_mutual_information" -> 1,
       "q176_bpe_merges" -> 12,
-      // q179: the ground-truth all-pairs join runs on the BOUNDED 20%
-      // metrology sample by design (truth must be exact there)
-      "q179_lsh_quality" -> 1,
+      // q179: the ground-truth all-pairs join runs on the metrology
+      // sample bounded to ~100 docs by a data-derived rate (truth must
+      // be exact there); 7 = that join + the 1-row corpus-count
+      // broadcast replicated across the sample's lineage branches
+      "q179_lsh_quality" -> 7,
       "q23_cosine_topk" -> 1,
       "q38_trends_gold" -> 1, "q44_theta_cohorts" -> 1,
       "q51_range_join" -> 1, "q57_tfidf" -> 1,
