@@ -7071,6 +7071,81 @@ object QueryCatalog {
       WHERE o_orderkey % 5 <> 0
       GROUP BY 1"""))
 
+  /** Temporal (point-in-time) lookup against the q173 SCD2 history — the
+    * CONSUMER side of versioning: each fact row joins the dimension
+    * version that was valid AT ITS TIME (valid_from ≤ t < valid_to,
+    * open-ended for current), the join feature stores call "time travel"
+    * and ML pipelines need to avoid label leakage. The history is tiny
+    * (versions × keys) so the interval predicate rides a broadcast; the
+    * fact table never shuffles. Output: facts per (priority, version)
+    * with the version's recorded state — proving each fact matched
+    * exactly one version. */
+  private val q181 = Q(
+    "q181_temporal_lookup",
+    (s, d) => {
+      def snap(year: Int, dropPriority: String) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit(f"$year-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit(f"${year + 1}-01-01")) &&
+          col("o_orderpriority") =!= dropPriority)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      val history = Core.scd2(
+        snap(1995, "5-LOW"), snap(1996, "1-URGENT"),
+        keys = Seq("o_orderpriority"), compareCols = Seq("n_orders"),
+        oldVersion = "1995", newVersion = "1996")
+      val facts = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_orderpriority"), year(col("o_orderdate")).cast("string").as("yr"))
+      facts.as("f").join(broadcast(history.as("h")),
+          col("f.o_orderpriority") === col("h.o_orderpriority") &&
+            col("f.yr") >= col("h.valid_from") &&
+            (col("h.valid_to").isNull || col("f.yr") < col("h.valid_to")))
+        .groupBy(col("f.o_orderpriority").as("o_orderpriority"),
+          col("h.valid_from").as("valid_from"),
+          col("h.n_orders").as("version_state"))
+        .agg(count(lit(1)).as("n_facts"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND o_orderpriority <> '5-LOW'
+        GROUP BY 1),
+      n AS (
+        SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND o_orderpriority <> '1-URGENT'
+        GROUP BY 1),
+      j AS (
+        SELECT coalesce(o.o_orderpriority, n.o_orderpriority) AS k,
+          o.n_orders AS o_n, n.n_orders AS n_n,
+          o.o_orderpriority IS NOT NULL AS has_o,
+          n.o_orderpriority IS NOT NULL AS has_n,
+          (o.n_orders IS DISTINCT FROM n.n_orders) AS chg
+        FROM o FULL JOIN n ON o.o_orderpriority = n.o_orderpriority),
+      history AS (
+        SELECT k, o_n AS n_orders, '1995' AS valid_from, '1996' AS valid_to
+        FROM j WHERE has_o AND (NOT has_n OR chg)
+        UNION ALL
+        SELECT k, o_n, '1995', NULL FROM j WHERE has_o AND has_n AND NOT chg
+        UNION ALL
+        SELECT k, n_n, '1996', NULL FROM j WHERE has_n AND (NOT has_o OR chg)),
+      facts AS (
+        SELECT o_orderpriority, CAST(year(o_orderdate) AS VARCHAR) AS yr
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01')
+      SELECT f.o_orderpriority, h.valid_from,
+        h.n_orders AS version_state, count(*) AS n_facts
+      FROM facts f JOIN history h
+        ON f.o_orderpriority = h.k
+       AND f.yr >= h.valid_from
+       AND (h.valid_to IS NULL OR f.yr < h.valid_to)
+      GROUP BY 1, 2, 3"""))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Seq[Q] = Seq(
@@ -7091,7 +7166,7 @@ object QueryCatalog {
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176, q177, q178, q179, q180, q89b)
+    q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q89b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
