@@ -112,6 +112,27 @@ class CoreSpec extends SparkSpec {
     assert(openByKey == Map(1L -> 1, 2L -> 1, 4L -> 1))
   }
 
+  test("scd2 intervals partition time: exactly one version covers each valid instant") {
+    // the invariant q181's point-in-time lookup relies on: for any key
+    // alive at version v, exactly ONE history row has
+    // valid_from <= v < valid_to (null = open)
+    val vOld = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x")
+    val vNew = Seq((1L, 10.0), (2L, 25.0), (4L, 40.0)).toDF("k", "x")
+    val hist = Core.scd2(vOld, vNew, Seq("k"), Seq("x"), "1995", "1996")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), Option(r.getString(3))))
+    def covering(key: Long, at: String) = hist.count { case (k, from, to) =>
+      k == key && from <= at && to.forall(at < _)
+    }
+    // alive at 1995: keys 1,2,3 (the old snapshot)
+    for (k <- Seq(1L, 2L, 3L)) assert(covering(k, "1995") == 1, s"key $k at 1995")
+    // alive at 1996: keys 1,2,4 (the new snapshot); 3 must have NO cover
+    for (k <- Seq(1L, 2L, 4L)) assert(covering(k, "1996") == 1, s"key $k at 1996")
+    assert(covering(3L, "1996") == 0, "deleted key must not cover 1996")
+    // key 4 did not exist at 1995
+    assert(covering(4L, "1995") == 0, "inserted key must not cover 1995")
+  }
+
   test("unionAll is name-based, column order free") {
     val a = Seq((1, "x")).toDF("id", "v")
     val b = Seq(("y", 2)).toDF("v", "id")
