@@ -241,9 +241,11 @@ object Core {
       compareCols: Seq[String], oldVersion: String, newVersion: String): DataFrame = {
     require(keys.nonEmpty, "scd2 needs at least one key column")
     val cmp = compareCols
-    val reserved = Seq("__o", "__n") ++ cmp.flatMap(c => Seq(s"__o_$c", s"__n_$c"))
+    val reserved = Seq("__o", "__n", "valid_from", "valid_to") ++
+      cmp.flatMap(c => Seq(s"__o_$c", s"__n_$c"))
     require(!(old.columns ++ neu.columns).exists(reserved.contains),
-      "scd2 reserves __o/__n-prefixed column names")
+      "scd2 reserves __o/__n-prefixed column names and the valid_from/" +
+        "valid_to output labels — rename input columns that collide")
     val o = old.select(
       keys.map(col) ++ cmp.map(c => col(c).as(s"__o_$c")) :+ lit(1).as("__o"): _*)
     val n = neu.select(

@@ -89,4 +89,48 @@ $codeCols
       SELECT q_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS adc_sim
       FROM ranked WHERE rn <= 10"""
   }
+
+  /** Twin of [[Similarity.pqDistortion]] over the same frozen codebook
+    * literals: per subspace, the corpus-mean squared quantization error.
+    * Same bit-exactness contract as [[oracleSql]] — identical d-list
+    * expressions, `list_min(dj)` picks the same IEEE double the Spark
+    * struct-sort head does, the `+ ||v_j||²` term and micro-rounding are
+    * evaluated in the same order, and every integer sum is CAST to BIGINT
+    * (DuckDB types sum() as HUGEINT, which the driver's width-sensitive
+    * hasher would flag — the q167/q168 lesson). */
+  def distortionSql: String = {
+    val distCols = (0 until m).map { j =>
+      s"      ${distList(j)} AS d$j"
+    }.mkString(",\n")
+    val errCols = (0 until m).map { j =>
+      val lo = j * subLen + 1
+      val hi = (j + 1) * subLen
+      s"      CAST(floor((list_min(d$j) + list_dot_product(nv[$lo:$hi], nv[$lo:$hi]))" +
+        s" * 1000000 + 0.5) AS BIGINT) AS e$j"
+    }.mkString(",\n")
+    val perSub = (0 until m).map { j =>
+      s"SELECT $j AS subspace, CAST(count(*) AS BIGINT) AS n," +
+        s" CAST(sum(e$j) AS BIGINT) AS su FROM e"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH u AS (
+        SELECT vec_id,
+          list_transform(v, x -> CASE WHEN nrm = 0 THEN x ELSE x / nrm END) AS nv
+        FROM (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))),
+      dl AS (
+        SELECT vec_id, nv,
+$distCols
+        FROM u),
+      e AS (
+        SELECT vec_id,
+$errCols
+        FROM dl),
+      agg AS (
+        $perSub)
+      SELECT subspace, n,
+        floor(CAST(su AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) / 1000000.0 AS mse
+      FROM agg"""
+  }
 }

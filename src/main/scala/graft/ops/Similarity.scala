@@ -457,6 +457,44 @@ object Similarity {
     Core.topKPerGroup(scored, Seq("q_id"), Seq(col("sim").desc, col("vec_id").asc), k)
   }
 
+  /** Per-subspace quantization distortion of a FROZEN PQ codebook over a
+    * corpus — the index-health metric a production PQ deployment monitors
+    * (rising MSE in a subspace means the codebook has drifted from the
+    * data and needs retraining). For each unit-normalized vector and each
+    * subspace j: squared L2 error to its nearest centroid, computed as
+    * min_c(||c||² − 2·v_j·c) + ||v_j||² — the same ranking key the encoder
+    * already evaluates, so this costs exactly one encode pass. Errors are
+    * micro-rounded to BIGINT before the sum (order-independent exact
+    * aggregation, the q117 discipline); output is m rows regardless of
+    * corpus size, and the single shuffle carries m×partitions partial
+    * sums. Twin: [[PqServe.distortionSql]] over the same literals. */
+  def pqDistortion(corpus: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    graft.plans.GraftExtensions.install(corpus.sparkSession)
+    val m = books.length
+    val subLen = books(0)(0).length
+    val errs = corpus.select(unitNorm(asDouble(col("embedding"))).as("nv"))
+      .select(posexplode(array((0 until m).map { j =>
+        val minD = element_at(
+          // let-bind the subvector so the K centroid dots share one slice
+          transform(array(slice(col("nv"), j * subLen + 1, subLen)), sub =>
+            element_at(
+              array_sort(array(books(j).zipWithIndex.map { case (cArr, ci) =>
+                struct(
+                  (lit(cArr.map(x => x * x).sum) -
+                    lit(2.0) * fastDot(sub, array(cArr.map(lit).toIndexedSeq: _*))).as("d"),
+                  lit(ci).as("c"))
+              }.toIndexedSeq: _*)),
+              1).getField("d") + fastDot(sub, sub)),
+          1)
+        floor(minD * 1000000 + lit(0.5))
+      }.toIndexedSeq: _*)).as(Seq("subspace", "erru")))
+    errs.groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n"), sum(col("erru")).as("su"))
+      .select(col("subspace"), col("n"),
+        (floor(col("su").cast("double") / col("n").cast("double") + lit(0.5)) /
+          1000000.0).as("mse"))
+  }
+
   /** Exact-shape top-k over the QUANTIZED corpus: same join/rank plan as
     * [[bruteForceTopK]], but the corpus side stores only int8 codes and
     * dequantizes on the fly inside the scan projection — the memory/IO

@@ -4832,32 +4832,23 @@ object QueryCatalog {
         strftime(o_orderdate + INTERVAL 9 HOUR, '%Y-%m-%dT%H:%M:%S') AS iso_kst
       FROM orders"""))
 
-  /** Product-quantization ANN top-k (ADC) — the 32×-compressed codes path
-    * that composes with IVF cells at 100 TB (per-pair cost O(m) lookups,
-    * corpus side never reads full-width floats after encoding). k-means
-    * codebook training is not SQL-expressible, so there is NO DuckDB twin:
-    * the driver records the weaker rows-only check here, and the strong
-    * evidence lives in TextSimilaritySpec — the ADC == dot(reconstructed)
-    * identity, a recall@10 floor vs brute force, and exact determinism
-    * (fixed seeds end to end). */
-  /** Codebooks memoized per fixture dir: training is a build-once index
-    * artifact (persisted in production), so repeated bench/verify passes
-    * measure the QUERY path (encode + ADC join), not 8 redundant k-means
-    * re-fits of an identical model. Deterministic either way (fixed
-    * seeds) — the memo changes no result. */
-  private val pqBookCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
-
+  /** PQ codebook DISTORTION audit over the frozen artifact — the
+    * index-health metric a production PQ deployment monitors (per-subspace
+    * mean squared quantization error; a drifting subspace means retrain).
+    * This row replaces the former rows-only in-query-training q137
+    * (k-means training itself has no SQL twin and is covered by
+    * TextSimilaritySpec's recall/determinism/identity pins): serving-side
+    * math against `PqCodebookArtifact`'s literals IS oracle-expressible,
+    * so the catalog carries no unverifiable row. One encode-shaped pass,
+    * micro-rounded BIGINT error sums (order-independent), m rows out at
+    * any corpus size. */
   private val q137 = Q(
-    "q137_pq_topk",
+    "q137_pq_distortion",
     (s, d) => {
-      import graft.ops.Similarity
-      val emb = Tables.embeddings(s, d)
-      val books = pqBookCache.computeIfAbsent(d,
-        _ => Similarity.pqTrainCodebooks(emb, m = 8, kCent = 16, dim = 64))
-      Similarity.pqTopKWithBooks(emb, emb.filter(col("vec_id") < 10), 10, books)
+      import graft.ops.{PqCodebookArtifact, Similarity}
+      Similarity.pqDistortion(Tables.embeddings(s, d), PqCodebookArtifact.books)
     },
-    None)
+    Some(graft.ops.PqServe.distortionSql))
 
   /** q137's SERVING half with a hash-green oracle row: train/serve split.
     * Training (k-means) stays un-SQL-expressible, but a production PQ
@@ -6288,14 +6279,15 @@ object QueryCatalog {
       sized AS (
         SELECT c.doc_id, c.cluster_id, dd.n_chars,
           count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
-          sum(dd.n_chars) OVER (PARTITION BY c.cluster_id) AS cluster_chars,
+          CAST(sum(dd.n_chars) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+            AS cluster_chars,
           row_number() OVER (PARTITION BY c.cluster_id
             ORDER BY dd.n_chars DESC, c.doc_id ASC) AS rk
         FROM comp c JOIN documents dd USING (doc_id))
       SELECT doc_id, cluster_id, cluster_size,
         cluster_size - 1 AS n_dropped,
         n_chars AS kept_chars,
-        cluster_chars - n_chars AS dropped_chars
+        CAST(cluster_chars - n_chars AS BIGINT) AS dropped_chars
       FROM sized WHERE rk = 1"""))
 
   /** Embedding-space drift per cohort — the vector companion of the
@@ -6689,9 +6681,17 @@ object QueryCatalog {
       def tokensAfter(corpus: DataFrame) = corpus
         .select(size(toks(col("s"))).cast("long").as("k"))
         .agg(sum(col("k")).as("tokens_after"))
+      // Tokens that are empty (leading/trailing/double spaces) or contain
+      // the '|'/'+' delimiter chars would corrupt the delimited encoding
+      // (and make Spark's strip-one-pipe vs the twin's trim-all-pipes
+      // diverge) — filter them out BEFORE encoding, identically on both
+      // sides. With no empty boundary tokens, s always carries exactly
+      // one leading and one trailing '|', so trim(s,'|') == strip-one.
       var corpus = Tables.documents(s, d).select(
         col("doc_id"),
-        concat(lit("|"), array_join(split(col("text"), " "), "||"), lit("|")).as("s"))
+        concat(lit("|"), array_join(filter(split(col("text"), " "), x =>
+          x =!= "" && !x.contains("|") && !x.contains("+")), "||"),
+          lit("|")).as("s"))
       val rounds = (1 to 3).map { r =>
         val w = winner(corpus)
         val next = applyMerge(corpus, w)
@@ -6720,7 +6720,9 @@ object QueryCatalog {
       s"""
       WITH r0 AS (
         SELECT doc_id,
-          '|' || array_to_string(string_split(text, ' '), '||') || '|' AS s
+          '|' || array_to_string(list_filter(string_split(text, ' '),
+            x -> x <> '' AND NOT contains(x, '|') AND NOT contains(x, '+')),
+            '||') || '|' AS s
         FROM documents),
       ${round("r0", 1)},
       ${round("r1", 2)},

@@ -57,6 +57,39 @@ class BpeMergeSpec extends SparkSpec {
     assert(r2 == Seq("a+a+b", "a+a+b", "c"))
   }
 
+  test("q176 encoding filter: boundary spaces and delimiter chars are safe") {
+    // Texts with leading/trailing/double spaces produce empty boundary
+    // tokens, and tokens containing '|' or '+' would corrupt the
+    // delimited encoding — q176 filters them out before encoding on BOTH
+    // engines. Pin that the filtered encode → strip → split round-trip
+    // yields exactly the filtered token list (so trim-all-pipes in the
+    // twin and strip-one-pipe in Spark agree).
+    val texts = Seq(
+      " leading space",
+      "trailing space ",
+      "double  space gap",
+      "has|pipe tok normal",
+      "has+plus tok normal",
+      "  ",
+      "ok ok ok")
+    val got = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+      .select(col("id"),
+        concat(lit("|"), array_join(filter(split(col("text"), " "), x =>
+          x =!= "" && !x.contains("|") && !x.contains("+")), "||"),
+          lit("|")).as("s"))
+      .select(col("id"),
+        split(regexp_replace(col("s"), "^\\||\\|$", ""), "\\|\\|").as("toks"))
+      .orderBy(col("id"))
+      .collect().map(_.getSeq[String](1).toSeq).toSeq
+    val want = texts.map(_.split(" ").toSeq
+      .filter(t => t.nonEmpty && !t.contains("|") && !t.contains("+")))
+      // an all-filtered doc encodes as "||" → strips to "" → splits to [""],
+      // mirroring DuckDB's string_split('', '||') = [''] — both engines
+      // count it as one empty token, consistently
+      .map(t => if (t.isEmpty) Seq("") else t)
+    assert(got == want, s"\ngot  $got\nwant $want")
+  }
+
   test("replace merge equals greedy merge on real fixture docs") {
     val docs = graft.sources.Tables.documents(spark, sf())
       .select(col("text")).limit(50).collect().map(_.getString(0)).toSeq

@@ -112,6 +112,23 @@ class CoreSpec extends SparkSpec {
     assert(openByKey == Map(1L -> 1, 2L -> 1, 4L -> 1))
   }
 
+  test("scd2 rejects inputs that collide with its output labels") {
+    // a snapshot already carrying valid_from/valid_to would silently
+    // produce duplicate output column names — fail fast instead, the
+    // same discipline as the __o/__n prefix check
+    val clash = Seq((1L, 10.0, "1990")).toDF("k", "x", "valid_from")
+    val clean = Seq((1L, 10.0)).toDF("k", "x")
+    val e = intercept[IllegalArgumentException] {
+      Core.scd2(clash, clean, Seq("k"), Seq("x"), "1995", "1996")
+    }
+    assert(e.getMessage.contains("valid_from"))
+    intercept[IllegalArgumentException] {
+      Core.scd2(clean, clash.withColumnRenamed("valid_from", "valid_to"),
+        Seq("k"), Seq("x"), "1995", "1996")
+    }
+    ()
+  }
+
   test("scd2 intervals partition time: exactly one version covers each valid instant") {
     // the invariant q181's point-in-time lookup relies on: for any key
     // alive at version v, exactly ONE history row has

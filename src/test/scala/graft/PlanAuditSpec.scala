@@ -34,7 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     // when the broadcast side is BOUNDED (a handful of query rows, a
     // 1-row aggregate, a histogram) and the predicate is non-equi — the
     // "stream the big table past a tiny broadcast" shape that DOES hold at
-    // 100 TB. Every entry here is that shape: ANN query sets (q23/q137/
+    // 100 TB. Every entry here is that shape: ANN query sets (q23/
     // q137b), 1-row stats broadcasts (q38/q57/q63/q69/q74/q82/q88/q140/
     // q150/q159), bounded histogram/frontier sides (q117/q125/q149/q156),
     // pair/range predicates over bounded sides (q44/q51/q108/q146), and
@@ -46,7 +46,7 @@ class PlanAuditSpec extends SparkSpec {
     // count regression on an existing one — fails by name.
     val allowedBnlj = Map(
       "q108_pmi_cooccur" -> 1, "q117_bm25" -> 2, "q125_rrf_fusion" -> 3,
-      "q128_pagerank" -> 4, "q137_pq_topk" -> 1, "q137b_pq_serve" -> 1,
+      "q128_pagerank" -> 4, "q137b_pq_serve" -> 1,
       "q140_mixture_weights" -> 1, "q146_triangle_count" -> 2,
       "q149_ks_drift" -> 3, "q150_psi_drift" -> 1, "q156_jsd_drift" -> 2,
       "q159_dataset_card" -> 1, "q172_mutual_information" -> 1,

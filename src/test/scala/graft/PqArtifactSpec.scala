@@ -58,6 +58,46 @@ class PqArtifactSpec extends SparkSpec {
     assert(recall >= 0.15, f"frozen-codebook recall $recall%.3f under floor")
   }
 
+  test("pqDistortion equals the encode→reconstruct error identity") {
+    // The audit's min-distance shortcut (min_c ||c||²−2v·c + ||v_j||²)
+    // must equal the literal per-subspace ||v_j − reconstruct(codes)_j||²
+    // computed the long way via pqCodes + pqReconstruct — same micro-
+    // rounding, same mean. This pins the algebra AND the rounding path
+    // the q137 oracle row relies on.
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val books = PqCodebookArtifact.books
+    val m = books.length
+    val subLen = books(0)(0).length
+    val audit = Similarity.pqDistortion(emb, books)
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(audit.size == m)
+
+    val nv = emb.select(
+      Similarity.unitNorm(Similarity.asDouble($"embedding")).as("nv"))
+    val recon = nv.select($"nv",
+      Similarity.pqReconstruct(Similarity.pqCodes($"nv", books), books).as("rv"))
+    val longWay = recon.select(posexplode(array((0 until m).map { j =>
+        val sub = slice($"nv", j * subLen + 1, subLen)
+        val rsub = slice($"rv", j * subLen + 1, subLen)
+        val diff = zip_with(sub, rsub, (a, b) => a - b)
+        floor(aggregate(diff, lit(0.0), (acc, x) => acc + x * x) * 1000000
+          + lit(0.5))
+      }.toIndexedSeq: _*)).as(Seq("subspace", "erru")))
+      .groupBy($"subspace").agg(count(lit(1)).as("n"), sum($"erru").as("su"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+
+    (0 until m).foreach { j =>
+      val (n, mse) = audit(j)
+      val (n2, su2) = longWay(j)
+      assert(n == n2)
+      val mse2 = math.floor(su2.toDouble / n2.toDouble + 0.5) / 1000000.0
+      // identical algebra in exact arithmetic; double rounding can move a
+      // micro-unit at the ulp boundary, so allow 1 micro-unit of slack
+      assert(math.abs(mse - mse2) <= 2e-6,
+        s"subspace $j: audit mse $mse vs reconstruct mse $mse2")
+    }
+  }
+
   test("serving is deterministic: two runs, identical rows") {
     val emb = graft.sources.Tables.embeddings(spark, sf())
     val q = emb.filter($"vec_id" < 5)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 class ProvenanceStatSpec extends SparkSpec {
   import spark.implicits._
 
-  private val sfDir = "/root/testdata/sf0.001"
+  private val sfDir = sf()
 
   test("_metadata and input_file_name carry file provenance through transforms") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -10,7 +10,7 @@ import graft.ops.{CentroidArtifact, SemDedup, Similarity}
   * the provenance pointer, and the cell-blocking recall boundary. */
 class SemDedupSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  private val sfDir = sf()
   private def emb = graft.sources.Tables.embeddings(spark, sfDir)
 
   private def normalized: Map[Long, Array[Double]] = {
