@@ -33,8 +33,16 @@ object SemDedup {
     * first-index-of-min `list_position`. The ||c||² constants are folded
     * HERE (Scala left-fold sum) and emitted as one literal each, never
     * recomputed per row or per engine. */
-  def cellOf(nv: Column): Column = {
-    val cents = CentroidArtifact.centers
+  def cellOf(nv: Column): Column = cellOf(nv, CentroidArtifact.centers)
+
+  /** [[cellOf]] against an explicit centroid set — the k dial. In
+    * production k scales with the corpus (cells ∝ n keeps within-cell
+    * pair counts flat as the corpus grows); the frozen k=8
+    * [[CentroidArtifact]] is the sf0.01-sized instance, and
+    * `graft.CentroidArtifactGen <dir> <out> [k]` regenerates a larger one
+    * from a larger corpus (SemDedupScaleSpec pins the flat-per-cell
+    * invariant with a k=64 fit on the 10× fixture). */
+  def cellOf(nv: Column, cents: Array[Array[Double]]): Column = {
     element_at(
       array_sort(array(cents.zipWithIndex.map { case (cArr, i) =>
         struct(
@@ -49,12 +57,58 @@ object SemDedup {
     * LOWEST-id same-cell vector with cosine ≥ tau (null ⇔ kept) — the
     * deterministic keep-lowest-id rule, and the provenance pointer a
     * curation pipeline logs for every dropped document. */
-  def semDedup(embeddings: DataFrame, tau: Double): DataFrame = {
-    graft.plans.GraftExtensions.install(embeddings.sparkSession)
-    val e = embeddings
+  def semDedup(embeddings: DataFrame, tau: Double): DataFrame =
+    semDedup(embeddings, tau, CentroidArtifact.centers)
+
+  /** Cell assignment as a BROADCAST-JOIN ARGMIN — the large-k form of
+    * [[cellOf]]: centroids become a k-row broadcast dim table (k as DATA,
+    * not unrolled code), each vector fans out to k scored rows through
+    * the codegen'd `vec_dot`, and `min(struct(d, cell))` takes the same
+    * (lowest d, then lowest cell) argmin the expression form and the twin
+    * use. Identical math term order → identical IEEE doubles → identical
+    * cells (pinned in SemDedupScaleSpec). Why it exists: unrolling k
+    * centroids into one expression stops codegen-compiling as k grows
+    * (measured at k=64/sf1: the self-join's broadcast build re-evaluated
+    * the interpreted expression single-threaded, 20 s for 20k vectors vs
+    * 1.6 s this way), and at production k (tens of thousands of cells for
+    * cells ∝ n) only the data form survives at all. Cost: one extra
+    * map-side-combined shuffle of n rows for the argmin. */
+  private def assignByJoin(embeddings: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val centDf = cents.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, c.map(x => x * x).sum) }.toSeq.toDF("cell_c", "cvec", "c2")
+    embeddings
       .select(col("vec_id"), Similarity.unitNorm(
         Similarity.asDouble(col("embedding"))).as("nv"))
-      .withColumn("cell", cellOf(col("nv")))
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"), col("nv"), col("cell_c"),
+        (col("c2") - lit(2.0) * fastDot(col("nv"), col("cvec"))).as("d"))
+      .groupBy(col("vec_id"))
+      // nv is functionally determined by vec_id, so first() is
+      // deterministic in value here
+      .agg(first(col("nv")).as("nv"),
+        min(struct(col("d"), col("cell_c"))).getField("cell_c").as("cell"))
+      .select(col("vec_id"), col("nv"), col("cell"))
+  }
+
+  /** Unrolled expressions codegen fine up to ~this many centroids; past
+    * it, [[assignByJoin]]'s data form wins (and is the only shape that
+    * scales to production cell counts). */
+  private val ExprPathMaxK = 16
+
+  /** [[semDedup]] against an explicit centroid set (the cells-∝-n scale
+    * dial; see [[cellOf]]). */
+  def semDedup(embeddings: DataFrame, tau: Double,
+      cents: Array[Array[Double]]): DataFrame = {
+    graft.plans.GraftExtensions.install(embeddings.sparkSession)
+    val e =
+      if (cents.length > ExprPathMaxK) assignByJoin(embeddings, cents)
+      else embeddings
+        .select(col("vec_id"), Similarity.unitNorm(
+          Similarity.asDouble(col("embedding"))).as("nv"))
+        .withColumn("cell", cellOf(col("nv"), cents))
     // Normalized inputs make cosine a plain dot — no per-pair division.
     val lower = e.select(
       col("vec_id").as("id_lo"), col("cell"), col("nv").as("nv_lo"))
@@ -71,8 +125,10 @@ object SemDedup {
   /** DuckDB twin over the same frozen centroids (PqServe's bit-exactness
     * contract: shortest-repr double literals, left-to-right
     * list_dot_product ≡ vec_dot, ||c||² folded host-side). */
-  def oracleSql(tau: Double): String = {
-    val cents = CentroidArtifact.centers
+  def oracleSql(tau: Double): String = oracleSql(tau, CentroidArtifact.centers)
+
+  /** [[oracleSql]] against an explicit centroid set (q164b's k=64 twin). */
+  def oracleSql(tau: Double, cents: Array[Array[Double]]): String = {
     def lits(a: Array[Double]): String =
       a.map(_.toString).mkString("[", ", ", "]")
     val distList = cents.map { cArr =>

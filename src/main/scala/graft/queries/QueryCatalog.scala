@@ -6139,6 +6139,22 @@ object QueryCatalog {
     (s, d) => graft.ops.SemDedup.semDedup(Tables.embeddings(s, d), tau = 0.40),
     Some(graft.ops.SemDedup.oracleSql(tau = 0.40)))
 
+  /** SemDeDup with the SCALED cell artifact — the cells-∝-n dial in the
+    * catalog, not just prose: same algorithm and twin machinery as q164,
+    * but cell assignment runs against `CentroidArtifact64` (k=64, trained
+    * on the 10× tools/sf1 embeddings by `CentroidArtifactGen`). With k
+    * grown ∝ corpus, within-cell pair counts stay FLAT as n grows —
+    * measured in SemDedupScaleSpec (per-doc pair work 148.8 → 15.8 at
+    * sf0.1 vs the frozen k=8 cells) and benchmarked at sf1 in BASELINE.md.
+    * This is the production configuration; q164 keeps the small-corpus
+    * artifact for hash-stability of the original row. */
+  private val q164b = Q(
+    "q164b_semdedup_scaled",
+    (s, d) => graft.ops.SemDedup.semDedup(
+      Tables.embeddings(s, d), tau = 0.40, graft.ops.CentroidArtifact64.centers),
+    Some(graft.ops.SemDedup.oracleSql(tau = 0.40,
+      graft.ops.CentroidArtifact64.centers)))
+
   /** Spark 4 VARIANT surface (semi-structured data without a schema):
     * build a JSON event payload from real columns (the q122 synthesize-
     * then-parse discipline — the parser is checked against ground truth,
@@ -7167,7 +7183,7 @@ object QueryCatalog {
     q131, q132, q133, q134, q135, q136, q137, q137b, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
+    q161, q162, q163, q164, q164b, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q89b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

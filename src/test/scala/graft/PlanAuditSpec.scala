@@ -49,7 +49,12 @@ class PlanAuditSpec extends SparkSpec {
       "q128_pagerank" -> 4, "q137b_pq_serve" -> 1,
       "q140_mixture_weights" -> 1, "q146_triangle_count" -> 2,
       "q149_ks_drift" -> 3, "q150_psi_drift" -> 1, "q156_jsd_drift" -> 2,
-      "q159_dataset_card" -> 1, "q172_mutual_information" -> 1,
+      "q159_dataset_card" -> 1,
+      // q164b: the ×k centroid fan-out is a crossJoin of a broadcast
+      // 64-row dim table (assignByJoin's argmin); 3 = that join
+      // replicated across the self-join + dups-join lineage branches
+      "q164b_semdedup_scaled" -> 3,
+      "q172_mutual_information" -> 1,
       "q176_bpe_merges" -> 12,
       // q179: the ground-truth all-pairs join runs on the metrology
       // sample bounded to ~100 docs by a data-derived rate (truth must
