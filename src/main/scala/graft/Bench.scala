@@ -34,10 +34,17 @@ object Bench {
     // times just those queries; unset (the driver's mode) runs everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def selected = only match {
+    // SPARK_GRAFT_SKIP: exclusions for scale sweeps — e.g. q153 at sf3,
+    // whose Θ(output) growth on the degenerate fixture vocab is already
+    // documented (BASELINE.md) and would add hours without information.
+    // Exclusions MUST be named in the committed artifact's write-up.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    def selected = (only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
-    }
+    }).filter { case (n, _) => !skip(n) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -79,11 +86,21 @@ object Bench {
       }
     }
 
+    // SPARK_GRAFT_GC_SETTLE=true: full GC + settle pause before each
+    // timed pass, so a committed sweep artifact doesn't carry the
+    // previous query's collection debt (sf1 sweeps showed isolated-run
+    // 0.9 s queries reporting 7 s purely from inherited heap pressure).
+    // Off by default — the per-round sf0.1 driver bench favors wall
+    // speed and its queries are small enough not to interact.
+    val gcSettle = sys.env.get("SPARK_GRAFT_GC_SETTLE").contains("true")
+    def settle(): Unit = if (gcSettle) { System.gc(); Thread.sleep(300) }
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Passes).flatMap { _ =>
         if (errors.contains(name)) None // first failure wins, skip reruns
         else {
+          settle()
           val t0 = System.nanoTime()
           try {
             materialize(fn(spark, sfDir))

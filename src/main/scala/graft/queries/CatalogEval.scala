@@ -1,0 +1,911 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Core, RefFunctions => F}
+import graft.sources.Tables
+
+import Shared._
+
+/** Eval + formats: sketch windows, AUC/NDCG, dataset card, VARIANT/XML/collation, SemDeDup. Split from the single-file catalog in round 8;
+  * query text unchanged. Registration stays in [[QueryCatalog.all]]. */
+private[queries] object CatalogEval {
+
+
+  /** Rolling 7-day distinct users via SKETCH-MERGE OVER A WINDOW — the
+    * scale path q82's exact interval-join form cannot take: one HLL
+    * sketch per day (a keyed aggregate), then `hll_merge` over a trailing
+    * 7-row frame and an estimate on top. At 100 TB the per-day sketches
+    * are tiny mergeable binaries, so the trailing-window pass touches 30
+    * rows of sketches instead of re-scanning a week of raw events per
+    * day — the whole point of mergeable sketch state. The global window
+    * runs over ≤ days rows (pre-aggregated — the q74 rule). The oracle is
+    * EXACT count-distinct: both fixture scales stay inside the HLL sparse
+    * phase (150 / 1,500 users < 4,096), where the estimate is exact by
+    * construction (pinned in DistinctSketchSpec). */
+  private val q154 = Q(
+    "q154_sketch_wau",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      val daySketch = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(
+          call_function("hll_sketch", col("user_id")).as("sk"),
+          count_distinct(col("user_id")).as("dau"))
+      // Calendar range frame (not rowsBetween): a fixture gap day must
+      // NOT let the frame reach back >7 calendar days, or the Spark side
+      // diverges from the twin's `day BETWEEN sp.day - 6 AND sp.day`.
+      val w = Window
+        .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+      daySketch.select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"),
+        call_function("hll_estimate",
+          call_function("hll_merge", col("sk")).over(w))
+          .cast("long").as("wau"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY 1),
+      wau AS (
+        SELECT sp.day, count(DISTINCT u.user_id) AS wau
+        FROM dau sp JOIN daily u
+          ON u.day BETWEEN sp.day - INTERVAL 6 DAY AND sp.day
+        GROUP BY 1)
+      SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
+      FROM dau JOIN wau USING (day)"""))
+
+  /** Exact ROC-AUC per source via the Mann-Whitney rank-sum identity —
+    * the eval metric a data-quality classifier reports, computed at scale
+    * without a single per-row window: scores are pre-grouped to
+    * (source, score, count, positives), tie-averaged ranks come from a
+    * cumulative window over the GROUPED rows (≤ distinct scores per
+    * source), and doubling the rank sum keeps every intermediate an exact
+    * integer — 2·avgrank = 2·minrank + cnt − 1, so
+    * AUC = (S2 − n_pos(n_pos+1)) / (2·n_pos·n_neg) is one division of
+    * exact longs, micro-rounded. Degenerate sources (no positives or no
+    * negatives) are excluded rather than emitting a 0/0. Label: lang='en';
+    * score: n_chars. */
+  private val q155 = Q(
+    "q155_group_auc",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(
+        col("source"), col("n_chars").as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+      val grouped = base.groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+      val w = Window.partitionBy(col("source")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = grouped.withColumn("minrank",
+        coalesce(sum(col("c")).over(w), lit(0L)) + 1L)
+      val sums = ranked.groupBy(col("source")).agg(
+        sum(col("p") * (lit(2L) * col("minrank") + col("c") - 1L)).as("s2"),
+        sum(col("p")).as("n_pos"), sum(col("c")).as("n"))
+      sums.withColumn("n_neg", col("n") - col("n_pos"))
+        .filter(col("n_pos") > 0 && col("n_neg") > 0)
+        .select(col("source"), col("n_pos"), col("n_neg"),
+          floor((col("s2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double") * 1000000 + 0.5)
+            .cast("long").as("auc_micro"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT source, n_chars AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents),
+      grouped AS (
+        SELECT source, score, count(*) AS c, CAST(sum(pos) AS BIGINT) AS p
+        FROM base GROUP BY 1, 2),
+      ranked AS (
+        SELECT source, score, c, p,
+          coalesce(sum(c) OVER (PARTITION BY source ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS minrank
+        FROM grouped),
+      sums AS (
+        SELECT source,
+          CAST(sum(p * (2 * minrank + c - 1)) AS BIGINT) AS s2,
+          CAST(sum(p) AS BIGINT) AS n_pos,
+          CAST(sum(c) AS BIGINT) AS n
+        FROM ranked GROUP BY 1)
+      SELECT source, n_pos, n - n_pos AS n_neg,
+        CAST(floor(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+          / CAST(2 * n_pos * (n - n_pos) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          AS auc_micro
+      FROM sums
+      WHERE n_pos > 0 AND n - n_pos > 0"""))
+
+  /** Jensen–Shannon divergence between source TOKEN distributions over a
+    * pinned top-50 vocabulary — the content-drift complement to q149/q150's
+    * length-based monitors (two sources can share a length profile and
+    * still diverge in what they say). JSD needs no smoothing: at q=0 the
+    * term is exactly p·ln2, so absent tokens are handled by the formula,
+    * not a fudge constant. Each term is computed from exact integer counts
+    * (cross-multiplied rationals), nano-rounded per token, then summed as
+    * BIGINTs — the q150 transcendental rule. Vocab and per-source totals
+    * broadcast; one shuffle for the token counts. */
+  private val q156 = Q(
+    "q156_jsd_drift",
+    (s, d) => {
+      val srcs = Seq("src0", "src1", "src2", "src3", "src4")
+      val toks = Tables.documents(s, d).filter(col("source").isin(srcs: _*))
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val dfTok = toks.groupBy(col("tok")).agg(count(lit(1)).as("tot"))
+      val vocab = dfTok.orderBy(col("tot").desc, col("tok").asc).limit(50)
+        .select(col("tok"))
+      val cnt = toks.join(broadcast(vocab), "tok")
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val nS = toks.join(broadcast(vocab), "tok")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      // (pair × vocab) grid with zero back-fill — mirrors the twin row for
+      // row: 10 source pairs × 50 tokens, counts left-joined in, rows where
+      // BOTH sides are zero dropped (they contribute nothing to JSD)
+      val withN = nS.select(col("source").as("sa"), col("n").as("na"))
+        .crossJoin(broadcast(nS.select(col("source").as("sb"), col("n").as("nb"))))
+        .filter(col("sa") < col("sb"))
+        .crossJoin(broadcast(vocab))
+        .join(cnt.select(col("source").as("sa"), col("tok"), col("c").as("ca")),
+          Seq("sa", "tok"), "left")
+        .join(cnt.select(col("source").as("sb"), col("tok"), col("c").as("cb")),
+          Seq("sb", "tok"), "left")
+        .na.fill(0L, Seq("ca", "cb"))
+        .filter(col("ca") + col("cb") > 0)
+      val p = col("ca").cast("double") / col("na").cast("double")
+      val q = col("cb").cast("double") / col("nb").cast("double")
+      // 0.5[p ln(2p/(p+q)) + q ln(2q/(p+q))], each ln on exact-long ratios
+      val termP = when(col("ca") > 0,
+        p * log(lit(2.0) * (col("ca") * col("nb")).cast("double") /
+          (col("ca") * col("nb") + col("cb") * col("na")).cast("double")))
+        .otherwise(lit(0.0))
+      val termQ = when(col("cb") > 0,
+        q * log(lit(2.0) * (col("cb") * col("na")).cast("double") /
+          (col("ca") * col("nb") + col("cb") * col("na")).cast("double")))
+        .otherwise(lit(0.0))
+      withN
+        .withColumn("term_nano",
+          floor((termP + termQ) * 0.5 * 1000000000L + 0.5).cast("long"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("term_nano")).as("jsd_nano"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, tok FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+          WHERE source IN ('src0','src1','src2','src3','src4'))
+        WHERE tok <> ''),
+      vocab AS (
+        SELECT tok FROM (SELECT tok, count(*) AS tot FROM toks GROUP BY 1)
+        ORDER BY tot DESC, tok ASC LIMIT 50),
+      cnt AS (
+        SELECT source, t.tok, count(*) AS c
+        FROM toks t JOIN vocab v USING (tok) GROUP BY 1, 2),
+      ns AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM toks t JOIN vocab v USING (tok) GROUP BY 1),
+      pairs AS (
+        SELECT a.source AS sa, b.source AS sb, v.tok,
+          coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        FROM ns a
+        JOIN ns b ON a.source < b.source
+        CROSS JOIN vocab v
+        LEFT JOIN cnt ca ON ca.source = a.source AND ca.tok = v.tok
+        LEFT JOIN cnt cb ON cb.source = b.source AND cb.tok = v.tok
+        WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0),
+      terms AS (
+        SELECT sa, sb,
+          CAST(floor((
+            CASE WHEN ca > 0 THEN
+              CAST(ca AS DOUBLE) / CAST(na.n AS DOUBLE)
+                * ln(2.0 * CAST(ca * nb.n AS DOUBLE)
+                     / CAST(ca * nb.n + cb * na.n AS DOUBLE))
+            ELSE 0.0 END
+            + CASE WHEN cb > 0 THEN
+              CAST(cb AS DOUBLE) / CAST(nb.n AS DOUBLE)
+                * ln(2.0 * CAST(cb * na.n AS DOUBLE)
+                     / CAST(ca * nb.n + cb * na.n AS DOUBLE))
+            ELSE 0.0 END) * 0.5 * 1000000000 + 0.5) AS BIGINT) AS term_nano
+        FROM pairs
+        JOIN ns na ON na.source = pairs.sa
+        JOIN ns nb ON nb.source = pairs.sb)
+      SELECT sa, sb, count(*) AS n_tokens,
+        CAST(sum(term_nano) AS BIGINT) AS jsd_nano
+      FROM terms GROUP BY 1, 2"""))
+
+  /** Partitioned-write round-trip with partition pruning, driver-checked:
+    * orders lands as parquet partitioned by o_orderpriority (the layout
+    * the 100 TB table actually ships with), then the read filters one
+    * partition — Spark prunes at the directory level, so the scan never
+    * opens the other four partitions' files (the spec twin pins the
+    * PartitionFilters plan shape; this row pins the VALUES through real
+    * partition directories, including the partition-column string
+    * round-trip). The oracle filters the source table directly. */
+  private val q157 = Q(
+    "q157_partitioned_prune",
+    (s, d) => {
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q157_part").getAbsolutePath
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority").cast("string").as("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderpriority = '1-URGENT'"""))
+
+  /** NDCG@10 per source — the graded-ranking eval beside q155's AUC:
+    * docs ranked by (n_chars DESC, doc_id ASC), relevance = lang='en',
+    * discount weights 1/log2(i+1) converted to integer MICRO-units per
+    * position BEFORE any summation (binary relevance × integer weights =
+    * exact BIGINT DCG), ideal DCG built from the same retrieved-10 set
+    * via a sequence HOF, final ratio one division of exact longs. Sources
+    * with no positive in the top 10 emit 0 (idcg=0 convention). The rank
+    * window is per-source; nothing global. */
+  private val q158 = Q(
+    "q158_ndcg",
+    (s, d) => {
+      def wMicro(pos: Column): Column =
+        floor(lit(1000000.0) / log2(pos.cast("double") + 1.0) + 0.5).cast("long")
+      val ranked = Tables.documents(s, d)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 10)
+        .select(col("source"), col("rn"),
+          (col("lang") === "en").cast("long").as("rel"))
+      ranked.groupBy(col("source"))
+        .agg(
+          sum(col("rel") * wMicro(col("rn"))).as("dcg_micro"),
+          sum(col("rel")).as("n_pos"))
+        .withColumn("idcg_micro",
+          // n_pos=0 must short-circuit: sequence(1, 0) is DESCENDING [1,0]
+          // under Spark semantics, so wMicro(0) would divide by log2(1)=0.
+          // The guard matches the twin's coalesce-to-0 convention.
+          when(col("n_pos") > 0,
+            aggregate(
+              transform(sequence(lit(1L), col("n_pos")),
+                j => wMicro(j)),
+              lit(0L), (a, x) => a + x))
+            .otherwise(lit(0L)))
+        .select(col("source"), col("n_pos"), col("dcg_micro"),
+          when(col("idcg_micro") > 0,
+            floor(col("dcg_micro").cast("double") /
+              col("idcg_micro").cast("double") * 1000000 + 0.5).cast("long"))
+            .otherwise(lit(0L)).as("ndcg_micro"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+        FROM documents QUALIFY rn <= 10),
+      agg AS (
+        SELECT source,
+          CAST(sum(rel * CAST(floor(1000000.0 / log2(rn + 1.0) + 0.5) AS BIGINT))
+            AS BIGINT) AS dcg_micro,
+          CAST(sum(rel) AS BIGINT) AS n_pos
+        FROM ranked GROUP BY 1),
+      ideal AS (
+        SELECT source, dcg_micro, n_pos,
+          CAST(coalesce(list_sum(list_transform(range(1, n_pos + 1),
+            j -> CAST(floor(1000000.0 / log2(j + 1.0) + 0.5) AS BIGINT))), 0)
+            AS BIGINT) AS idcg_micro
+        FROM agg)
+      SELECT source, n_pos, dcg_micro,
+        CASE WHEN idcg_micro > 0 THEN
+          CAST(floor(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT)
+        ELSE 0 END AS ndcg_micro
+      FROM ideal"""))
+
+  /** One-pass dataset card — the "nutrition label" a corpus release ships
+    * with: size, token/char totals, language/source breadth, English
+    * share, exact length percentiles, and the exact-dup rate, in TWO
+    * aggregates total (one over documents, one over content fingerprints)
+    * combined by a 1-row broadcast. Everything except the percentiles is
+    * exact integer arithmetic; the percentiles follow the q50
+    * interpolation-parity rule. At 100 TB this is the query that runs
+    * once per snapshot and lands in the release notes. */
+  private val q159 = Q(
+    "q159_dataset_card",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        sum((col("lang") === "en").cast("long")).as("n_en"),
+        r(percentile(col("n_chars"), lit(0.5)), 6).as("chars_p50"),
+        r(percentile(col("n_chars"), lit(0.9)), 6).as("chars_p90"))
+      val dup = docs.groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          sum(col("n") - 1).as("dup_docs"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"))
+      base.crossJoin(broadcast(dup)).select(
+        col("n_docs"), col("n_tokens"), col("n_chars_total"),
+        col("n_langs"), col("n_sources"),
+        floor(col("n_en").cast("double") / col("n_docs").cast("double")
+          * 1000000 + 0.5).cast("long").as("en_share_micro"),
+        col("chars_p50"), col("chars_p90"),
+        col("dup_docs"), col("dup_groups"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT count(*) AS n_docs,
+          CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS n_tokens,
+          CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+          count(DISTINCT lang) AS n_langs,
+          count(DISTINCT source) AS n_sources,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+          floor(quantile_cont(n_chars, 0.5) * 1000000 + 0.5) / 1000000 AS chars_p50,
+          floor(quantile_cont(n_chars, 0.9) * 1000000 + 0.5) / 1000000 AS chars_p90
+        FROM documents),
+      dup AS (
+        SELECT CAST(sum(n - 1) AS BIGINT) AS dup_docs,
+          CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups
+        FROM (SELECT md5(text) AS fp, count(*) AS n FROM documents GROUP BY 1))
+      SELECT n_docs, n_tokens, n_chars_total, n_langs, n_sources,
+        CAST(floor(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          * 1000000 + 0.5) AS BIGINT) AS en_share_micro,
+        chars_p50, chars_p90, dup_docs, dup_groups
+      FROM base, dup"""))
+
+  /** Exact-proportion stratified split — the deterministic 8/1/1
+    * train/val/test assignment with GUARANTEED per-stratum counts
+    * (row_number mod 10 inside each language), the complement to q59's
+    * hash split (hash gives expected proportions and replay stability;
+    * this gives exact proportions and replay stability, at the cost of a
+    * per-stratum rank window). Emitted as per-(lang, split) counts so the
+    * oracle verifies the guarantee itself, not just row placement. */
+  private val q160 = Q(
+    "q160_stratified_split",
+    (s, d) => {
+      val rn = row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("doc_id").asc))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(rn % 10 === 0, "val")
+            .when(rn % 10 === 1, "test")
+            .otherwise("train"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""
+      WITH assigned AS (
+        SELECT lang,
+          CASE row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) % 10
+            WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END AS split
+        FROM documents)
+      SELECT lang, split, count(*) AS n_docs
+      FROM assigned GROUP BY 1, 2"""))
+
+  /** Error-safe arithmetic/cast surface (try_cast / try_divide / try_add)
+    * — the ANSI-mode escape hatches a production pipeline uses so one
+    * malformed cell degrades to NULL instead of failing a 100 TB job.
+    * Inputs are engineered to hit both branches from real data: the
+    * numeric tail of c_name try_casts cleanly, the full name does not;
+    * the modulo denominator plants genuine zeros. DuckDB lacks
+    * try_divide/try_add → NULLIF/CASE twins with identical three-valued
+    * semantics. Pure projection. */
+  private val q161 = Q(
+    "q161_try_surface",
+    (s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        try_element_at(split(col("c_name"), "#"), lit(2)).cast("long").as("num_tail"),
+        expr("try_cast(c_name AS BIGINT)").as("bad_cast"),
+        expr("try_divide(c_acctbal, c_custkey % 3)").as("risky_div"),
+        // +1 so custkey 0 overflows too — every row exercises the NULL path
+        expr("try_add(9223372036854775807L, c_custkey + 1L)").as("overflow_add"))
+    },
+    Some("""
+      SELECT c_custkey,
+        TRY_CAST(string_split(c_name, '#')[2] AS BIGINT) AS num_tail,
+        TRY_CAST(c_name AS BIGINT) AS bad_cast,
+        c_acctbal / nullif(c_custkey % 3, 0) AS risky_div,
+        CAST(NULL AS BIGINT) AS overflow_add
+      FROM customer"""))
+
+  /** Distribution-rank window surface: percent_rank / cume_dist /
+    * ntile(4) per market segment — the quantile-assignment windows q101's
+    * rank family left out. The window order carries the unique custkey
+    * tiebreak (the catalog-wide rank rule), which makes percent_rank and
+    * cume_dist exact rational values of row positions — engine-identical
+    * divisions — and pins every ntile bucket edge. r6-rounded doubles for
+    * the two ratios; ntile emitted as an exact int. */
+  private val q162 = Q(
+    "q162_rank_distribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d).select(
+        col("c_mktsegment"), col("c_custkey"),
+        r(percent_rank().over(w), 6).as("pr"),
+        r(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).as("quartile"))
+    },
+    Some("""
+      SELECT c_mktsegment, c_custkey,
+        floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
+        floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd,
+        CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal ASC, c_custkey ASC)"""))
+
+  /** Gaps-and-islands: longest run of consecutive same-type events per
+    * user — the classic streak analysis (q87's transition matrix counts
+    * edges; this measures persistence). Island id = rn_overall −
+    * rn_within_type, both ordered by the unique event_id, so runs are
+    * exactly delimited with no timestamp-tie ambiguity. Longest-run
+    * tiebreak: earliest island start. Two windows + two keyed aggregates,
+    * all partitioned by user. */
+  private val q163 = Q(
+    "q163_event_islands",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+      val islands = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .withColumn("grp",
+          row_number().over(byUser) - row_number().over(byUserType))
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("run_len"), min(col("event_id")).as("run_start"))
+      islands.groupBy(col("user_id"))
+        .agg(
+          max(col("run_len")).as("longest_run"),
+          min_by(col("event_type"), struct(-col("run_len"), col("run_start")))
+            .as("run_type"),
+          count(lit(1)).as("n_islands"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id, event_type, event_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+          - row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY event_id) AS grp
+        FROM events),
+      islands AS (
+        SELECT user_id, event_type, grp, count(*) AS run_len,
+          min(event_id) AS run_start
+        FROM base GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT user_id, event_type, run_len, run_start,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY run_len DESC, run_start ASC) AS rn
+        FROM islands)
+      SELECT r.user_id, r.run_len AS longest_run, r.event_type AS run_type,
+        c.n_islands
+      FROM ranked r
+      JOIN (SELECT user_id, count(*) AS n_islands FROM islands GROUP BY 1) c
+        USING (user_id)
+      WHERE r.rn = 1"""))
+
+  /** SemDeDup (Abbas et al. 2023) over the embeddings corpus: k-means-cell
+    * blocking + within-cell cosine ≥ 0.40 + keep-lowest-id — semantic
+    * dedup as one declarative query. The cells come from the FROZEN
+    * [[graft.ops.CentroidArtifact]] (train-once index artifact, the q137b
+    * serving-path move), which is what makes the DuckDB twin possible:
+    * both engines evaluate the same centroid literals. This is the scale
+    * answer to q32's documented label-blocked quadratic — the blocking key
+    * here is a real learned cell whose count (not the corpus) bounds the
+    * pair fan-out; output carries no float column, so the hash check rides
+    * only on comparisons running the identical IEEE op sequence. */
+  private val q164 = Q(
+    "q164_semdedup",
+    (s, d) => graft.ops.SemDedup.semDedup(Tables.embeddings(s, d), tau = 0.40),
+    Some(graft.ops.SemDedup.oracleSql(tau = 0.40)))
+
+  /** SemDeDup with the SCALED cell artifact — the cells-∝-n dial in the
+    * catalog, not just prose: same algorithm and twin machinery as q164,
+    * but cell assignment runs against `CentroidArtifact64` (k=64, trained
+    * on the 10× tools/sf1 embeddings by `CentroidArtifactGen`). With k
+    * grown ∝ corpus, within-cell pair counts stay FLAT as n grows —
+    * measured in SemDedupScaleSpec (per-doc pair work 148.8 → 15.8 at
+    * sf0.1 vs the frozen k=8 cells) and benchmarked at sf1 in BASELINE.md.
+    * This is the production configuration; q164 keeps the small-corpus
+    * artifact for hash-stability of the original row. */
+  private val q164b = Q(
+    "q164b_semdedup_scaled",
+    (s, d) => graft.ops.SemDedup.semDedup(
+      Tables.embeddings(s, d), tau = 0.40, graft.ops.CentroidArtifact64.centers),
+    Some(graft.ops.SemDedup.oracleSql(tau = 0.40,
+      graft.ops.CentroidArtifact64.centers)))
+
+  /** Spark 4 VARIANT surface (semi-structured data without a schema):
+    * build a JSON event payload from real columns (the q122 synthesize-
+    * then-parse discipline — the parser is checked against ground truth,
+    * not another parser), `parse_json` it into an open VariantType cell,
+    * and extract typed fields back out with `variant_get` paths, including
+    * an array index, a missing-key null, and an out-of-range index null.
+    * The DuckDB twin runs its native JSON path functions over the same
+    * string. Float formatting inside the payload may differ per engine
+    * (shortest-repr vs Java rules) — harmless by construction, because the
+    * checked columns are the PARSED-BACK values, not the string.
+    * At 100 TB variant columns are the schema-drift-proof landing format
+    * for event payloads: shredded on read, no reprocess on key add. */
+  private val q165 = Q(
+    "q165_variant_json",
+    (s, d) => {
+      val payload = concat(
+        lit("""{"user":{"id":"""), col("user_id"),
+        lit("""},"event":{"type":""""), col("event_type"), lit("\""),
+        lit(""","value":"""), r2(col("value")),
+        lit("""},"props":"""), col("props"),
+        lit(""","tags":["""), col("event_id") % 7, lit(","), col("event_id") % 3,
+        lit("]}"))
+      Tables.events(s, d)
+        .select(col("event_id"), parse_json(payload).as("v"))
+        .select(
+          col("event_id"),
+          try_variant_get(col("v"), "$.user.id", "bigint").as("uid"),
+          try_variant_get(col("v"), "$.event.type", "string").as("etype"),
+          try_variant_get(col("v"), "$.event.value", "double").as("value"),
+          try_variant_get(col("v"), "$.props.k", "bigint").as("prop_k"),
+          try_variant_get(col("v"), "$.tags[1]", "bigint").as("tag1"),
+          try_variant_get(col("v"), "$.tags[5]", "bigint").as("tag_oob"),
+          try_variant_get(col("v"), "$.missing.key", "string").as("absent"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT event_id,
+          '{"user":{"id":' || user_id ||
+          '},"event":{"type":"' || event_type ||
+          '","value":' || floor(value*100 + 0.5)/100 ||
+          '},"props":' || props ||
+          ',"tags":[' || event_id % 7 || ',' || event_id % 3 || ']}' AS s
+        FROM events)
+      SELECT event_id,
+        json_extract_string(s, '$.user.id')::BIGINT AS uid,
+        json_extract_string(s, '$.event.type') AS etype,
+        json_extract_string(s, '$.event.value')::DOUBLE AS value,
+        json_extract_string(s, '$.props.k')::BIGINT AS prop_k,
+        json_extract_string(s, '$.tags[1]')::BIGINT AS tag1,
+        json_extract_string(s, '$.tags[5]')::BIGINT AS tag_oob,
+        json_extract_string(s, '$.missing.key') AS absent
+      FROM j"""))
+
+  /** Containment (asymmetric set-overlap) near-dup: |A∩B|/|A| over
+    * distinct token sets — the sub-document-duplication signal Jaccard
+    * (q20) misses: when a short doc A is wholly inside a long doc B,
+    * containment(A→B)=1.0 while Jaccard is tiny. Emitted per ORDERED pair
+    * (both directions), so the asymmetry itself is in the checked output.
+    * Same 30-char-prefix blocking as q20/q46 (at 100 TB: a band/bucket
+    * key); set sizes ride along so the asymmetry is auditable. */
+  private val q166 = Q(
+    "q166_containment_neardup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        substring(col("text"), 1, 30).as("pfx"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      val a = docs.as("a")
+      val b = docs.as("b")
+      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      a.join(b, col("a.pfx") === col("b.pfx") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(col("a.toks")).as("n_a"), size(col("b.toks")).as("n_b"),
+          (inter.cast("double") / size(col("a.toks"))).as("cont"))
+        .filter(col("cont") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          r(col("cont"), 3).as("containment"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, substr(text, 1, 30) AS pfx,
+          list_distinct(string_split(text, ' ')) AS toks
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(a.toks) AS INT) AS n_a, CAST(len(b.toks) AS INT) AS n_b,
+        floor((len(list_intersect(a.toks, b.toks))::DOUBLE
+               / len(a.toks))*1000 + 0.5)/1000 AS containment
+      FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id <> b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks) >= 0.9"""))
+
+  /** The WHOLE dedup pipeline as one declarative query — candidates
+    * (q20's prefix-blocked Jaccard edges) → connected components (q46's
+    * min-label fixpoint) → keep-BEST canonical per cluster (q121's
+    * (n_chars DESC, doc_id ASC) rule, not keep-min-id) → the surviving
+    * corpus MANIFEST with reduction accounting (docs and chars freed per
+    * keeper). This is the end product the stages exist for: what ships to
+    * training after dedup, with per-cluster provenance. One row per kept
+    * doc, all-integer output. The twin recomputes the same fixpoint with
+    * a recursive CTE and the same window rule. */
+  private val q167 = Q(
+    "q167_dedup_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = graft.ops.Text.dedupClusters(
+        docs, prefixJaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
+      val sized = clusters.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      sized
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cluster_chars",
+          sum(col("n_chars")).over(Window.partitionBy(col("cluster_id"))))
+        .filter(col("rk") === 1)
+        .select(
+          col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("cluster_size") - 1).as("n_dropped"),
+          col("n_chars").as("kept_chars"),
+          (col("cluster_chars") - col("n_chars")).as("dropped_chars"))
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, substr(text, 1, 30) AS pfx,
+          list_distinct(string_split(text, ' ')) AS toks
+        FROM documents),
+      e AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+      sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+      comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+      sized AS (
+        SELECT c.doc_id, c.cluster_id, dd.n_chars,
+          count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+          CAST(sum(dd.n_chars) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+            AS cluster_chars,
+          row_number() OVER (PARTITION BY c.cluster_id
+            ORDER BY dd.n_chars DESC, c.doc_id ASC) AS rk
+        FROM comp c JOIN documents dd USING (doc_id))
+      SELECT doc_id, cluster_id, cluster_size,
+        cluster_size - 1 AS n_dropped,
+        n_chars AS kept_chars,
+        CAST(cluster_chars - n_chars AS BIGINT) AS dropped_chars
+      FROM sized WHERE rk = 1"""))
+
+  /** Embedding-space drift per cohort — the vector companion of the
+    * scalar drift monitors (KS q149 / PSI q150 / JSD q156): each label's
+    * mean embedding vs the global mean, reported as cosine similarity and
+    * L2 shift. Exact-integer discipline end to end: components are
+    * micro-rounded BIGINTs, so the per-(label,dim) sums are
+    * order-independent; the per-dim mean products are pico-rounded back
+    * to BIGINTs before the 64-term reduction (q117's move), so no float
+    * summation order exists anywhere. Map-side explode + two keyed
+    * aggregates + a 64-row broadcast join — at 100 TB the width (64)
+    * stays constant, the shuffle carries labels × dims rows. */
+  private val q168 = Q(
+    "q168_embedding_drift",
+    (s, d) => {
+      val comp = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), col("pos"),
+          floor(col("x").cast("double") * 1000000 + 0.5).cast("long").as("c"))
+      val byLabel = comp.groupBy(col("label"), col("pos"))
+        .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+      val global = byLabel.groupBy(col("pos"))
+        .agg(sum(col("s")).as("sg"), sum(col("n")).as("ng"))
+      val t = byLabel.join(broadcast(global), Seq("pos"))
+        .withColumn("ml", col("s").cast("double") / col("n"))
+        .withColumn("mg", col("sg").cast("double") / col("ng"))
+        .select(col("label"), col("n"),
+          floor(col("ml") * col("mg") + 0.5).cast("long").as("dot_t"),
+          floor(col("ml") * col("ml") + 0.5).cast("long").as("nl_t"),
+          floor(col("mg") * col("mg") + 0.5).cast("long").as("ng_t"),
+          floor((col("ml") - col("mg")) * (col("ml") - col("mg")) + 0.5)
+            .cast("long").as("d2_t"))
+      t.groupBy(col("label"))
+        .agg(
+          max(col("n")).as("n_vecs"),
+          sum(col("dot_t")).as("dot"), sum(col("nl_t")).as("nl"),
+          sum(col("ng_t")).as("ng"), sum(col("d2_t")).as("d2"))
+        .select(
+          col("label"), col("n_vecs"),
+          r(col("dot").cast("double") /
+            (sqrt(col("nl").cast("double")) * sqrt(col("ng").cast("double"))), 6)
+            .as("cos_to_global"),
+          r(sqrt(col("d2").cast("double")) / 1000000, 6).as("l2_shift"))
+    },
+    Some("""
+      WITH comp AS (
+        SELECT label,
+          unnest(range(len(embedding))) AS pos,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS c
+        FROM embeddings),
+      by_label AS (
+        SELECT label, pos, CAST(sum(c) AS BIGINT) AS s, count(*) AS n
+        FROM comp GROUP BY 1, 2),
+      gstats AS (
+        SELECT pos, CAST(sum(s) AS BIGINT) AS sg, CAST(sum(n) AS BIGINT) AS ng
+        FROM by_label GROUP BY 1),
+      t AS (
+        SELECT label, n,
+          CAST(floor((s::DOUBLE / n) * (sg::DOUBLE / ng) + 0.5) AS BIGINT) AS dot_t,
+          CAST(floor((s::DOUBLE / n) * (s::DOUBLE / n) + 0.5) AS BIGINT) AS nl_t,
+          CAST(floor((sg::DOUBLE / ng) * (sg::DOUBLE / ng) + 0.5) AS BIGINT) AS ng_t,
+          CAST(floor((s::DOUBLE / n - sg::DOUBLE / ng)
+                   * (s::DOUBLE / n - sg::DOUBLE / ng) + 0.5) AS BIGINT) AS d2_t
+        FROM by_label JOIN gstats USING (pos))
+      SELECT label, max(n) AS n_vecs,
+        floor(CAST(sum(dot_t) AS BIGINT)::DOUBLE
+              / (sqrt(CAST(sum(nl_t) AS BIGINT)::DOUBLE)
+                 * sqrt(CAST(sum(ng_t) AS BIGINT)::DOUBLE)) * 1000000 + 0.5)
+          / 1000000 AS cos_to_global,
+        floor(sqrt(CAST(sum(d2_t) AS BIGINT)::DOUBLE) / 1000000 * 1000000 + 0.5)
+          / 1000000 AS l2_shift
+      FROM t GROUP BY label"""))
+
+  /** Spark 4 collation surface: a case-insensitive equi-join via
+    * UTF8_LCASE collation — no lower() rewrite on either side, the
+    * comparison itself is collation-aware (and at scale stays a plain
+    * hash join on the collation key). Mixed case is synthesized
+    * deterministically (every even doc_id upper-cased) so both branches
+    * are exercised; the DuckDB twin is the classic lower()-normalized
+    * join, proving the collated join equals the rewrite it replaces. */
+  private val q169 = Q(
+    "q169_collated_join",
+    (s, d) => {
+      import s.implicits._
+      val langNames = Seq(
+        ("en", "English"), ("de", "German"), ("es", "Spanish"),
+        ("fr", "French"), ("zh", "Chinese")).toDF("lang_key", "lang_name")
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0, upper(col("lang")))
+          .otherwise(col("lang")).as("lang_mixed"))
+      docs.join(broadcast(langNames),
+          collate(col("lang_mixed"), "UTF8_LCASE") ===
+            collate(col("lang_key"), "UTF8_LCASE"))
+        .select(col("doc_id"), col("lang_mixed"), col("lang_name"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS lang_mixed
+        FROM documents),
+      names(lang_key, lang_name) AS (VALUES
+        ('en', 'English'), ('de', 'German'), ('es', 'Spanish'),
+        ('fr', 'French'), ('zh', 'Chinese'))
+      SELECT doc_id, lang_mixed, lang_name
+      FROM docs JOIN names ON lower(lang_mixed) = lang_key"""))
+
+  /** XML ingestion surface (`from_xml`, Spark 4): build an XML event
+    * record from real columns, parse it back through a typed schema, and
+    * emit the extracted fields — the q122/q165 synthesize-then-parse
+    * discipline, where the oracle recomputes the SAME fields from the
+    * SOURCE columns, so the parser is checked against ground truth rather
+    * than against another XML parser (DuckDB has none). Round-trip
+    * exactness: ids are integers, the value is r2-rounded before
+    * rendering, and shortest-repr double → string → double is lossless. */
+  private val q170 = Q(
+    "q170_xml_extract",
+    (s, d) => {
+      val xml = concat(
+        lit("<event id=\""), col("event_id"), lit("\">"),
+        lit("<user>"), col("user_id"), lit("</user>"),
+        lit("<type>"), col("event_type"), lit("</type>"),
+        lit("<value>"), r2(col("value")), lit("</value>"),
+        lit("</event>"))
+      Tables.events(s, d)
+        .select(col("event_id").as("source_id"), from_xml(xml,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "_id BIGINT, user BIGINT, type STRING, value DOUBLE")).as("x"))
+        .select(
+          col("source_id"),
+          col("x._id").as("xml_id"),
+          col("x.user").as("user_id"),
+          col("x.type").as("event_type"),
+          col("x.value").as("value"))
+    },
+    Some("""
+      SELECT event_id AS source_id, event_id AS xml_id, user_id, event_type,
+        floor(value*100 + 0.5)/100 AS value
+      FROM events"""))
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
+    * predicate every SCD/CDC merge needs when keys are nullable — plain
+    * `=` silently drops null-key rows, `<=>` matches null to null. Both
+    * sides collapse a nulled-out key (the hottest priority mapped to
+    * NULL) to per-key counts, so the null bucket is REAL on both sides
+    * and must pair up for the row to survive. Still compiles to a plain
+    * hash join — null-safe equality is a valid equi-join key. */
+  private val q171 = Q(
+    "q171_nullsafe_join",
+    (s, d) => {
+      def side(year: Int, as: String) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit(f"$year-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit(f"${year + 1}-01-01")))
+        .groupBy(nullif(col("o_orderpriority"), lit("1-URGENT")).as(s"k_$as"))
+        .agg(count(lit(1)).as(s"n_$as"))
+      side(1995, "a").join(side(1996, "b"), col("k_a") <=> col("k_b"))
+        .select(col("k_a").as("priority_key"), col("n_a"), col("n_b"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT nullif(o_orderpriority, '1-URGENT') AS k, count(*) AS n_a
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1),
+      b AS (
+        SELECT nullif(o_orderpriority, '1-URGENT') AS k, count(*) AS n_b
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1)
+      SELECT a.k AS priority_key, a.n_a, b.n_b
+      FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k"""))
+
+  /** MRR@10 + hit@k per source — the third retrieval-eval metric beside
+    * AUC (q155) and NDCG (q158), completing the ranking-eval family: docs
+    * ranked by (n_chars DESC, doc_id ASC), relevance = lang='en', MRR is
+    * 1/rank of the FIRST relevant in the top 10 (0 if none), reported in
+    * exact integer micro-units (floor(1e6/rank + 0.5) — no float until
+    * nothing is left to sum). hit@1/hit@3/hit@10 are plain indicator
+    * integers. One per-source rank window over pre-grouped rows; output
+    * is one row per source at any corpus size. */
+  private val q184 = Q(
+    "q184_mrr",
+    (s, d) => {
+      val ranked = Tables.documents(s, d)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 10)
+        .select(col("source"), col("rn"),
+          (col("lang") === "en").cast("long").as("rel"))
+      ranked.groupBy(col("source")).agg(
+        min(when(col("rel") === 1, col("rn"))).as("first_rel"),
+        sum(when(col("rel") === 1 && col("rn") <= 1, 1L).otherwise(0L))
+          .as("hit1"),
+        sum(when(col("rel") === 1 && col("rn") <= 3, 1L).otherwise(0L))
+          .as("hit3"),
+        sum(col("rel")).as("hit10"))
+        .select(col("source"),
+          coalesce(floor(lit(1000000.0) / col("first_rel").cast("double")
+            + 0.5), lit(0L)).as("mrr_micro"),
+          (col("hit1") > 0).as("hit_at_1"),
+          (col("hit3") > 0).as("hit_at_3"),
+          (col("hit10") > 0).as("hit_at_10"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+        FROM documents QUALIFY rn <= 10),
+      agg AS (
+        SELECT source,
+          min(CASE WHEN rel = 1 THEN rn END) AS first_rel,
+          CAST(sum(CASE WHEN rel = 1 AND rn <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS hit1,
+          CAST(sum(CASE WHEN rel = 1 AND rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS hit3,
+          CAST(sum(rel) AS BIGINT) AS hit10
+        FROM ranked GROUP BY 1)
+      SELECT source,
+        coalesce(CAST(floor(1000000.0 / CAST(first_rel AS DOUBLE) + 0.5)
+          AS BIGINT), 0) AS mrr_micro,
+        hit1 > 0 AS hit_at_1,
+        hit3 > 0 AS hit_at_3,
+        hit10 > 0 AS hit_at_10
+      FROM agg"""))
+
+  private[queries] val all: Seq[Q] = Seq(
+    q154, q155, q156, q157, q158, q159, q160, q161,
+    q162, q163, q164, q164b, q165, q166, q167, q168,
+    q169, q170, q171, q184)
+}

@@ -1,0 +1,735 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Core, RefFunctions => F}
+import graft.sources.Tables
+
+import Shared._
+
+/** Governance + training ops: MI, SCD2, k-anon, BPE, inference, augmentation, incremental agg. Split from the single-file catalog in round 8;
+  * query text unchanged. Registration stays in [[QueryCatalog.all]]. */
+private[queries] object CatalogGovernance {
+
+
+  /** Mutual information + chi-squared independence between two
+    * categorical columns (lang × source) from ONE contingency table — the
+    * dependence diagnostic behind stratification choices: MI ≈ 0 says the
+    * columns stratify independently, high Cramér's V says a per-source
+    * language audit is redundant. Exact BIGINT cell/margin counts; each
+    * per-cell MI/chi² term is one closed-form double in identical textual
+    * order both engines, nano-rounded BEFORE the sum (q117/q150
+    * discipline), so no float summation order exists. Three keyed
+    * aggregates + two broadcast-size margin joins; at 100 TB the shuffle
+    * carries one row per (lang, source) cell. */
+  private val q172 = Q(
+    "q172_mutual_information",
+    (s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_ls"))
+      val byLang = cells.groupBy(col("lang")).agg(sum(col("n_ls")).as("n_l"))
+      val bySrc = cells.groupBy(col("source")).agg(sum(col("n_ls")).as("n_s"))
+      val total = cells.agg(
+        sum(col("n_ls")).as("n"),
+        countDistinct(col("lang")).as("k_l"),
+        countDistinct(col("source")).as("k_s"))
+      val t = cells
+        .join(broadcast(byLang), Seq("lang"))
+        .join(broadcast(bySrc), Seq("source"))
+        .join(broadcast(total))
+        .withColumn("e", col("n_l").cast("double") * col("n_s") / col("n"))
+        .select(
+          col("n"), col("k_l"), col("k_s"),
+          floor((col("n_ls").cast("double") / col("n")) *
+            log(col("n_ls").cast("double") * col("n") /
+              (col("n_l").cast("double") * col("n_s"))) * 1e9 + 0.5)
+            .cast("long").as("mi_t"),
+          floor((col("n_ls").cast("double") - col("e")) *
+            (col("n_ls").cast("double") - col("e")) / col("e") * 1e9 + 0.5)
+            .cast("long").as("chi_t"))
+      t.groupBy(col("n"), col("k_l"), col("k_s"))
+        .agg(sum(col("mi_t")).as("mi_sum"), sum(col("chi_t")).as("chi_sum"))
+        .select(
+          col("n"),
+          r(col("mi_sum").cast("double") / 1e9, 6).as("mi_nats"),
+          r(col("chi_sum").cast("double") / 1e9, 4).as("chi2"),
+          ((col("k_l") - 1) * (col("k_s") - 1)).as("dof"),
+          r(sqrt((col("chi_sum").cast("double") / 1e9) /
+            (col("n").cast("double") * least(col("k_l") - 1, col("k_s") - 1))), 6)
+            .as("cramers_v"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ls
+        FROM documents GROUP BY 1, 2),
+      by_lang AS (
+        SELECT lang, CAST(sum(n_ls) AS BIGINT) AS n_l FROM cells GROUP BY 1),
+      by_src AS (
+        SELECT source, CAST(sum(n_ls) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(n_ls) AS BIGINT) AS n,
+          CAST(count(DISTINCT lang) AS BIGINT) AS k_l,
+          CAST(count(DISTINCT source) AS BIGINT) AS k_s
+        FROM cells),
+      t AS (
+        SELECT n, k_l, k_s,
+          CAST(floor((n_ls::DOUBLE / n) *
+            ln(n_ls::DOUBLE * n / (n_l::DOUBLE * n_s)) * 1e9 + 0.5) AS BIGINT)
+            AS mi_t,
+          CAST(floor((n_ls::DOUBLE - n_l::DOUBLE * n_s / n) *
+            (n_ls::DOUBLE - n_l::DOUBLE * n_s / n)
+            / (n_l::DOUBLE * n_s / n) * 1e9 + 0.5) AS BIGINT) AS chi_t
+        FROM cells
+        JOIN by_lang USING (lang)
+        JOIN by_src USING (source)
+        CROSS JOIN tot)
+      SELECT n,
+        floor(CAST(sum(mi_t) AS BIGINT)::DOUBLE / 1e9 * 1000000 + 0.5)
+          / 1000000 AS mi_nats,
+        floor(CAST(sum(chi_t) AS BIGINT)::DOUBLE / 1e9 * 10000 + 0.5)
+          / 10000 AS chi2,
+        (k_l - 1) * (k_s - 1) AS dof,
+        floor(sqrt((CAST(sum(chi_t) AS BIGINT)::DOUBLE / 1e9)
+              / (n::DOUBLE * least(k_l - 1, k_s - 1))) * 1000000 + 0.5)
+          / 1000000 AS cramers_v
+      FROM t GROUP BY n, k_l, k_s"""))
+
+  /** SCD2 history construction (Core.scd2): two yearly per-priority
+    * snapshots become the version-interval table a warehouse keeps — the
+    * historized form of q70's change rows. The snapshots deliberately
+    * disagree on key coverage ('5-LOW' retired from the old year,
+    * '1-URGENT' absent from the new) so every SCD2 row shape is real:
+    * closed-with-successor (update), closed-without (delete), open
+    * unchanged, open inserted. One full-outer shuffle on the key; the
+    * Delta deployment of this is MERGE-with-history. */
+  private val q173 = Q(
+    "q173_scd2_history",
+    (s, d) => {
+      def snap(year: Int, dropPriority: String) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit(f"$year-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit(f"${year + 1}-01-01")) &&
+          col("o_orderpriority") =!= dropPriority)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      Core.scd2(
+        snap(1995, "5-LOW"), snap(1996, "1-URGENT"),
+        keys = Seq("o_orderpriority"), compareCols = Seq("n_orders"),
+        oldVersion = "1995", newVersion = "1996")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND o_orderpriority <> '5-LOW'
+        GROUP BY 1),
+      n AS (
+        SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND o_orderpriority <> '1-URGENT'
+        GROUP BY 1),
+      j AS (
+        SELECT coalesce(o.o_orderpriority, n.o_orderpriority) AS k,
+          o.n_orders AS o_n, n.n_orders AS n_n,
+          o.o_orderpriority IS NOT NULL AS has_o,
+          n.o_orderpriority IS NOT NULL AS has_n,
+          (o.n_orders IS DISTINCT FROM n.n_orders) AS chg
+        FROM o FULL JOIN n ON o.o_orderpriority = n.o_orderpriority)
+      SELECT k AS o_orderpriority, o_n AS n_orders,
+        '1995' AS valid_from, '1996' AS valid_to
+      FROM j WHERE has_o AND (NOT has_n OR chg)
+      UNION ALL
+      SELECT k, o_n, '1995', NULL FROM j WHERE has_o AND has_n AND NOT chg
+      UNION ALL
+      SELECT k, n_n, '1996', NULL FROM j WHERE has_n AND (NOT has_o OR chg)"""))
+
+  /** Nested (telescoping) corpus subsets for scaling-law runs: ONE
+    * md5-uniform per doc yields 1% ⊂ 10% ⊂ 100% tiers simultaneously —
+    * the 1% set is a true subset of the 10% set by construction (same
+    * hash, nested thresholds), so per-scale training runs are comparable.
+    * A fresh draw per tier would break nesting AND reproducibility; this
+    * is q47's hash-sampling discipline extended to telescoping tiers.
+    * Pure map-side, zero shuffle. */
+  private val q174 = Q(
+    "q174_nested_subsets",
+    (s, d) => {
+      val u = graft.ops.Corpus.uniformHash(col("doc_id"), "graft-tiers")
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        when(u < 0.01, lit(1)).when(u < 0.1, lit(10)).otherwise(lit(100))
+          .as("smallest_tier_pct"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, lang,
+          (('0x' || substr(md5(doc_id::VARCHAR || 'graft-tiers'), 1, 15))::BIGINT)::DOUBLE
+            / 1152921504606846976 AS uh
+        FROM documents)
+      SELECT doc_id, lang,
+        CAST(CASE WHEN uh < 0.01 THEN 1 WHEN uh < 0.1 THEN 10 ELSE 100 END
+          AS INT) AS smallest_tier_pct
+      FROM u"""))
+
+  /** k-anonymity audit over quasi-identifiers — the privacy gate beside
+    * q52's PII redaction: redaction removes direct identifiers, but a
+    * (lang, source, length-bucket) combination occurring in < k documents
+    * can still single someone out on release. One exact hash aggregate
+    * flags every sub-k group and sizes the suppression cost (how many
+    * docs a k-anonymous release must drop or generalize). At 100 TB the
+    * shuffle carries one row per QI combination. */
+  private val q175 = Q(
+    "q175_k_anonymity",
+    (s, d) => {
+      val k = 5
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          (col("n_chars") / 100).cast("int").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("k_anonymous", col("n_docs") >= k)
+        .withColumn("suppressed_docs",
+          when(col("n_docs") < k, col("n_docs")).otherwise(lit(0L)))
+    },
+    Some("""
+      SELECT lang, source,
+        CAST(n_chars // 100 AS INT) AS len_bucket,
+        count(*) AS n_docs,
+        count(*) >= 5 AS k_anonymous,
+        CASE WHEN count(*) < 5 THEN count(*) ELSE 0 END AS suppressed_docs
+      FROM documents
+      GROUP BY 1, 2, 3"""))
+
+  /** BPE-style merge training as iterative dataflow: 3 rounds of
+    * (count adjacent token pairs → argmax with deterministic tiebreak →
+    * greedy left-to-right merge), the core loop of tokenizer training
+    * (Sennrich et al. 2016) run corpus-wide on the engine. The merge
+    * APPLICATION is the trick: docs live as '|tok||tok|'-delimited
+    * strings, so one literal `replace('|a||b|' → '|a+b|')` IS the greedy
+    * non-overlapping left-to-right merge — both engines' replace has
+    * exactly those semantics (validated against an imperative reference).
+    * Per round: one pair-count shuffle + a 1-row winner broadcast; fully
+    * declarative here (3 unrolled rounds, bounded recompute), per-round
+    * `localCheckpoint` at production depth like connectedComponents.
+    * Output: the 3 learned merges with pair counts and the corpus token
+    * count after each round. */
+  private val q176 = Q(
+    "q176_bpe_merges",
+    (s, d) => {
+      def toks(sc: Column) = split(regexp_replace(sc, "^\\||\\|$", ""), "\\|\\|")
+      def pairCounts(corpus: DataFrame) = corpus
+        .select(toks(col("s")).as("t"))
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(element_at(col("t"), i).as("a"),
+            element_at(col("t"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+      def winner(corpus: DataFrame) =
+        pairCounts(corpus).orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+      def applyMerge(corpus: DataFrame, w: DataFrame) =
+        corpus.crossJoin(broadcast(w)).select(col("doc_id"), expr(
+          "replace(s, '|' || a || '||' || b || '|', '|' || a || '+' || b || '|')").as("s"))
+      def tokensAfter(corpus: DataFrame) = corpus
+        .select(size(toks(col("s"))).cast("long").as("k"))
+        .agg(sum(col("k")).as("tokens_after"))
+      // Tokens that are empty (leading/trailing/double spaces) or contain
+      // the '|'/'+' delimiter chars would corrupt the delimited encoding
+      // (and make Spark's strip-one-pipe vs the twin's trim-all-pipes
+      // diverge) — filter them out BEFORE encoding, identically on both
+      // sides. With no empty boundary tokens, s always carries exactly
+      // one leading and one trailing '|', so trim(s,'|') == strip-one.
+      var corpus = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(lit("|"), array_join(filter(split(col("text"), " "), x =>
+          x =!= "" && !x.contains("|") && !x.contains("+")), "||"),
+          lit("|")).as("s"))
+      val rounds = (1 to 3).map { r =>
+        val w = winner(corpus)
+        val next = applyMerge(corpus, w)
+        val row = w.crossJoin(broadcast(tokensAfter(next))).select(
+          lit(r).as("round"), col("a").as("left_tok"), col("b").as("right_tok"),
+          col("n").as("pair_count"), col("tokens_after"))
+        corpus = next
+        row
+      }
+      rounds.reduce(_.unionAll(_))
+    },
+    Some {
+      def round(src: String, i: Int) = s"""p$i AS (
+        SELECT u.p.a AS a, u.p.b AS b, count(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(t)),
+            i -> struct_pack(a := t[i], b := t[i+1]))) AS p
+          FROM (SELECT string_split(trim(s, '|'), '||') AS t FROM $src)) u
+        GROUP BY 1, 2),
+      w$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+      r$i AS (
+        SELECT doc_id, replace(s, '|' || w$i.a || '||' || w$i.b || '|',
+                                  '|' || w$i.a || '+' || w$i.b || '|') AS s
+        FROM $src CROSS JOIN w$i),
+      a$i AS (SELECT CAST(sum(len(string_split(trim(s, '|'), '||'))) AS BIGINT)
+                AS tokens_after FROM r$i)"""
+      s"""
+      WITH r0 AS (
+        SELECT doc_id,
+          '|' || array_to_string(list_filter(string_split(text, ' '),
+            x -> x <> '' AND NOT contains(x, '|') AND NOT contains(x, '+')),
+            '||') || '|' AS s
+        FROM documents),
+      ${round("r0", 1)},
+      ${round("r1", 2)},
+      ${round("r2", 3)}
+      SELECT CAST(1 AS INT) AS round, a AS left_tok, b AS right_tok,
+        n AS pair_count, tokens_after FROM w1 CROSS JOIN a1
+      UNION ALL SELECT 2, a, b, n, tokens_after FROM w2 CROSS JOIN a2
+      UNION ALL SELECT 3, a, b, n, tokens_after FROM w3 CROSS JOIN a3"""
+    })
+
+  /** Batch model inference in the engine: a frozen logistic-regression
+    * head scored over the embedding column — the quality-classifier
+    * serving shape every curation stack runs (FineWeb-style classifier
+    * sweeps). The model IS data: 64 weights + bias as literals folded
+    * into the codegen'd vec_dot (the frozen-artifact discipline of
+    * q137b/q164 — deterministic seedless weights here, since the point is
+    * the serving shape, not the fit). Map-side score + sigmoid, top-20 by
+    * raw score with the unique tiebreak → TakeOrderedAndProject; no
+    * shuffle other than the top-k. The twin evaluates the identical
+    * literals through list_dot_product. */
+  private val q177 = {
+    // deterministic pseudo-random weights, same derivation style as
+    // Similarity.planes (seedless function of (j, tag) — reproducible)
+    val w = Array.tabulate(64) { j =>
+      (scala.util.hashing.MurmurHash3.productHash((j, "graft-linear")) % 1000) / 1000.0
+    }
+    val bias = -0.1
+    Q(
+      "q177_linear_scoring",
+      (s, d) => {
+        graft.plans.GraftExtensions.install(s)
+        val z = graft.functions.VectorDot.vec_dot(
+          transform(col("embedding"), x => x.cast("double")),
+          array(w.map(lit).toIndexedSeq: _*)) + lit(bias)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            (lit(1.0) / (lit(1.0) + exp(-z))).as("sc"))
+          .orderBy(col("sc").desc, col("vec_id").asc)
+          .limit(20)
+          .select(col("vec_id"), col("label"), r(col("sc"), 6).as("score"))
+      },
+      Some(s"""
+      WITH s AS (
+        SELECT vec_id, label,
+          1.0 / (1.0 + exp(-(list_dot_product(embedding::DOUBLE[],
+            ${w.map(_.toString).mkString("[", ", ", "]")}) + $bias))) AS sc
+        FROM embeddings)
+      SELECT vec_id, label, floor(sc * 1000000 + 0.5) / 1000000 AS score
+      FROM s ORDER BY sc DESC, vec_id ASC LIMIT 20"""))
+  }
+
+  /** Deterministic data augmentation (token dropout): each (doc, position)
+    * draws its own md5-uniform, positions under the 10% rate drop, and the
+    * augmented text is fingerprinted — reproducible augmentation, the
+    * property `rand()`-based dropout can never give (same augmented corpus
+    * on any engine, any run, any retry; the q47 hash-sampling discipline
+    * at token granularity). Pure map-side HOF algebra on the Spark side
+    * (indexed filter lambda), zero shuffle. */
+  private val q178 = Q(
+    "q178_token_dropout",
+    (s, d) => {
+      def u(pos: Column) = conv(substring(
+        md5(concat(col("doc_id"), lit("-"), pos, lit("-aug"))), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1152921504606846976L).cast("double")
+      val toks = split(col("text"), " ")
+      val kept = filter(toks, (_, i) => u(i) >= 0.1)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_orig"),
+        size(kept).as("n_kept"),
+        conv(substring(md5(array_join(kept, " ")), 1, 15), 16, 10)
+          .cast("long").as("aug_fingerprint"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT doc_id,
+          unnest(range(len(string_split(text, ' ')))) AS pos,
+          unnest(string_split(text, ' ')) AS tok,
+          len(string_split(text, ' ')) AS n_orig
+        FROM documents),
+      flagged AS (
+        SELECT doc_id, n_orig, pos, tok,
+          (('0x' || substr(md5(doc_id::VARCHAR || '-' || pos::VARCHAR || '-aug'), 1, 15))::BIGINT)::DOUBLE
+              / 1152921504606846976 >= 0.1 AS keep
+        FROM ex)
+      -- string_agg skips the CASE's NULLs, so a doc whose every token
+      -- drops still emits a row (empty-string fingerprint), matching the
+      -- Spark side's always-present filter result
+      SELECT doc_id, CAST(any_value(n_orig) AS INT) AS n_orig,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        ('0x' || substr(md5(coalesce(
+          string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY pos), '')), 1, 15))::BIGINT
+          AS aug_fingerprint
+      FROM flagged GROUP BY doc_id"""))
+
+  /** Approximate-operator METROLOGY inside the engine: q21's MinHash-LSH
+    * candidate generation evaluated against exact SHINGLE-Jaccard ground
+    * truth — TP/FP/FN, recall and precision as one query. This is how a
+    * 100 TB pipeline certifies banding parameters before a full run:
+    * truth by all-pairs on an ABSOLUTELY bounded deterministic sample —
+    * the rate is derived from the corpus count to target ~100 docs at
+    * ANY scale (proportional sampling would quietly turn the truth join
+    * quadratic as the corpus grows; measured 41.7 s at sf0.1 before this
+    * bound, 1-2 s after), candidates
+    * by the production banding, both exact integers. The fixture has
+    * almost no natural shingle-level near-dups, so the sample is AUGMENTED
+    * with deterministic mutated twins (every 13th token dropped → planted
+    * pairs at shingle-Jaccard ≈ 0.63, exactly the regime 4×4 banding is
+    * supposed to catch about half of — the measured recall says whether
+    * the parameters deliver). Truth is measured (all pairs ≥ 0.5), never
+    * assumed from the planting. The twin recomputes the identical md5
+    * minhash algebra. */
+  private val q179 = Q(
+    "q179_lsh_quality",
+    (s, d) => {
+      val M = 2147483647L
+      def hexint(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val total = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+      val sampled = Tables.documents(s, d)
+        .crossJoin(broadcast(total))
+        .filter(graft.ops.Corpus.uniformHash(col("doc_id"), "lsh-eval") <
+          least(lit(0.2), lit(100.0) / col("n_total")))
+        .select(col("doc_id"), col("text"))
+      val variants = sampled.select(
+        (col("doc_id") + 1000000000L).as("doc_id"),
+        array_join(filter(split(col("text"), " "),
+          (_, i) => i % 13 =!= 0), " ").as("text"))
+      val corpus = sampled.unionAll(variants)
+      val toks = split(col("text"), " ")
+      def shingleSet(tks: Column) = array_distinct(transform(
+        sequence(lit(1), size(tks) - 2),
+        i => concat_ws(" ", element_at(tks, i),
+          element_at(tks, i + 1), element_at(tks, i + 2))))
+      // exact ground truth: all pairs on the bounded corpus, shingle
+      // Jaccard >= 0.5 (what MinHash actually estimates)
+      val tokset = corpus.filter(size(toks) >= 3)
+        .select(col("doc_id"), shingleSet(toks).as("ts"))
+      val jac = size(array_intersect(col("a.ts"), col("b.ts"))).cast("double") /
+        size(array_union(col("a.ts"), col("b.ts")))
+      val truth = tokset.as("a").join(tokset.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (jac >= 0.5).as("is_dup"))
+      // production candidates: q21's 16-minhash / 4-band bucketing
+      val shingleRows = corpus
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("sh"))
+        .select(col("doc_id"), (hexint(col("sh")) % M).as("h"))
+      val minCols = (0 until 16).map(seed =>
+        min((col("h") * (seed * 2 + 1) + seed * 1000003L) % M).as(s"m$seed"))
+      val banded = shingleRows.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"), array((0 until 16).map(i => col(s"m$i")): _*).as("mh"))
+        .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)), b => struct(
+          b.as("band_id"),
+          md5(array_join(transform(slice(col("mh"), b * 4 + 1, lit(4)),
+            x => x.cast("string")), "|")).as("band_hash")))).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      val cand = banded.groupBy(col("band_id"), col("band_hash"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(flatten(transform(
+          sequence(lit(1), size(col("ids")) - 1),
+          i => transform(
+            sequence(i + 1, size(col("ids"))),
+            j => struct(
+              element_at(col("ids"), i).as("doc_a"),
+              element_at(col("ids"), j).as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b")).distinct()
+        .withColumn("is_cand", lit(true))
+      truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+        .select(
+          coalesce(col("is_dup"), lit(false)).as("is_dup"),
+          coalesce(col("is_cand"), lit(false)).as("is_cand"))
+        .agg(
+          sum(when(col("is_dup") && col("is_cand"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("is_dup") && col("is_cand"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("is_dup") && !col("is_cand"), 1L).otherwise(0L)).as("fn"))
+        .select(col("tp"), col("fp"), col("fn"),
+          r(col("tp").cast("double") /
+            greatest(col("tp") + col("fn"), lit(1L)), 6).as("recall"),
+          r(col("tp").cast("double") /
+            greatest(col("tp") + col("fp"), lit(1L)), 6).as("precision"))
+    },
+    Some("""
+      WITH sampled AS (
+        SELECT doc_id, text FROM documents
+        WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'lsh-eval'), 1, 15))::BIGINT)::DOUBLE
+              / 1152921504606846976
+              < least(0.2, 100.0 / (SELECT count(*) FROM documents))),
+      variants AS (
+        SELECT doc_id + 1000000000 AS doc_id,
+          array_to_string(list_filter(string_split(text, ' '),
+            (x, i) -> (i - 1) % 13 <> 0), ' ') AS text
+        FROM sampled),
+      corpus AS (SELECT * FROM sampled UNION ALL SELECT * FROM variants),
+      tokset AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ts
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+        WHERE len(toks) >= 3),
+      truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          (len(list_intersect(a.ts, b.ts))::DOUBLE
+           / len(list_distinct(list_concat(a.ts, b.ts)))) >= 0.5 AS is_dup
+        FROM tokset a JOIN tokset b ON a.doc_id < b.doc_id),
+      sh AS (
+        SELECT doc_id, toks,
+          list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+        WHERE len(toks) >= 3),
+      m AS (
+        SELECT doc_id,
+          list_transform(range(0, 16), seed ->
+            list_min(list_transform(shingles, sg ->
+              ((('0x' || substr(md5(sg), 1, 15))::BIGINT % 2147483647)
+               * (seed*2 + 1) + seed*1000003) % 2147483647))) AS mh
+        FROM sh),
+      banded AS (
+        SELECT doc_id, b.band_id,
+          md5(array_to_string(list_transform(mh[b.band_id*4+1 : b.band_id*4+4],
+            x -> x::VARCHAR), '|')) AS band_hash
+        FROM m, (SELECT unnest([0,1,2,3]) AS band_id) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, true AS is_cand
+        FROM banded a JOIN banded b2
+          ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+         AND a.doc_id < b2.doc_id),
+      j AS (
+        SELECT coalesce(t.is_dup, false) AS is_dup,
+          coalesce(c.is_cand, false) AS is_cand
+        FROM truth t FULL JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+      SELECT
+        CAST(sum(CASE WHEN is_dup AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN NOT is_dup AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN is_dup AND NOT is_cand THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        floor(sum(CASE WHEN is_dup AND is_cand THEN 1 ELSE 0 END)::DOUBLE
+              / greatest(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 1)
+              * 1000000 + 0.5) / 1000000 AS recall,
+        floor(sum(CASE WHEN is_dup AND is_cand THEN 1 ELSE 0 END)::DOUBLE
+              / greatest(sum(CASE WHEN is_cand THEN 1 ELSE 0 END), 1)
+              * 1000000 + 0.5) / 1000000 AS precision
+      FROM j"""))
+
+  /** q89's exact equi-depth histogram WITHOUT the 3-task ceiling: the
+    * sf3 probe measured q89 at 4.3× for 3× data because ntile's window
+    * partitions by the 3-value returnflag — parallelism caps at 3 and
+    * each task sorts n/3 rows. This form distributes the same total
+    * order across a RANGE exchange (Corpus.globalIndex: many partitions,
+    * each sorted locally, zipWithIndex offsets — no single-task sort),
+    * then recovers ntile's exact remainder-first bucket assignment by
+    * CLOSED-FORM integer arithmetic from (per-group index, group size):
+    * first n%8 buckets get ⌈n/8⌉ rows, the rest ⌊n/8⌋, assigned in
+    * order. Row-identical to q89 by construction — the oracle is the
+    * SAME ntile SQL — so the scalable plan is proven, not argued. The
+    * group-offset window runs over a 3-row aggregate (bounded). */
+  private val q89b = Q(
+    "q89b_equidepth_scalable",
+    (s, d) => {
+      import graft.ops.Corpus
+      val base = Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      val idxed = Corpus.globalIndex(base,
+        Seq(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber")),
+        numPartitions = 16, indexName = "gidx")
+      val offs = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("grp_n"))
+        .withColumn("off", coalesce(
+          sum(col("grp_n")).over(Window.orderBy(col("l_returnflag"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      idxed.join(broadcast(offs), Seq("l_returnflag"))
+        .withColumn("idx", col("gidx") - col("off"))
+        .withColumn("bucket", expr("""
+          CAST(CASE WHEN idx < (grp_n % 8) * (grp_n DIV 8 + 1)
+            THEN idx DIV (grp_n DIV 8 + 1)
+            ELSE (grp_n % 8) + (idx - (grp_n % 8) * (grp_n DIV 8 + 1)) DIV (grp_n DIV 8)
+          END + 1 AS INT)"""))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          r2(min(col("l_extendedprice"))).as("lo"),
+          r2(max(col("l_extendedprice"))).as("hi"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT l_returnflag, l_extendedprice,
+          ntile(8) OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        FROM lineitem)
+      SELECT l_returnflag, bucket, count(*) AS n,
+        floor(min(l_extendedprice)*100 + 0.5)/100 AS lo,
+        floor(max(l_extendedprice)*100 + 0.5)/100 AS hi
+      FROM b GROUP BY 1, 2"""))
+
+  /** Incremental aggregate maintenance: yesterday's per-key aggregate
+    * state plus today's CDC rows produce today's aggregate WITHOUT
+    * rescanning the base — the materialized-view maintenance identity
+    * (agg_new = agg_old + Σinserts − Σdeletes per key) that makes daily
+    * 100 TB rollups O(changes), not O(corpus). Old/new snapshots are
+    * carved from orders by modulus so both real deletes and real inserts
+    * exist; the ORACLE IS THE FULL RECOMPUTE over the new snapshot, so a
+    * green row proves increment ≡ recompute exactly. Works for the
+    * self-inverting aggregates (count, sum — exact BIGINT cents here);
+    * min/max are NOT incrementally maintainable under deletes and are
+    * deliberately absent (that is what the q154-style sketch partials or
+    * a recompute handle). */
+  private val q180 = Q(
+    "q180_incremental_agg",
+    (s, d) => {
+      val orders = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val oldSnap = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val newSnap = orders.filter(col("o_orderkey") % 5 =!= 0)
+      val oldAgg = oldSnap.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      // CDC between the snapshots: rows leaving = deletes, arriving = inserts
+      val deletes = oldSnap.join(newSnap.select(col("o_orderkey")),
+        Seq("o_orderkey"), "left_anti")
+      val inserts = newSnap.join(oldSnap.select(col("o_orderkey")),
+        Seq("o_orderkey"), "left_anti")
+      val delta = deletes.select(col("o_orderpriority"),
+          lit(-1L).as("dn"), (-col("cents")).as("dc"))
+        .unionAll(inserts.select(col("o_orderpriority"),
+          lit(1L).as("dn"), col("cents").as("dc")))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+      oldAgg.join(delta, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+          (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("total_cents"))
+        .filter(col("n_orders") > 0)
+    },
+    Some("""
+      SELECT o_orderpriority,
+        count(*) AS n_orders,
+        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          AS total_cents
+      FROM orders
+      WHERE o_orderkey % 5 <> 0
+      GROUP BY 1"""))
+
+  /** Temporal (point-in-time) lookup against the q173 SCD2 history — the
+    * CONSUMER side of versioning: each fact row joins the dimension
+    * version that was valid AT ITS TIME (valid_from ≤ t < valid_to,
+    * open-ended for current), the join feature stores call "time travel"
+    * and ML pipelines need to avoid label leakage. The history is tiny
+    * (versions × keys) so the interval predicate rides a broadcast; the
+    * fact table never shuffles. Output: facts per (priority, version)
+    * with the version's recorded state — proving each fact matched
+    * exactly one version. */
+  private val q181 = Q(
+    "q181_temporal_lookup",
+    (s, d) => {
+      def snap(year: Int, dropPriority: String) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit(f"$year-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit(f"${year + 1}-01-01")) &&
+          col("o_orderpriority") =!= dropPriority)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      val history = Core.scd2(
+        snap(1995, "5-LOW"), snap(1996, "1-URGENT"),
+        keys = Seq("o_orderpriority"), compareCols = Seq("n_orders"),
+        oldVersion = "1995", newVersion = "1996")
+      val facts = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_orderpriority"), year(col("o_orderdate")).cast("string").as("yr"))
+      facts.as("f").join(broadcast(history.as("h")),
+          col("f.o_orderpriority") === col("h.o_orderpriority") &&
+            col("f.yr") >= col("h.valid_from") &&
+            (col("h.valid_to").isNull || col("f.yr") < col("h.valid_to")))
+        .groupBy(col("f.o_orderpriority").as("o_orderpriority"),
+          col("h.valid_from").as("valid_from"),
+          col("h.n_orders").as("version_state"))
+        .agg(count(lit(1)).as("n_facts"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND o_orderpriority <> '5-LOW'
+        GROUP BY 1),
+      n AS (
+        SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND o_orderpriority <> '1-URGENT'
+        GROUP BY 1),
+      j AS (
+        SELECT coalesce(o.o_orderpriority, n.o_orderpriority) AS k,
+          o.n_orders AS o_n, n.n_orders AS n_n,
+          o.o_orderpriority IS NOT NULL AS has_o,
+          n.o_orderpriority IS NOT NULL AS has_n,
+          (o.n_orders IS DISTINCT FROM n.n_orders) AS chg
+        FROM o FULL JOIN n ON o.o_orderpriority = n.o_orderpriority),
+      history AS (
+        SELECT k, o_n AS n_orders, '1995' AS valid_from, '1996' AS valid_to
+        FROM j WHERE has_o AND (NOT has_n OR chg)
+        UNION ALL
+        SELECT k, o_n, '1995', NULL FROM j WHERE has_o AND has_n AND NOT chg
+        UNION ALL
+        SELECT k, n_n, '1996', NULL FROM j WHERE has_n AND (NOT has_o OR chg)),
+      facts AS (
+        SELECT o_orderpriority, CAST(year(o_orderdate) AS VARCHAR) AS yr
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01')
+      SELECT f.o_orderpriority, h.valid_from,
+        h.n_orders AS version_state, count(*) AS n_facts
+      FROM facts f JOIN history h
+        ON f.o_orderpriority = h.k
+       AND f.yr >= h.valid_from
+       AND (h.valid_to IS NULL OR f.yr < h.valid_to)
+      GROUP BY 1, 2, 3"""))
+
+  /** BPE tokenize SERVING over the frozen merge-table artifact — the
+    * missing half of q176's train/serve split and the shape every ingest
+    * job at 100 TB actually runs: the tokenizer trains ONCE
+    * (`graft.BpeArtifactGen`, 16 rounds of the q176 loop on the sf0.01
+    * corpus → `BpeMergesArtifact`), then the persisted merge table is
+    * applied corpus-wide as a pure map — 16 chained literal `replace`
+    * calls over the delimited encoding, zero shuffle, output is per-doc
+    * token accounting (raw tokens, BPE tokens, merges fired). The q137b/
+    * q164 frozen-artifact discipline applied to the tokenizer; the twin
+    * ([[graft.ops.BpeServe.oracleSql]]) evaluates the same literal chain.
+    * Production note: at real merge depths (30k+) the chain becomes a
+    * specialized per-partition tokenizer over the SAME artifact —
+    * semantics pinned here and in BpeMergeSpec stay the contract. */
+  private val q182 = Q(
+    "q182_bpe_tokenize",
+    (s, d) => {
+      def toks(sc: Column) = split(regexp_replace(sc, "^\\||\\|$", ""), "\\|\\|")
+      val enc = graft.BpeArtifactGen.encode(Tables.documents(s, d))
+      val merged = graft.ops.BpeMergesArtifact.merges
+        .foldLeft(col("s")) { case (c, (a, b, _)) =>
+          call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a+$b|"))
+        }
+      enc.select(col("doc_id"),
+          size(toks(col("s"))).cast("long").as("n_tok_raw"),
+          size(toks(merged)).cast("long").as("n_tok_bpe"))
+        .withColumn("n_merged", col("n_tok_raw") - col("n_tok_bpe"))
+    },
+    Some(graft.ops.BpeServe.oracleSql))
+
+  private[queries] val all: Seq[Q] = Seq(
+    q172, q173, q174, q175, q176, q177, q178, q179,
+    q89b, q180, q181, q182)
+}

@@ -1,0 +1,611 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Core, RefFunctions => F}
+import graft.sources.Tables
+
+import Shared._
+
+/** North-star LLM-curation heads (§2.11): dedup families, similarity, text analysis, multimodal. Split from the single-file catalog in round 8;
+  * query text unchanged. Registration stays in [[QueryCatalog.all]]. */
+private[queries] object CatalogNorthStar {
+
+
+  // ------------------------------------------------- north-star (§2.11)
+
+  /** Exact dedup: group-by content hash, keep min doc_id. At 100 TB this is
+    * the standard first dedup pass — one shuffle on the 128-bit digest. */
+  private val q19 = Q(
+    "q19_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies")),
+    Some("""
+      SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id,
+        count(*) AS n_copies
+      FROM documents GROUP BY 1"""))
+
+  /** n-gram Jaccard near-dup join, prefix-blocked: candidate pairs share a
+    * 30-char prefix (the blocking key), then exact Jaccard over distinct
+    * token sets filters at 0.5. Blocking keeps the self-join linear-ish;
+    * the MinHash variant (q21) is the probabilistic-recall scale path. */
+  private val q20 = Q(
+    "q20_jaccard_neardup",
+    (s, d) => prefixJaccardPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), r(col("jac"), 3).as("jaccard")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, substr(text, 1, 30) AS pfx,
+          list_distinct(string_split(text, ' ')) AS toks
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        floor((len(list_intersect(a.toks, b.toks))::DOUBLE
+               / len(list_distinct(list_concat(a.toks, b.toks))))*1000 + 0.5)/1000 AS jaccard
+      FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5"""))
+
+  /** MinHash + LSH banding near-dup join, fully oracle-checked: word-3-gram
+    * shingles → 16 md5-derived min-hashes → 4 bands of 4 → band-bucket
+    * self-join for candidates → exact Jaccard verification at 0.5.
+    * The md5-hex→int64 hash is engine-independent (Spark murmur and DuckDB
+    * hash() are not). Production note (100 TB): swap md5 for xxhash64
+    * (graft.ops.Text.minHashSignatures) and the self-join stays on band
+    * buckets — shuffle is O(docs×bands), never O(docs²). */
+  private val q21 = Q(
+    "q21_minhash_lsh",
+    (s, d) => {
+      // One md5 per shingle, then 16 seeded hashes by affine arithmetic
+      // mod the Mersenne prime 2^31-1 — 16x fewer digests than hashing
+      // (seed, shingle) pairs, and DuckDB mirrors the integer math exactly.
+      val M = 2147483647L
+      def hexint(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val toks = split(col("text"), " ")
+      // Explode shingles to rows and hash each ONCE in codegen, then take
+      // the 16 seeded minima as plain aggregates. (A nested higher-order
+      // formulation re-evaluates the inlined hash lambda per outer
+      // iteration after CollapseProject — 16-64x duplicate md5 work.)
+      val shingleRows = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("sh"))
+        .select(col("doc_id"), (hexint(col("sh")) % M).as("h"))
+      val minCols = (0 until 16).map(seed =>
+        min((col("h") * (seed * 2 + 1) + seed * 1000003L) % M).as(s"m$seed"))
+      val base = shingleRows
+        .groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"), array((0 until 16).map(i => col(s"m$i")): _*).as("mh"))
+      val banded = base.select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(3)), b => struct(
+          b.as("band_id"),
+          md5(array_join(transform(slice(col("mh"), b * 4 + 1, lit(4)),
+            x => x.cast("string")), "|")).as("band_hash")))).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      // Bucket-combination form instead of a self-join: the expensive
+      // minhash subtree is evaluated ONCE, candidates come from one
+      // groupBy shuffle on the band key (a self-join would re-evaluate
+      // the whole signature computation on both sides).
+      val pairs = banded
+        .groupBy(col("band_id"), col("band_hash"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(flatten(transform(
+          sequence(lit(1), size(col("ids")) - 1),
+          i => transform(
+            sequence(i + 1, size(col("ids"))),
+            j => struct(
+              element_at(col("ids"), i).as("doc_a"),
+              element_at(col("ids"), j).as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .distinct()
+      val tokset = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val jac = size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("double") /
+        size(array_union(col("ta.toks"), col("tb.toks")))
+      pairs
+        .join(tokset.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(tokset.as("tb"), col("doc_b") === col("tb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), r(col("jac"), 3).as("jaccard"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id, toks,
+          list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        FROM t WHERE len(toks) >= 3),
+      hsrc AS (
+        SELECT doc_id,
+          list_transform(shingles, sg ->
+            ('0x' || substr(md5(sg), 1, 15))::BIGINT % 2147483647) AS hs
+        FROM sh),
+      m AS (
+        SELECT doc_id,
+          list_transform(range(0, 16), seed ->
+            list_min(list_transform(hs, h ->
+              (h * (seed*2 + 1) + seed*1000003) % 2147483647))) AS mh
+        FROM hsrc),
+      banded AS (
+        SELECT doc_id, b.band_id,
+          md5(array_to_string(list_transform(mh[b.band_id*4+1 : b.band_id*4+4],
+            x -> x::VARCHAR), '|')) AS band_hash
+        FROM m, (SELECT unnest([0,1,2,3]) AS band_id) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM banded a JOIN banded b2
+          ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+         AND a.doc_id < b2.doc_id),
+      tokset AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents)
+      SELECT doc_a, doc_b,
+        floor((len(list_intersect(ta.toks, tb.toks))::DOUBLE
+               / len(list_distinct(list_concat(ta.toks, tb.toks))))*1000 + 0.5)/1000 AS jaccard
+      FROM pairs
+      JOIN tokset ta ON doc_a = ta.doc_id
+      JOIN tokset tb ON doc_b = tb.doc_id
+      WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
+            / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.5"""))
+
+  /** SimHash (32-bit) per document: md5-derived token hashes, per-bit
+    * vote sums, sign bits reassembled. Two narrow shuffles; at 100 TB the
+    * bit fan-out stays map-side (explode before the keyed aggregate). */
+  private val q22 = Q(
+    "q22_simhash",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("hv", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      val bits = tok
+        .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("contrib",
+          when(expr("(hv >> b) & 1") === 1, lit(1)).otherwise(lit(-1)))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("contrib")).as("s"))
+      bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0, pow(lit(2.0), col("b")).cast("long"))
+          .otherwise(lit(0L))).as("simhash"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+        FROM tok WHERE tok <> ''),
+      bits AS (
+        SELECT doc_id, b,
+          CAST(sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+        FROM h, (SELECT unnest(range(0, 32)) AS b) GROUP BY doc_id, b)
+      SELECT doc_id,
+        CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id"""))
+
+  /** Brute-force cosine top-k over embeddings (the correctness baseline for
+    * ANN; the LSH-bucketed scale path is graft.ops.Similarity.lshCosineTopK).
+    * Dot products in double via zip_with+aggregate — no UDF, stays codegen'd. */
+  private val q23 = Q(
+    "q23_cosine_topk",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = e.withColumn("nrm",
+        sqrt(graft.functions.VectorDot.vec_dot(col("v"), col("v"))))
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val dot = graft.functions.VectorDot.vec_dot(col("qv"), col("v"))
+      val scored = q.join(n, col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot / (col("qn") * col("nrm")))
+      Core.topKPerGroup(
+        scored.select(col("q_id"), col("vec_id"), col("sim")),
+        Seq("q_id"), Seq(col("sim").desc, col("vec_id").asc), 10)
+        .select(col("q_id"), col("vec_id"), r(col("sim"), 4).as("cosine"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      q AS (
+        SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+      scored AS (
+        SELECT q.q_id, n.vec_id,
+          list_dot_product(q.qv, n.v)/(q.qn * n.nrm) AS sim
+        FROM q JOIN n ON n.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, sim,
+          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM scored)
+      SELECT q_id, vec_id, floor(sim*10000 + 0.5)/10000 AS cosine
+      FROM ranked WHERE rn <= 10"""))
+
+  /** Language-ID by stopword-marker ratio (n-gram heuristic): deterministic
+    * CASE over the marker-token ratio, confusion-matrix-style output. */
+  private val q24 = Q(
+    "q24_lang_id",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("predicted", graft.ops.Text.langId(col("text")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n")),
+    Some("""
+      WITH p AS (
+        SELECT lang,
+          CASE WHEN len(list_filter(string_split(text, ' '),
+                 t -> t = 'the' OR t = 'a'))::DOUBLE
+               / len(string_split(text, ' ')) >= 0.05
+          THEN 'en' ELSE 'und' END AS predicted
+        FROM documents)
+      SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1, 2"""))
+
+  /** Quality scoring: token count, average word length, stopword ratio →
+    * weighted clamp to 0-100, aggregated per source. */
+  private val q25 = Q(
+    "q25_quality_score",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("q", r2(graft.ops.Text.qualityScore(col("text"), col("n_chars"))))
+        .groupBy(col("source"))
+        .agg(r2(avg(col("q"))).as("avg_quality"), count(lit(1)).as("n_docs")),
+    Some("""
+      WITH p AS (
+        SELECT source,
+          floor(least(100.0, greatest(0.0,
+            100.0 * (least(len(string_split(text,' '))::DOUBLE/100, 1.0)*0.4
+             + least(((n_chars - (len(string_split(text,' '))::DOUBLE - 1))
+                      / len(string_split(text,' '))::DOUBLE)/6, 1.0)*0.3
+             + (1.0 - len(list_filter(string_split(text,' '),
+                   t -> t = 'the' OR t = 'a'))::DOUBLE
+                 / len(string_split(text,' '))::DOUBLE)*0.3)))*100 + 0.5)/100 AS q
+        FROM documents)
+      SELECT source, floor(avg(q)*100 + 0.5)/100 AS avg_quality,
+        count(*) AS n_docs
+      FROM p GROUP BY source"""))
+
+  /** Token counting per language: whitespace tokens + a BPE-ish max-4-char
+    * greedy regex tokenizer + char stats. */
+  private val q26 = Q(
+    "q26_token_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws_tokens", graft.ops.Text.wsTokenCount(col("text")))
+        .withColumn("bpe_tokens", graft.ops.Text.bpeTokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(
+          sum(col("ws_tokens")).as("sum_ws_tokens"),
+          sum(col("bpe_tokens")).as("sum_bpe_tokens"),
+          r2(avg(col("n_chars"))).as("avg_chars"),
+          count(lit(1)).as("n_docs")),
+    Some("""
+      SELECT lang,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens,
+        floor(avg(n_chars)*100 + 0.5)/100 AS avg_chars,
+        count(*) AS n_docs
+      FROM documents GROUP BY lang"""))
+
+  /** Document fingerprinting: full md5 digest + a 60-bit integer prefix
+    * fingerprint. (The Rabin-Karp rolling-hash variant is the custom
+    * Catalyst expression graft.functions.rolling_hash, codegen'd; it has no
+    * DuckDB twin so it is exercised by RollingHashSpec instead.) */
+  private val q27 = Q(
+    "q27_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp_int60")),
+    Some("""
+      SELECT doc_id, md5(text) AS fp_md5,
+        ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp_int60
+      FROM documents"""))
+
+  /** Multimodal plumbing (oracle-checkable slice): documents as opaque
+    * binary payloads — byte length, content digest, first-8-byte hex
+    * "frame sample". The full typed pipeline (metadata struct, stubbed
+    * decode, feature extraction over mapPartitions) is
+    * graft.ops.Multimodal + MultimodalSpec. */
+  private val q28 = Q(
+    "q28_multimodal_meta",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        md5(col("text")).as("digest"),
+        hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("head8_hex")),
+    Some("""
+      SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS digest,
+        hex(substr(text, 1, 8)::BLOB) AS head8_hex
+      FROM documents"""))
+
+  /** J6 — the multi-source attractiveness gold join (README.md:84-85,107):
+    * master dim LEFT-joins three independently-aggregated score sources
+    * (orders via customer, lineitem revenue via supplier, events "trend"
+    * keyed by user_id%25) and takes a weighted clamped score. Missing
+    * sources coalesce to 0 — a master row never drops (README.md:119). */
+  private val q29 = Q(
+    "q29_gold_join",
+    (s, d) => {
+      val nation = Tables.nation(s, d)
+      val fx = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("n_nationkey"))
+        .agg(least(lit(100.0), avg(col("o_totalprice")) / 2000).as("score_fx"))
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("n_nationkey"))
+        .agg(least(lit(100.0), sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) / 1e7).as("score_rev"))
+      val trend = Tables.events(s, d)
+        .groupBy((col("user_id") % 25).cast("int").as("n_nationkey"))
+        .agg(least(lit(100.0), avg(col("value")) / 2).as("score_trend"))
+      graft.ops.Gold.attractiveness(
+        nation.select(col("n_nationkey"), col("n_name")), "n_nationkey",
+        Seq((fx, "score_fx", 0.5), (rev, "score_rev", 0.3), (trend, "score_trend", 0.2)))
+        .select(
+          col("n_name"),
+          r2(coalesce(col("score_fx"), lit(0.0))).as("score_fx"),
+          r2(coalesce(col("score_rev"), lit(0.0))).as("score_rev"),
+          r2(coalesce(col("score_trend"), lit(0.0))).as("score_trend"),
+          col("attractiveness_score"))
+    },
+    Some("""
+      WITH fx AS (
+        SELECT c_nationkey AS k, least(100.0, avg(o_totalprice)/2000) AS score_fx
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      rev AS (
+        SELECT s_nationkey AS k,
+          least(100.0, sum(l_extendedprice*(1-l_discount))/1e7) AS score_rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1),
+      trend AS (
+        SELECT CAST(user_id % 25 AS INT) AS k, least(100.0, avg(value)/2) AS score_trend
+        FROM events GROUP BY 1)
+      SELECT n_name,
+        floor(coalesce(score_fx, 0.0)*100 + 0.5)/100 AS score_fx,
+        floor(coalesce(score_rev, 0.0)*100 + 0.5)/100 AS score_rev,
+        floor(coalesce(score_trend, 0.0)*100 + 0.5)/100 AS score_trend,
+        floor(least(100.0, greatest(0.0,
+          coalesce(score_fx, 0.0)*0.5 + coalesce(score_rev, 0.0)*0.3
+          + coalesce(score_trend, 0.0)*0.2))*100 + 0.5)/100 AS attractiveness_score
+      FROM nation
+      LEFT JOIN fx ON n_nationkey = fx.k
+      LEFT JOIN rev ON n_nationkey = rev.k
+      LEFT JOIN trend ON n_nationkey = trend.k"""))
+
+  /** Rollup hierarchy totals (region → nation → grand total) — the
+    * multi-level aggregation a gold dashboard layer needs; subtotal rows
+    * carry NULL keys in both engines. */
+  private val q30 = Q(
+    "q30_rollup",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("total_price")),
+    Some("""
+      SELECT r_name, n_name, count(*) AS n_orders,
+        floor(sum(o_totalprice)*100 + 0.5)/100 AS total_price
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)"""))
+
+  /** Distinct aggregation (exact): distinct orders/parts per return flag.
+    * (approx_count_distinct exists but its HLL sketch differs from
+    * DuckDB's, so the oracle-checked form is exact.) */
+  private val q31 = Q(
+    "q31_distinct_agg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows")),
+    Some("""
+      SELECT l_returnflag,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        count(*) AS n_rows
+      FROM lineitem GROUP BY 1"""))
+
+  /** q31 without the Expand: multi-column count_distinct compiles to an
+    * Expand that replicates EVERY input row once per distinct column (3×
+    * the shuffle here) before a 3-way null-partitioned aggregate. This
+    * form re-aggregates instead: per-column distinct via (flag, key)
+    * groupBy — which partial-aggregates map-side, so the shuffle carries
+    * per-partition DISTINCT keys, not rows — then counts the tiny
+    * distinct sets and joins three ≤5-row aggregates. At 100 TB with
+    * n_distinct ≪ n_rows this is the shuffle-volume winner; q41's sketch
+    * form wins when even the distinct sets are too big to shuffle. Same
+    * oracle as q31 — all three forms must agree. */
+  private val q31b = Q(
+    "q31b_distinct_reagg",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      def nDistinct(key: String, as: String) =
+        li.select(col("l_returnflag"), col(key)).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+      nDistinct("l_orderkey", "n_orders")
+        .join(nDistinct("l_partkey", "n_parts"), "l_returnflag")
+        .join(li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows")),
+          "l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        count(*) AS n_rows
+      FROM lineitem GROUP BY 1"""))
+
+  /** Embedding-cosine near-dup pairs, metadata-blocked: candidate pairs
+    * share a label (the blocking key — at 100 TB this is an LSH bucket or
+    * IVF cell, see graft.ops.Similarity.lshCosineTopK), then exact cosine
+    * filters. Threshold 0.45 sits just under this corpus's in-label max. */
+  private val q32 = Q(
+    "q32_embedding_neardup",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = e.withColumn("nrm",
+        sqrt(graft.functions.VectorDot.vec_dot(col("v"), col("v"))))
+      val a = n.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"), col("nrm").as("nb"))
+      val sim = graft.functions.VectorDot.vec_dot(col("va"), col("vb")) / (col("na") * col("nb"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", sim)
+        .filter(col("sim") >= 0.45)
+        .select(col("id_a"), col("id_b"), col("label"), r(col("sim"), 4).as("cosine"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+        floor((list_dot_product(a.v, b.v)/(a.nrm*b.nrm))*10000 + 0.5)/10000 AS cosine
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.45"""))
+
+  /** As-of join (Core.asOfJoin — union + one keyed window, no range
+    * explosion): each purchase event picks up the value of the user's most
+    * recent prior click. Left rows with no prior click keep null. */
+  private val q33 = Q(
+    "q33_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("value"))
+      Core.asOfJoin(purchases, clicks,
+        keys = Seq("user_id"), leftOrder = "event_id", rightOrder = "event_id",
+        rightPayload = Seq("value"))
+        .select(
+          col("event_id"), col("user_id"),
+          r2(col("value")).as("value"),
+          r2(col("asof_value")).as("asof_click_value"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+        floor(value*100 + 0.5)/100 AS value,
+        floor(asof_value*100 + 0.5)/100 AS asof_click_value
+      FROM (
+        SELECT event_id, user_id, value, event_type,
+          last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        FROM events)
+      WHERE event_type = 'purchase'"""))
+
+  /** A3 map-typed pivot canonicalization (SURVEY §7.4.2): build the
+    * reference's `monthly_avg_rates`-style map column (sorted
+    * map_from_entries, as Rates.pivotRates does) and explode it back to
+    * sorted rows so the DuckDB oracle can mirror it — the documented
+    * pattern for hash-comparing map columns. */
+  private val q34 = Q(
+    "q34_pivot_map_roundtrip",
+    (s, d) => {
+      val perMonth = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), F.monthKey(col("o_orderdate")).as("month_key"))
+        .agg(r2(sum(col("o_totalprice"))).as("total"))
+      perMonth
+        .groupBy(col("n_name"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("month_key"), col("total"))))).as("monthly_totals"))
+        .select(col("n_name"), explode(col("monthly_totals")).as(Seq("month_key", "total")))
+    },
+    Some("""
+      SELECT n_name, strftime(o_orderdate, '%Y%m') AS month_key,
+        floor(sum(o_totalprice)*100 + 0.5)/100 AS total
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2"""))
+
+  /** Set operations beyond union (SURVEY §2.7 lists them absent in the
+    * reference; built-ins cover them): customers appearing in both the
+    * high-value and recent order sets (INTERSECT) vs only in the
+    * high-value set (EXCEPT), tagged and unioned. Distinct semantics in
+    * both engines. */
+  private val q35 = Q(
+    "q35_intersect_except",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val high = o.filter(col("o_totalprice") > 250000).select(col("o_custkey"))
+      val recent = o.filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")))
+        .select(col("o_custkey"))
+      val both = high.intersect(recent).withColumn("tag", lit("both"))
+      val onlyHigh = high.except(recent).withColumn("tag", lit("only_high"))
+      Core.unionAll(Seq(both, onlyHigh))
+    },
+    Some("""
+      SELECT o_custkey, 'both' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+      UNION ALL
+      SELECT o_custkey, 'only_high' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')"""))
+
+  /** The Misra-Gries frequent-items aggregate (graft.functions.
+    * FrequentItems, a TypedImperativeAggregate) under the oracle: with
+    * capacity (256) above the corpus vocabulary the sketch is provably
+    * exact, so plain GROUP BY counts mirror it. Exercises the custom
+    * aggregate's partial/merge path through ObjectHashAggregate. */
+  private val q36 = Q(
+    "q36_frequent_tokens",
+    (s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .agg(graft.functions.FrequentItems.frequent_items(col("tok"), 256).as("fi"))
+        .select(explode(col("fi")).as("e"))
+        .select(col("e.item"), col("e.min_count"))
+    },
+    Some("""
+      SELECT token AS item, count(*) AS min_count FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '' GROUP BY token"""))
+
+  // ------------------------------------------- reference pipelines (gold)
+  // q37-q40 run the ACTUAL reference dataflows (Rates/Trends/Flights
+  // .gold) end-to-end over the bundled bronze fixtures
+  // (graft.sources.Fixtures; authored by tools/make_fixtures.py, country
+  // dims verbatim from the reference's public config). The DuckDB twins
+  // read the very same JSONL via read_json — Fixtures.dir resolves the
+  // one absolute path both engines share (the driver's oracle connection
+  // only creates views for the sf tables). These queries ignore the
+  // sfDir argument by design: the input is the fixture, identical at
+  // every scale factor.
+
+
+  private[queries] val all: Seq[Q] = Seq(
+    q19, q20, q21, q22, q23, q24, q25, q26,
+    q27, q28, q29, q30, q31, q31b, q32, q33,
+    q34, q35, q36)
+}
