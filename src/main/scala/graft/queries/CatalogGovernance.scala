@@ -729,7 +729,83 @@ private[queries] object CatalogGovernance {
     },
     Some(graft.ops.BpeServe.oracleSql))
 
+  /** Distinct l-diversity audit beside q175's k-anonymity: a release can
+    * be k-anonymous yet leak — if every doc in a quasi-identifier group
+    * shares ONE sensitive value (here `source`), group size protects
+    * nothing. For each (lang, length-bucket) QI group: docs, distinct
+    * sensitive values, and the l≥3 flag; the suppression-cost column
+    * counts docs in groups that fail EITHER bar. One exact two-level hash
+    * aggregate; the shuffle carries one row per (QI, source) then per QI. */
+  private val q185 = Q(
+    "q185_l_diversity",
+    (s, d) => {
+      val l = 3
+      val k = 5
+      Tables.documents(s, d)
+        .groupBy(col("lang"),
+          (col("n_chars") / 100).cast("int").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("source")).as("n_sources"))
+        .withColumn("l_diverse", col("n_sources") >= l)
+        .withColumn("k_anonymous", col("n_docs") >= k)
+        .withColumn("suppressed_docs",
+          when(col("n_docs") < k || col("n_sources") < l, col("n_docs"))
+            .otherwise(lit(0L)))
+    },
+    Some("""
+      SELECT lang,
+        CAST(n_chars // 100 AS INT) AS len_bucket,
+        count(*) AS n_docs,
+        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        count(DISTINCT source) >= 3 AS l_diverse,
+        count(*) >= 5 AS k_anonymous,
+        CASE WHEN count(*) < 5 OR count(DISTINCT source) < 3
+          THEN count(*) ELSE 0 END AS suppressed_docs
+      FROM documents
+      GROUP BY 1, 2"""))
+
+  /** Sharded export manifest with integrity checksums — the LAST query a
+    * curation pipeline runs: the release ships as N deterministic shards
+    * (md5-hash-assigned, so assignment is stable across runs and
+    * engines), and the manifest records per shard the doc count, char
+    * total, id range, and an ORDER-INDEPENDENT content checksum (sum of
+    * per-doc 32-bit md5 prefixes — commutative, so shard-parallel
+    * computation and any row order give the same value; 32-bit terms keep
+    * the BIGINT sum overflow-free to ~2^31 docs/shard under ANSI). A
+    * consumer re-derives the checksum after download; any dropped or
+    * corrupted doc changes it. One hash aggregate, 8 rows out at any
+    * corpus size. */
+  private val q186 = Q(
+    "q186_export_manifest",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      docs
+        .withColumn("shard",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 8).cast("int"))
+        .withColumn("chk",
+          conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"),
+          sum(col("chk")).as("content_checksum"))
+    },
+    Some("""
+      SELECT
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+          AS INT) AS shard,
+        count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        min(doc_id) AS min_doc_id,
+        max(doc_id) AS max_doc_id,
+        CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+          AS content_checksum
+      FROM documents
+      GROUP BY 1"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q172, q173, q174, q175, q176, q177, q178, q179,
-    q89b, q180, q181, q182)
+    q89b, q180, q181, q182, q185, q186)
 }

@@ -106,6 +106,28 @@ class PlanAuditSpec extends SparkSpec {
         results.exists { case (qn, c) => qn == n && c.globalWindows > 0 })
       assert(stale.isEmpty,
         s"stale global-window allowlist entries: ${stale.mkString(", ")}")
+
+      // frozen Exchange budget (ShuffleBudgetGen): a refactor that
+      // silently ADDS a shuffle or broadcast to any catalog query fails
+      // here by name — invisible to correctness gates and sub-second
+      // sf0.1 timings, ruinous at 100 TB. Regenerate the budget only for
+      // deliberate plan changes, justified in the commit message.
+      val unbudgeted = results.collect {
+        case (n, c) if c.error.isEmpty && !ShuffleBudget.budget.contains(n) => n
+      }
+      assert(unbudgeted.isEmpty,
+        "queries missing from the frozen shuffle budget (run " +
+          "`sbt \"runMain graft.ShuffleBudgetGen\"` and commit): " +
+          unbudgeted.mkString(", "))
+      val overBudget = results.collect {
+        case (n, c) if c.error.isEmpty && ShuffleBudget.budget.contains(n) &&
+            (c.shuffles > ShuffleBudget.budget(n)._1 ||
+             c.broadcasts > ShuffleBudget.budget(n)._2) =>
+          s"$n (shuffles ${c.shuffles} vs ${ShuffleBudget.budget(n)._1}, " +
+            s"broadcasts ${c.broadcasts} vs ${ShuffleBudget.budget(n)._2})"
+      }
+      assert(overBudget.isEmpty,
+        s"Exchange count rose above the frozen budget: ${overBudget.mkString("; ")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
