@@ -904,8 +904,62 @@ private[queries] object CatalogEval {
         hit10 > 0 AS hit_at_10
       FROM agg"""))
 
+  /** Calibration audit (reliability bins / ECE decomposition) for the
+    * frozen classifier head — the eval that tells you whether q177's
+    * scores can be thresholded as probabilities: a model can have perfect
+    * AUC (q155) and still be wildly miscalibrated, and every
+    * classifier-filtered curation run (FineWeb-style) picks its keep
+    * threshold off exactly this table. Same frozen literal weights as
+    * q177; label = (label % 2). Determinism discipline: the predicted
+    * probability is micro-rounded to a BIGINT ONCE, and everything
+    * downstream — the bin id (integer division of p_micro), per-bin
+    * confidence sums, and the |conf − acc| gap numerator — is exact
+    * integer arithmetic, so no float ever aggregates.
+    * ECE = Σ_bins gap_micro / (N·1e6) is one final division away. One
+    * map-side-combined hash aggregate to ≤10 rows at any corpus size. */
+  private val q188 = {
+    val w = Array.tabulate(64) { j =>
+      (scala.util.hashing.MurmurHash3.productHash((j, "graft-linear")) % 1000) / 1000.0
+    }
+    val bias = -0.1
+    Q(
+      "q188_calibration_bins",
+      (s, d) => {
+        graft.plans.GraftExtensions.install(s)
+        val z = graft.functions.VectorDot.vec_dot(
+          transform(col("embedding"), x => x.cast("double")),
+          array(w.map(lit).toIndexedSeq: _*)) + lit(bias)
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        Tables.embeddings(s, d)
+          .select((col("label") % 2).cast("long").as("y"),
+            floor(p * 1000000 + 0.5).cast("long").as("p_micro"))
+          .withColumn("bin",
+            least(floor(col("p_micro") / 100000), lit(9L)).cast("int"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("y")).as("n_pos"),
+            sum(col("p_micro")).as("conf_micro"))
+          .withColumn("gap_micro",
+            abs(col("conf_micro") - col("n_pos") * lit(1000000L)))
+      },
+      Some(s"""
+      WITH s AS (
+        SELECT CAST(label % 2 AS BIGINT) AS y,
+          CAST(floor((1.0 / (1.0 + exp(-(list_dot_product(embedding::DOUBLE[],
+            ${w.map(_.toString).mkString("[", ", ", "]")}) + $bias))))
+            * 1000000 + 0.5) AS BIGINT) AS p_micro
+        FROM embeddings)
+      SELECT CAST(least(p_micro // 100000, 9) AS INT) AS bin,
+        count(*) AS n,
+        CAST(sum(y) AS BIGINT) AS n_pos,
+        CAST(sum(p_micro) AS BIGINT) AS conf_micro,
+        abs(CAST(sum(p_micro) AS BIGINT) - CAST(sum(y) AS BIGINT) * 1000000)
+          AS gap_micro
+      FROM s GROUP BY 1"""))
+  }
+
   private[queries] val all: Seq[Q] = Seq(
     q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q164b, q165, q166, q167, q168,
-    q169, q170, q171, q184)
+    q169, q170, q171, q184, q188)
 }

@@ -805,7 +805,41 @@ private[queries] object CatalogGovernance {
       FROM documents
       GROUP BY 1"""))
 
+  /** Tokenizer fertility by language over the SAME frozen merge table
+    * q182 serves — the metric that decides whether a tokenizer is fair to
+    * a language (low chars-per-token = more tokens per character = higher
+    * serving cost and shorter effective context for that language; the
+    * standard multilingual-tokenizer audit). Per lang: docs, raw/BPE
+    * token totals, raw token chars, and chars-per-BPE-token as one
+    * micro-rounded division of exact BIGINT sums (the per-doc chars sum
+    * is an integer HOF fold — no float anywhere until the final ratio).
+    * Pure map over the corpus collapsing map-side to ≤ languages rows;
+    * the merge chain is the q182 zero-shuffle literal apply. */
+  private val q190 = Q(
+    "q190_tokenizer_fertility",
+    (s, d) => {
+      def toks(sc: Column) = split(regexp_replace(sc, "^\\||\\|$", ""), "\\|\\|")
+      val enc = graft.BpeArtifactGen.encode(Tables.documents(s, d), Seq("lang"))
+      val merged = graft.ops.BpeMergesArtifact.merges
+        .foldLeft(col("s")) { case (c, (a, b, _)) =>
+          call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a+$b|"))
+        }
+      val t = toks(col("s"))
+      enc.select(col("lang"),
+          size(t).cast("long").as("raw"),
+          size(toks(merged)).cast("long").as("bpe"),
+          aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("raw")).as("raw_tokens"),
+          sum(col("bpe")).as("bpe_tokens"),
+          sum(col("chars")).as("token_chars"))
+        .withColumn("chars_per_bpe_token",
+          r(col("token_chars").cast("double") / col("bpe_tokens"), 6))
+    },
+    Some(graft.ops.BpeServe.fertilitySql))
+
   private[queries] val all: Seq[Q] = Seq(
     q172, q173, q174, q175, q176, q177, q178, q179,
-    q89b, q180, q181, q182, q185, q186)
+    q89b, q180, q181, q182, q185, q186, q190)
 }

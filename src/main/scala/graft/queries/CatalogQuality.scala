@@ -1115,9 +1115,145 @@ private[queries] object CatalogQuality {
       WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
             / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5"""))
 
+  /** DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169):
+    * select raw data that LOOKS like a target domain by importance weights
+    * over hashed n-gram features — the published, cheap alternative to
+    * classifier-based selection (q177) when all you have is a target
+    * corpus, no labels. Features are hashed BIGRAMS in 256 md5 buckets;
+    * target = the lang='en' slice, raw = the whole corpus; bucket
+    * log-ratios λ[b] = ln(p_tgt[b]/p_raw[b]) with add-one smoothing; a
+    * doc's weight is Σ_b count_b(doc)·λ[b]. Determinism discipline: λ is
+    * computed from EXACT integer counts as one textual chain of double
+    * ops (two exact-input divisions, one multiply, one ln) and
+    * nano-rounded to a BIGINT before it ever meets a doc, so every
+    * per-doc weight is an exact integer sum — no float summation order
+    * exists. Scale shape: the bucket histogram is one map-side-combined
+    * aggregate collapsing to ≤256 rows; the λ table broadcasts; per-doc
+    * weights are one (doc, bucket)-keyed aggregate (≤256 rows per doc,
+    * not one per token) plus a broadcast join; top-50 is a
+    * TakeOrderedAndProject. Nothing here scales worse than one pass of
+    * token counting. */
+  private val q187 = Q(
+    "q187_dsir_weights",
+    (s, d) => {
+      val B = 256
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val grams = zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit("|"), b))
+      val bg = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("lang"), explode(grams).as("g"))
+        .withColumn("b",
+          (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % B)
+            .cast("int"))
+      val bc = bg.groupBy(col("b")).agg(
+        count(lit(1)).as("n_raw"),
+        sum((col("lang") === "en").cast("long")).as("n_tgt"))
+      val tot = bc.agg(
+        sum(col("n_raw")).as("nr"), sum(col("n_tgt")).as("nt"))
+      val lam = bc.crossJoin(broadcast(tot)).select(
+        col("b"),
+        floor(
+          log(((col("n_tgt") + 1).cast("double") / (col("n_raw") + 1).cast("double")) *
+              ((col("nr") + B).cast("double") / (col("nt") + B).cast("double")))
+            * 1e9 + 0.5).cast("long").as("lam_nano"))
+      bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .join(broadcast(lam), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"),
+          sum(col("c") * col("lam_nano")).as("w_nano"))
+        .orderBy(col("w_nano").desc, col("doc_id").asc)
+        .limit(50)
+        .select(col("doc_id"), col("n_grams"), col("w_nano"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+          list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+      bg AS (
+        SELECT doc_id, lang, gram,
+          CAST(('0x' || substr(md5(gram), 1, 15))::BIGINT % 256 AS INT) AS b
+        FROM (
+          SELECT doc_id, lang,
+            unnest(list_transform(range(1, len(t)), i -> t[i] || '|' || t[i+1])) AS gram
+          FROM toks)),
+      bc AS (
+        SELECT b, count(*) AS n_raw,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+        FROM bg GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(n_raw) AS BIGINT) AS nr,
+          CAST(sum(n_tgt) AS BIGINT) AS nt FROM bc),
+      lam AS (
+        SELECT b,
+          CAST(floor(ln(((n_tgt + 1)::DOUBLE / (n_raw + 1)::DOUBLE) *
+            ((nr + 256)::DOUBLE / (nt + 256)::DOUBLE)) * 1000000000.0 + 0.5)
+            AS BIGINT) AS lam_nano
+        FROM bc CROSS JOIN tot),
+      dc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+      SELECT dc.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        CAST(sum(c * lam_nano) AS BIGINT) AS w_nano
+      FROM dc JOIN lam USING (b)
+      GROUP BY 1 ORDER BY w_nano DESC, doc_id ASC LIMIT 50"""))
+
+  /** Distinct-n diversity ratios — the corpus-health companion of q141's
+    * intra-doc repetition: per source and n ∈ {1,2,3}, total n-grams,
+    * distinct n-grams, and their ratio. A source whose distinct-2 ratio
+    * collapses is template spam even when individual docs pass q141
+    * (the duplication lives ACROSS docs, not within them). Exact
+    * two-level aggregate: the first collapses repeats map-side on
+    * (source, n, gram) — shuffle bytes are per-source vocabulary, not
+    * token count — the second reduces to ≤ sources×3 rows; ratio is one
+    * micro-rounded division of exact counts. The size(toks) >= n guard
+    * dodges the descending-sequence() trap q134 documents. */
+  private val q189 = Q(
+    "q189_ngram_diversity",
+    (s, d) => {
+      val docs = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      def grams(n: Int): Column =
+        if (n == 1) toks
+        else when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws("|", (0 until n).map(k => element_at(toks, i + k)): _*)))
+          .otherwise(array().cast("array<string>"))
+      val byN = (1 to 3).map { n =>
+        docs.select(col("source"), lit(n).as("n"), explode(grams(n)).as("gram"))
+      }.reduce(_.unionAll(_))
+      byN.groupBy(col("source"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"), col("n"))
+        .agg(sum(col("c")).as("total_grams"), count(lit(1)).as("distinct_grams"))
+        .withColumn("diversity",
+          r(col("distinct_grams").cast("double") / col("total_grams"), 6))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+      g AS (
+        SELECT source, 1 AS n, unnest(t) AS gram FROM toks
+        UNION ALL
+        SELECT source, 2 AS n,
+          unnest(list_transform(range(1, len(t)), i -> t[i] || '|' || t[i+1])) AS gram
+        FROM toks
+        UNION ALL
+        SELECT source, 3 AS n,
+          unnest(list_transform(range(1, len(t) - 1),
+            i -> t[i] || '|' || t[i+1] || '|' || t[i+2])) AS gram
+        FROM toks),
+      c AS (SELECT source, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3)
+      SELECT source, n, CAST(sum(c) AS BIGINT) AS total_grams,
+        count(*) AS distinct_grams,
+        floor(count(*)::DOUBLE / CAST(sum(c) AS BIGINT) * 1000000 + 0.5) / 1000000
+          AS diversity
+      FROM c GROUP BY 1, 2"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q137b, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153)
+    q152, q153, q187, q189)
 }

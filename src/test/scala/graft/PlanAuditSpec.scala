@@ -55,6 +55,9 @@ class PlanAuditSpec extends SparkSpec {
       // replicated across the self-join + dups-join lineage branches
       "q164b_semdedup_scaled" -> 3,
       "q172_mutual_information" -> 1,
+      // q187: DSIR's λ table derives from a crossJoin of the ≤256-row
+      // bucket histogram with the 1-row corpus-totals broadcast
+      "q187_dsir_weights" -> 1,
       "q176_bpe_merges" -> 12,
       // q179: the ground-truth all-pairs join runs on the metrology
       // sample bounded to ~100 docs by a data-derived rate (truth must
