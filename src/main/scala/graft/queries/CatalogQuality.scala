@@ -1127,10 +1127,22 @@ private[queries] object CatalogQuality {
     * ops (two exact-input divisions, one multiply, one ln) and
     * nano-rounded to a BIGINT before it ever meets a doc, so every
     * per-doc weight is an exact integer sum — no float summation order
-    * exists. Scale shape: the bucket histogram is one map-side-combined
-    * aggregate collapsing to ≤256 rows; the λ table broadcasts; per-doc
-    * weights are one (doc, bucket)-keyed aggregate (≤256 rows per doc,
-    * not one per token) plus a broadcast join; top-50 is a
+    * exists. Scale shape: ONE explode pass. The bigram explode + md5 is
+    * the dominant cost (~20 s/pass at sf3; everything downstream is
+    * sub-second), and the DAG needs the same exploded data grouped two
+    * ways (bucket histogram for λ, per-doc bucket counts for the
+    * weights), so the (doc_id, lang, bucket) count aggregate — lang is
+    * functionally dependent on doc_id, carrying it in the key is free —
+    * is EAGERLY localCheckpoint'ed and both groupings regroup the
+    * materialized O(docs × 256) rows. Eager matters: a LAZY checkpoint
+    * raced across the concurrent broadcast-exchange threads (each saw
+    * it unmaterialized and re-ran the explode, measured 36 s at sf3),
+    * and persist() keys on the canonical plan so a bench
+    * warm-up → timed-pass sequence reads the previous run's cache and
+    * times nothing; the eager form runs inside the query constructor —
+    * once, race-free, and on the timed side of the bench. This is the
+    * same explicit-materialization call the CC fixpoint makes
+    * (Text.connectedComponents). λ broadcasts; top-50 is a
     * TakeOrderedAndProject. Nothing here scales worse than one pass of
     * token counting. */
   private val q187 = Q(
@@ -1142,14 +1154,17 @@ private[queries] object CatalogQuality {
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
         slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => concat(a, lit("|"), b))
-      val bg = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+      val dlb = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("lang"), explode(grams).as("g"))
         .withColumn("b",
           (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % B)
             .cast("int"))
-      val bc = bg.groupBy(col("b")).agg(
-        count(lit(1)).as("n_raw"),
-        sum((col("lang") === "en").cast("long")).as("n_tgt"))
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val bc = dlb.groupBy(col("b")).agg(
+        sum(col("c")).as("n_raw"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("n_tgt"))
       val tot = bc.agg(
         sum(col("n_raw")).as("nr"), sum(col("n_tgt")).as("nt"))
       val lam = bc.crossJoin(broadcast(tot)).select(
@@ -1158,8 +1173,7 @@ private[queries] object CatalogQuality {
           log(((col("n_tgt") + 1).cast("double") / (col("n_raw") + 1).cast("double")) *
               ((col("nr") + B).cast("double") / (col("nt") + B).cast("double")))
             * 1e9 + 0.5).cast("long").as("lam_nano"))
-      bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-        .join(broadcast(lam), "b")
+      dlb.join(broadcast(lam), "b")
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_grams"),
           sum(col("c") * col("lam_nano")).as("w_nano"))
@@ -1207,7 +1221,19 @@ private[queries] object CatalogQuality {
     * (source, n, gram) — shuffle bytes are per-source vocabulary, not
     * token count — the second reduces to ≤ sources×3 rows; ratio is one
     * micro-rounded division of exact counts. The size(toks) >= n guard
-    * dodges the descending-sequence() trap q134 documents. */
+    * dodges the descending-sequence() trap q134 documents.
+    *
+    * Scale shape (the first cut of this query was 6× slower): grams are
+    * built with slice+zip_with so `split(text)` evaluates O(1) times per
+    * row — the element_at-inside-transform form gets CollapseProject-
+    * inlined and re-splits the text once PER GRAM POSITION, O(tokens²)
+    * per doc (the q21 HOF trap). Per-doc repeats are collapsed with
+    * array_distinct BEFORE the explode (shuffle rows are per-doc
+    * vocabulary), and total_grams rides the same shuffle as a
+    * pos==0-guarded passenger on the posexplode instead of a second
+    * scan: one pass, one exchange chain, exact counts. A doc only lacks
+    * exploded rows when it has zero n-grams, in which case its tot=0
+    * contributes nothing to the sum. */
   private val q189 = Q(
     "q189_ngram_diversity",
     (s, d) => {
@@ -1215,17 +1241,26 @@ private[queries] object CatalogQuality {
       val toks = filter(split(col("text"), " "), x => x =!= "")
       def grams(n: Int): Column =
         if (n == 1) toks
-        else when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws("|", (0 until n).map(k => element_at(toks, i + k)): _*)))
-          .otherwise(array().cast("array<string>"))
-      val byN = (1 to 3).map { n =>
-        docs.select(col("source"), lit(n).as("n"), explode(grams(n)).as("gram"))
+        else {
+          val m = size(toks) - (n - 1)
+          val ab = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+            (a, b) => concat(a, lit("|"), b))
+          val g = if (n == 2) ab
+            else zip_with(ab, slice(toks, lit(3), m),
+              (p, c) => concat(p, lit("|"), c))
+          when(size(toks) >= n, g).otherwise(array().cast("array<string>"))
+        }
+      val perDoc = (1 to 3).map { n =>
+        docs.select(col("source"), lit(n).as("n"), grams(n).as("g"))
       }.reduce(_.unionAll(_))
-      byN.groupBy(col("source"), col("n"), col("gram"))
-        .agg(count(lit(1)).as("c"))
+        .select(col("source"), col("n"),
+          size(col("g")).cast("long").as("tot"),
+          posexplode(array_distinct(col("g"))).as(Seq("pos", "gram")))
+      perDoc.groupBy(col("source"), col("n"), col("gram"))
+        .agg(sum(when(col("pos") === 0, col("tot"))).as("t_part"))
         .groupBy(col("source"), col("n"))
-        .agg(sum(col("c")).as("total_grams"), count(lit(1)).as("distinct_grams"))
+        .agg(sum(col("t_part")).as("total_grams"),
+          count(lit(1)).as("distinct_grams"))
         .withColumn("diversity",
           r(col("distinct_grams").cast("double") / col("total_grams"), 6))
     },

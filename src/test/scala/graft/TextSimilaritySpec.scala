@@ -315,4 +315,23 @@ class TextSimilaritySpec extends SparkSpec {
     // run must reproduce the exact result set
     assert(pairs(Similarity.pqTopK(emb, queries, 10)) == pq, "PQ not deterministic")
   }
+
+  test("q189 short-doc edge: 0/1/2/3-token docs never hit a negative slice") {
+    // the driver fixture's shortest doc has 10 tokens, so the when()
+    // guard around the negative-length slice in grams(2)/grams(3) is
+    // unexercised by the oracle gate — pin it here on the degenerate docs
+    val dir = java.nio.file.Files.createTempDirectory("q189edge").toString
+    Seq(
+      (0L, "", "en", "s", 0L),
+      (1L, "a", "en", "s", 1L),
+      (2L, "a b", "en", "s", 3L),
+      (3L, "a b a", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.queries.QueryCatalog.queries("q189_ngram_diversity")(spark, dir)
+      .collect().map(r => (r.getAs[Int]("n"),
+        (r.getAs[Long]("total_grams"), r.getAs[Long]("distinct_grams")))).toMap
+    assert(out == Map(1 -> (6L, 2L), 2 -> (3L, 2L), 3 -> (1L, 1L)))
+  }
 }
