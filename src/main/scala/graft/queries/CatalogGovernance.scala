@@ -839,7 +839,78 @@ private[queries] object CatalogGovernance {
     },
     Some(graft.ops.BpeServe.fertilitySql))
 
+  /** Token-budget-constrained corpus selection: take documents in
+    * quality order (per-doc distinct-token ratio, micro-rounded to a
+    * BIGINT — the integer discipline) until a global token budget (25 %
+    * of corpus tokens) is exhausted — the data-selection-under-budget
+    * op every curation run ends with once scores exist (classifier
+    * q177, DSIR q187, diversity q189 all produce the ordering; this is
+    * the cut). The cut needs a PREFIX SUM over a global quality order,
+    * which at scale must not be one sorted task: this is the two-level
+    * scan — Corpus.globalIndex range-exchanges the order across 16
+    * partitions, per-64Ki-row BLOCK sums collapse to n/65536 rows whose
+    * running offsets are one tiny ordered window (at 100 TB ≈ 10^5
+    * block rows — one task over block AGGREGATES, never over docs),
+    * and the in-block prefix is a window PARTITIONED by block (≤64Ki
+    * rows each, parallel across blocks). cum = block offset + in-block
+    * prefix, exact BIGINTs throughout; the budget is a 1-row broadcast.
+    * Output is the per-source selection profile (docs, tokens, the
+    * effective quality floor — the threshold the budget implies). */
+  private val q191 = Q(
+    "q191_token_budget_select",
+    (s, d) => {
+      import graft.ops.Corpus
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val docs = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("tok"),
+          floor(size(array_distinct(toks)).cast("double") * 1000000
+            / greatest(size(toks), lit(1)).cast("double") + 0.5)
+            .cast("long").as("qual_micro"))
+      val budget = docs.agg(
+        floor(sum(col("tok")) / 4).cast("long").as("budget"))
+      val idxed = Corpus.globalIndex(docs,
+        Seq(col("qual_micro").desc, col("doc_id").asc),
+        numPartitions = 16, indexName = "gidx")
+        .withColumn("blk", expr("gidx DIV 65536"))
+      val offs = idxed.groupBy(col("blk")).agg(sum(col("tok")).as("bs"))
+        .withColumn("off", coalesce(
+          sum(col("bs")).over(Window.orderBy(col("blk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("blk"), col("off"))
+      idxed.join(broadcast(offs), Seq("blk"))
+        .withColumn("cum", col("off") + sum(col("tok")).over(
+          Window.partitionBy(col("blk")).orderBy(col("gidx"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(budget))
+        .filter(col("cum") <= col("budget"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("sel_tokens"),
+          min(col("qual_micro")).as("min_qual_micro"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS BIGINT) AS tok,
+          CAST(floor(len(list_distinct(list_filter(string_split(text, ' '),
+              x -> x <> '')))::DOUBLE * 1000000
+            / greatest(len(list_filter(string_split(text, ' '),
+              x -> x <> '')), 1)::DOUBLE + 0.5) AS BIGINT) AS qual_micro
+        FROM documents),
+      b AS (SELECT CAST(floor(sum(tok) / 4) AS BIGINT) AS budget FROM docs),
+      c AS (
+        SELECT source, tok, qual_micro,
+          CAST(sum(tok) OVER (ORDER BY qual_micro DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM docs)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS sel_tokens,
+        CAST(min(qual_micro) AS BIGINT) AS min_qual_micro
+      FROM c, b WHERE cum <= budget GROUP BY 1"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q172, q173, q174, q175, q176, q177, q178, q179,
-    q89b, q180, q181, q182, q185, q186, q190)
+    q89b, q180, q181, q182, q185, q186, q190, q191)
 }

@@ -1286,9 +1286,66 @@ private[queries] object CatalogQuality {
           AS diversity
       FROM c GROUP BY 1, 2"""))
 
+  /** Per-source token-count Gini — the length-concentration audit: a
+    * source whose tokens concentrate in a few giant docs (G → 1) skews
+    * packing, batching, and any per-doc sampling downstream, even when
+    * its mean length looks normal. G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * over ascending-rank lengths; the numerator and denominator are
+    * EXACT BIGINTs (ranks from a range-exchanged global index, q89b's
+    * trick — NOT a per-source sort window, whose parallelism would cap
+    * at the handful of sources exactly like q89's 3-task ntile ceiling)
+    * and the division is micro-rounded once. The per-source rank is
+    * gidx − offset via a broadcast of per-source counts; the offset
+    * window runs over the ≤|sources|-row count aggregate (bounded). */
+  private val q192 = Q(
+    "q192_length_gini",
+    (s, d) => {
+      import graft.ops.Corpus
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val docs = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("source"), size(toks).cast("long").as("tok"))
+      val idxed = Corpus.globalIndex(docs,
+        Seq(col("source"), col("tok"), col("doc_id")),
+        numPartitions = 16, indexName = "gidx")
+      val offs = docs.groupBy(col("source")).agg(count(lit(1)).as("grp_n"))
+        .withColumn("off", coalesce(
+          sum(col("grp_n")).over(Window.orderBy(col("source"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("off"))
+      idxed.join(broadcast(offs), Seq("source"))
+        .withColumn("rnk", col("gidx") - col("off") + 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("total_tokens"),
+          sum(col("rnk") * col("tok")).as("srx"))
+        .withColumn("gini",
+          r((col("srx") * 2 - (col("n_docs") + 1) * col("total_tokens"))
+              .cast("double") /
+            (col("n_docs") * col("total_tokens")).cast("double"), 6))
+        .drop("srx")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS BIGINT) AS tok
+        FROM documents),
+      rk AS (
+        SELECT source, tok,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY tok, doc_id)
+            AS BIGINT) AS rnk
+        FROM docs)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS total_tokens,
+        floor((2 * CAST(sum(rnk * tok) AS BIGINT)
+            - (count(*) + 1) * CAST(sum(tok) AS BIGINT))::DOUBLE
+          / (count(*) * CAST(sum(tok) AS BIGINT))::DOUBLE
+          * 1000000 + 0.5) / 1000000 AS gini
+      FROM rk GROUP BY 1"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q137b, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153, q187, q189)
+    q152, q153, q187, q189, q192)
 }

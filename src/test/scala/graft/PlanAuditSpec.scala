@@ -28,7 +28,14 @@ class PlanAuditSpec extends SparkSpec {
       "q74_vocab_coverage" -> 1,
       // q89b: the group-offset running sum runs over the 3-row
       // per-returnflag count aggregate (bounded by the key cardinality)
-      "q89b_equidepth_scalable" -> 1)
+      "q89b_equidepth_scalable" -> 1,
+      // q191: block-offset running sum over the n/65536-row block-sum
+      // aggregate (the second level of the two-level prefix scan —
+      // 100 TB ≈ 10^5 block rows in one task, never doc rows)
+      "q191_token_budget_select" -> 1,
+      // q192: per-source offset window over the ≤|sources|-row count
+      // aggregate (q89b's shape)
+      "q192_length_gini" -> 1)
 
     // BNLJ allowlist: BroadcastNestedLoopJoinExec is legitimate exactly
     // when the broadcast side is BOUNDED (a handful of query rows, a
@@ -58,6 +65,8 @@ class PlanAuditSpec extends SparkSpec {
       // q187: DSIR's λ table derives from a crossJoin of the ≤256-row
       // bucket histogram with the 1-row corpus-totals broadcast
       "q187_dsir_weights" -> 1,
+      // q191: the 1-row token-budget broadcast against the doc stream
+      "q191_token_budget_select" -> 1,
       "q176_bpe_merges" -> 12,
       // q179: the ground-truth all-pairs join runs on the metrology
       // sample bounded to ~100 docs by a data-derived rate (truth must
