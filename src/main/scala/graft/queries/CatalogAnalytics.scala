@@ -1215,10 +1215,120 @@ private[queries] object CatalogAnalytics {
         FROM l1 LEFT JOIN b2 USING (doc_id))
       SELECT doc_id, label AS community FROM l2"""))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): score every document under a PER-LANGUAGE
+    * bigram LM, then split each language into head/middle/tail terciles
+    * by score — the published corpus-quality triage that decides what a
+    * pretraining run keeps, samples, or drops. Same micro-integer
+    * discipline as q69: every per-pair log-prob is rounded to a micro
+    * LONG before summing (per-doc sums are exact integer arithmetic —
+    * no float summation order), the per-doc score is ONE division of
+    * exact ints micro-rounded to a LONG, and the tercile order
+    * (score_micro, doc_id) is a total order over integers.
+    *
+    * Scale shape: the pair stream is a zero-shuffle slice+zip_with
+    * explode (no lag window over a doc-keyed shuffle), and it is
+    * shuffled exactly TWICE — once into the (lang, w1, w2) count
+    * aggregate that IS the model, once through the score join. All LM
+    * arithmetic (c1 sums, per-language vocab, the log-prob itself)
+    * happens on the aggregated GRAM table, which is vocab-sized, not
+    * corpus-sized — the first cut joined the raw pair stream against c2
+    * and c1 separately (three pair-stream shuffles) and measured 1.4×
+    * slower at sf3. The tercile is q89b's closed-form ntile over a
+    * range-exchanged global index + broadcast per-language offsets —
+    * per-language parallelism never caps at the language count. The
+    * offset window runs over the ≤|languages|-row count aggregate
+    * (bounded). */
+  private val q193 = Q(
+    "q193_perplexity_buckets",
+    (s, d) => {
+      import graft.ops.Corpus
+      val toksc = filter(split(col("text"), " "), x => x =!= "")
+      val m = size(toksc) - 1
+      val prs = when(size(toksc) >= 2,
+        zip_with(slice(toksc, lit(1), m), slice(toksc, lit(2), m),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val pairs = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("lang"), explode(prs).as("pr"))
+        .select(col("doc_id"), col("lang"), col("pr.w1"), col("pr.w2"))
+      val c2 = pairs.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("lang"), col("w1")).agg(sum(col("c2")).as("c1"))
+      val v = c2.groupBy(col("lang")).agg(countDistinct(col("w2")).as("v"))
+      val gramScore = c2
+        .join(c1, Seq("lang", "w1"))
+        .join(broadcast(v), Seq("lang"))
+        .select(col("lang"), col("w1"), col("w2"),
+          floor(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * 1e6 + 0.5)
+            .cast("long").as("logp_micro"))
+      val scored = pairs
+        .join(gramScore, Seq("lang", "w1", "w2"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("logp_micro")).as("sm"))
+        .select(col("doc_id"), col("lang"),
+          floor(col("sm").cast("double") / col("n_pairs") + 0.5)
+            .cast("long").as("score_micro"))
+      val idxed = Corpus.globalIndex(scored,
+        Seq(col("lang"), col("score_micro"), col("doc_id")),
+        numPartitions = 16, indexName = "gidx")
+      val offs = scored.groupBy(col("lang")).agg(count(lit(1)).as("grp_n"))
+        .withColumn("off", coalesce(
+          sum(col("grp_n")).over(Window.orderBy(col("lang"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      idxed.join(broadcast(offs), Seq("lang"))
+        .withColumn("idx", col("gidx") - col("off"))
+        .withColumn("bucket", expr("""
+          CAST(CASE WHEN idx < (grp_n % 3) * (grp_n DIV 3 + 1)
+            THEN idx DIV (grp_n DIV 3 + 1)
+            ELSE (grp_n % 3) + (idx - (grp_n % 3) * (grp_n DIV 3 + 1)) DIV (grp_n DIV 3)
+          END + 1 AS INT)"""))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score_micro")).as("lo_micro"),
+          max(col("score_micro")).as("hi_micro"),
+          floor(sum(col("score_micro")).cast("double") / count(lit(1)) + 0.5)
+            .cast("long").as("avg_micro"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+          list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, lang,
+          unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        FROM toks),
+      c2 AS (SELECT lang, w1, w2, count(*) AS c2 FROM pairs GROUP BY 1,2,3),
+      c1 AS (SELECT lang, w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1,2),
+      v AS (SELECT lang, count(DISTINCT w2) AS v FROM pairs GROUP BY 1),
+      scored AS (
+        SELECT p.doc_id, p.lang,
+          CAST(floor(
+            CAST(sum(CAST(floor(ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * 1000000 + 0.5)
+              AS BIGINT)) AS BIGINT)::DOUBLE / count(*) + 0.5) AS BIGINT)
+            AS score_micro
+        FROM pairs p
+        JOIN c2 ON p.lang = c2.lang AND p.w1 = c2.w1 AND p.w2 = c2.w2
+        JOIN c1 ON p.lang = c1.lang AND p.w1 = c1.w1
+        JOIN v ON p.lang = v.lang
+        GROUP BY 1, 2),
+      bk AS (
+        SELECT lang, score_micro,
+          ntile(3) OVER (PARTITION BY lang ORDER BY score_micro, doc_id)
+            AS bucket
+        FROM scored)
+      SELECT lang, bucket, count(*) AS n_docs,
+        CAST(min(score_micro) AS BIGINT) AS lo_micro,
+        CAST(max(score_micro) AS BIGINT) AS hi_micro,
+        CAST(floor(CAST(sum(score_micro) AS BIGINT)::DOUBLE / count(*) + 0.5)
+          AS BIGINT) AS avg_micro
+      FROM bk GROUP BY 1, 2"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q81, q82, q80,
     q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q183)
+    q99, q183, q193)
 }

@@ -35,7 +35,10 @@ class PlanAuditSpec extends SparkSpec {
       "q191_token_budget_select" -> 1,
       // q192: per-source offset window over the ≤|sources|-row count
       // aggregate (q89b's shape)
-      "q192_length_gini" -> 1)
+      "q192_length_gini" -> 1,
+      // q193: per-language offset window over the ≤|languages|-row
+      // count aggregate (q89b's shape)
+      "q193_perplexity_buckets" -> 1)
 
     // BNLJ allowlist: BroadcastNestedLoopJoinExec is legitimate exactly
     // when the broadcast side is BOUNDED (a handful of query rows, a
