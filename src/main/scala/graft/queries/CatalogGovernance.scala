@@ -910,7 +910,136 @@ private[queries] object CatalogGovernance {
         CAST(min(qual_micro) AS BIGINT) AS min_qual_micro
       FROM c, b WHERE cum <= budget GROUP BY 1"""))
 
+  /** In-engine quality-classifier TRAINING, not just serving: a
+    * multinomial Naive Bayes lang-id head fit on a deterministic 30 %
+    * labeled slice (doc_id % 10 < 3) and audited on the 70 % holdout —
+    * closing the loop q177 opened (q177 serves a frozen head; NB is the
+    * one classifier whose training IS dataflow: the fit is exact token
+    * counting, so unlike q137's k-means there is nothing iterative or
+    * seed-dependent and the whole train→score→audit pipeline
+    * oracle-checks). Determinism discipline: Laplace-smoothed per-token
+    * log-likelihood ratios are micro-rounded to BIGINT the moment each
+    * leaves double-land (q187/q193), per-doc scores are exact BIGINT sums
+    * of those micro-ints plus a micro-int prior, and the decision rule is
+    * an integer sign test. Unseen-in-train tokens take the smoothing
+    * floor via the missing-count × default identity (no per-row coalesce
+    * against a scalar subquery). Scale shape: one token shuffle to count
+    * (vocab-sized weights table, q193's gram-table shape), one
+    * token-stream left join against those weights, per-doc then
+    * per-source aggregates; the five training scalars ride two 1-row
+    * broadcasts. At 100 TB the only wide state is the vocabulary. */
+  private val q194 = Q(
+    "q194_nb_classifier",
+    (s, d) => {
+      def micro(c: Column) = floor(c * 1000000 + 0.5).cast("long")
+      val toksC = filter(split(col("text"), " "), x => x =!= "")
+      val base = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("is_en"),
+          (col("doc_id") % 10 < 3).as("is_train"), toksC.as("toks"))
+      val trainDocs = base.filter(col("is_train"))
+      // token totals from doc-level sizes (== exploded sums, one pass)
+      val scal1 = trainDocs.agg(
+        sum(when(col("is_en"), size(col("toks")).cast("long"))
+          .otherwise(0L)).as("n_pos_tok"),
+        sum(when(col("is_en"), 0L)
+          .otherwise(size(col("toks")).cast("long"))).as("n_neg_tok"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("p_docs"),
+        sum(when(col("is_en"), 0L).otherwise(1L)).as("q_docs"))
+      val nwc = trainDocs
+        .select(col("is_en"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(
+          sum(when(col("is_en"), 1L).otherwise(0L)).as("np"),
+          sum(when(col("is_en"), 0L).otherwise(1L)).as("nn"))
+      val scal = scal1.crossJoin(nwc.agg(count(lit(1)).as("v")))
+      val weights = nwc.crossJoin(broadcast(scal)).select(col("tok"),
+        (micro(log((col("np") + lit(1.0)) / (col("n_pos_tok") + col("v")))) -
+         micro(log((col("nn") + lit(1.0)) / (col("n_neg_tok") + col("v")))))
+          .as("w_micro"))
+      val dscal = scal.select(
+        (micro(log(lit(1.0) / (col("n_pos_tok") + col("v")))) -
+         micro(log(lit(1.0) / (col("n_neg_tok") + col("v"))))).as("def_micro"),
+        micro(log((col("p_docs") + lit(1.0)) / (col("q_docs") + lit(1.0))))
+          .as("prior_micro"))
+      val scored = base.filter(!col("is_train"))
+        .select(col("doc_id"), col("source"), col("is_en"),
+          explode(col("toks")).as("tok"))
+        .join(weights, Seq("tok"), "left")
+        .groupBy(col("doc_id"), col("source"), col("is_en"))
+        .agg(sum(coalesce(col("w_micro"), lit(0L))).as("sw"),
+          sum(when(col("w_micro").isNull, 1L).otherwise(0L)).as("n_miss"))
+        .crossJoin(broadcast(dscal))
+        .select(col("source"), col("is_en"),
+          (col("prior_micro") + col("sw") +
+            col("n_miss") * col("def_micro")).as("score_micro"))
+      scored.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score_micro") > 0, 1L).otherwise(0L)).as("n_pred_en"),
+        sum(when((col("score_micro") > 0) === col("is_en"), 1L)
+          .otherwise(0L)).as("n_correct"),
+        sum(col("score_micro")).as("sum_score_micro"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source, lang = 'en' AS is_en,
+          doc_id % 10 < 3 AS is_train,
+          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      tr AS (
+        SELECT is_en, unnest(toks) AS tok FROM base WHERE is_train),
+      scal1 AS (
+        SELECT
+          CAST(sum(CASE WHEN is_en THEN len(toks) ELSE 0 END) AS BIGINT)
+            AS n_pos_tok,
+          CAST(sum(CASE WHEN is_en THEN 0 ELSE len(toks) END) AS BIGINT)
+            AS n_neg_tok,
+          CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS p_docs,
+          CAST(sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS q_docs
+        FROM base WHERE is_train),
+      nwc AS (
+        SELECT tok,
+          CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          CAST(sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        FROM tr GROUP BY 1),
+      scal AS (SELECT * FROM scal1, (SELECT count(*) AS v FROM nwc)),
+      w AS (
+        SELECT tok,
+          CAST(floor(ln((np + 1.0) / (n_pos_tok + v)) * 1000000 + 0.5)
+              AS BIGINT)
+          - CAST(floor(ln((nn + 1.0) / (n_neg_tok + v)) * 1000000 + 0.5)
+              AS BIGINT) AS w_micro
+        FROM nwc, scal),
+      dscal AS (
+        SELECT
+          CAST(floor(ln(1.0 / (n_pos_tok + v)) * 1000000 + 0.5) AS BIGINT)
+          - CAST(floor(ln(1.0 / (n_neg_tok + v)) * 1000000 + 0.5) AS BIGINT)
+            AS def_micro,
+          CAST(floor(ln((p_docs + 1.0) / (q_docs + 1.0)) * 1000000 + 0.5)
+            AS BIGINT) AS prior_micro
+        FROM scal),
+      ts AS (
+        SELECT doc_id, source, is_en, unnest(toks) AS tok
+        FROM base WHERE NOT is_train),
+      perdoc AS (
+        SELECT t.doc_id, t.source, t.is_en,
+          CAST(sum(coalesce(w.w_micro, 0)) AS BIGINT) AS sw,
+          CAST(sum(CASE WHEN w.w_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_miss
+        FROM ts t LEFT JOIN w ON t.tok = w.tok
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT source, is_en,
+          prior_micro + sw + n_miss * def_micro AS score_micro
+        FROM perdoc, dscal)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pred_en,
+        CAST(sum(CASE WHEN (score_micro > 0) = is_en THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_correct,
+        CAST(sum(score_micro) AS BIGINT) AS sum_score_micro
+      FROM scored GROUP BY 1"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q172, q173, q174, q175, q176, q177, q178, q179,
-    q89b, q180, q181, q182, q185, q186, q190, q191)
+    q89b, q180, q181, q182, q185, q186, q190, q191, q194)
 }

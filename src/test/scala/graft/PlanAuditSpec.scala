@@ -71,6 +71,11 @@ class PlanAuditSpec extends SparkSpec {
       // q191: the 1-row token-budget broadcast against the doc stream
       "q191_token_budget_select" -> 1,
       "q176_bpe_merges" -> 12,
+      // q194: NB training scalars ride 1-row broadcasts — the scal1 × v
+      // 1-row×1-row join, the vocab-stream × scalars crossJoin, and the
+      // per-doc-stream × dscal crossJoin (4 = those three + the scalar
+      // join replicated in dscal's lineage branch in the static plan)
+      "q194_nb_classifier" -> 4,
       // q179: the ground-truth all-pairs join runs on the metrology
       // sample bounded to ~100 docs by a data-derived rate (truth must
       // be exact there); 7 = that join + the 1-row corpus-count
