@@ -1039,7 +1039,142 @@ private[queries] object CatalogGovernance {
         CAST(sum(score_micro) AS BIGINT) AS sum_score_micro
       FROM scored GROUP BY 1"""))
 
+  /** Quality-threshold ablation sweep in ONE pass — the curation question
+    * "how much data survives at each candidate quality cutoff?" answered
+    * for ALL cutoffs simultaneously. The naive form rescans the corpus
+    * once per threshold (10 thresholds at 100 TB = 10 full scans); here
+    * each doc is bucketed to floor(q*10) once, the full-data shuffle is a
+    * single (source, bucket) aggregate to ≤ |sources|×10 rows, and a
+    * reverse-cumulative window over those tiny aggregates reads off
+    * survivors-at-threshold for every cutoff (q ≥ t ⟺ bucket ≥ 10t, since
+    * buckets are the threshold grid). A generated 0..9 spine per source
+    * keeps the output shape fixed even for empty bins. Quality here is the
+    * alpha-character ratio micro-rounded ONCE from double (q187
+    * discipline); survivors' doc/token/quality totals stay exact BIGINTs.
+    * At 100 TB: one scan, one vocab-free shuffle, then driver-size data. */
+  private val q195 = Q(
+    "q195_threshold_sweep",
+    (s, d) => {
+      val base = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .select(col("source"),
+          when(col("n_chars") === 0, lit(0L))
+            .otherwise(floor(
+              length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+                .cast("double") / col("n_chars") * 1000000 + 0.5)
+              .cast("long")).as("q_micro"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("n_toks"))
+      val byBucket = base
+        .withColumn("bucket",
+          least(floor(col("q_micro") / 100000.0).cast("long"), lit(9L)))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("toks"),
+          sum(col("q_micro")).as("qsum"))
+      val spine = Tables.documents(s, d).select(col("source")).distinct()
+        .select(col("source"),
+          explode(sequence(lit(0L), lit(9L))).as("bucket"))
+      val j = spine.join(byBucket, Seq("source", "bucket"), "left")
+        .select(col("source"), col("bucket"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("toks"), lit(0L)).as("toks"),
+          coalesce(col("qsum"), lit(0L)).as("qsum"))
+      val w = Window.partitionBy(col("source")).orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      j.select(col("source"), (col("bucket") * 10).cast("int").as("thr_pct"),
+        sum(col("n")).over(w).as("n_docs"),
+        sum(col("toks")).over(w).as("n_tokens"),
+        sum(col("qsum")).over(w).as("q_micro_sum"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT source,
+          CASE WHEN n_chars = 0 THEN 0
+               ELSE CAST(floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 * 1.0 / n_chars * 1000000 + 0.5) AS BIGINT) END AS q_micro,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS BIGINT) AS n_toks
+        FROM documents),
+      b AS (
+        SELECT source,
+          least(CAST(floor(q_micro / 100000.0) AS BIGINT), 9) AS bucket,
+          count(*) AS n, CAST(sum(n_toks) AS BIGINT) AS toks,
+          CAST(sum(q_micro) AS BIGINT) AS qsum
+        FROM base GROUP BY 1, 2),
+      spine AS (
+        SELECT s.source, g.bucket
+        FROM (SELECT DISTINCT source FROM documents) s,
+             (SELECT unnest(generate_series(0, 9)) AS bucket) g),
+      j AS (
+        SELECT sp.source, sp.bucket, coalesce(b.n, 0) AS n,
+          coalesce(b.toks, 0) AS toks, coalesce(b.qsum, 0) AS qsum
+        FROM spine sp
+        LEFT JOIN b ON sp.source = b.source AND sp.bucket = b.bucket)
+      SELECT source, CAST(bucket * 10 AS INT) AS thr_pct,
+        CAST(sum(n) OVER w AS BIGINT) AS n_docs,
+        CAST(sum(toks) OVER w AS BIGINT) AS n_tokens,
+        CAST(sum(qsum) OVER w AS BIGINT) AS q_micro_sum
+      FROM j
+      WINDOW w AS (PARTITION BY source ORDER BY bucket DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+
+  /** Differentially-private marginal release with DETERMINISTIC Laplace
+    * noise — the release side of the privacy family (q175 k-anonymity and
+    * q185 l-diversity audit; this publishes). Two marginals (lang, source)
+    * are released under sequential composition: each gets ε=0.5, total
+    * ε=1.0, so each cell's noise is Laplace(b = Δf/ε = 1/0.5 = 2). The
+    * noise is derived from a seeded md5 uniform per cell (q47's hash
+    * discipline) through the inverse CDF −b·sign(u−½)·ln(1−2|u−½|), which
+    * makes the release REPRODUCIBLE — rand() would give a different
+    * "private" answer per run, unverifiable and re-queryable for averaging
+    * attacks; a fixed seed is also how production DP systems make releases
+    * auditable. The uniform is clamped away from the ln(0) pole, the noise
+    * is micro-rounded ONCE, and the published count is an exact BIGINT in
+    * micro units. One exact hash aggregate per marginal; noise is map-side
+    * arithmetic on ≤|cells| rows — at 100 TB the cost is the two scans
+    * (or one with grouping sets) and nothing else. */
+  private val q196 = Q(
+    "q196_dp_noisy_counts",
+    (s, d) => {
+      import graft.ops.Corpus
+      def release(dim: String, key: String): DataFrame = {
+        val u0 = Corpus.uniformHash(col("dim_value"), s"graft-dp-$dim")
+        val u = greatest(u0, lit(1.0e-12))
+        val noise = lit(-2.0) * signum(u - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+        Tables.documents(s, d)
+          .groupBy(col(key).as("dim_value"))
+          .agg(count(lit(1)).as("n_true"))
+          .select(lit(dim).as("dim"), col("dim_value"), col("n_true"),
+            floor(noise * 1000000 + 0.5).cast("long").as("noise_micro"))
+          .select(col("dim"), col("dim_value"), col("n_true"),
+            col("noise_micro"),
+            (col("n_true") * 1000000 + col("noise_micro")).as("noisy_micro"))
+      }
+      release("lang", "lang").union(release("source", "source"))
+    },
+    Some("""
+      WITH rel AS (
+        SELECT 'lang' AS dim, lang AS dim_value, count(*) AS n_true
+        FROM documents GROUP BY 2
+        UNION ALL
+        SELECT 'source', source, count(*) FROM documents GROUP BY 2),
+      u AS (
+        SELECT dim, dim_value, CAST(n_true AS BIGINT) AS n_true,
+          greatest(
+            (('0x' || substr(md5(dim_value || 'graft-dp-' || dim), 1, 15))
+              ::BIGINT)::DOUBLE / 1152921504606846976,
+            0.000000000001) AS uu
+        FROM rel),
+      nz AS (
+        SELECT dim, dim_value, n_true,
+          CAST(floor(-2.0 * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5))
+            * 1000000 + 0.5) AS BIGINT) AS noise_micro
+        FROM u)
+      SELECT dim, dim_value, n_true, noise_micro,
+        CAST(n_true * 1000000 + noise_micro AS BIGINT) AS noisy_micro
+      FROM nz"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q172, q173, q174, q175, q176, q177, q178, q179,
-    q89b, q180, q181, q182, q185, q186, q190, q191, q194)
+    q89b, q180, q181, q182, q185, q186, q190, q191, q194, q195, q196)
 }
