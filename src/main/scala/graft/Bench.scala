@@ -95,8 +95,50 @@ object Bench {
     val gcSettle = sys.env.get("SPARK_GRAFT_GC_SETTLE").contains("true")
     def settle(): Unit = if (gcSettle) { System.gc(); Thread.sleep(300) }
 
+    // SPARK_GRAFT_SHUFFLE_METRICS=true: record per-query shuffle-write and
+    // spill BYTES from task metrics alongside the timings ("shuffle_bytes"/
+    // "spill_bytes" maps, per single run). Exchange COUNTS are already
+    // frozen by ShuffleBudget; bytes are the scale signal counts can't
+    // give — comparing sf0.1 vs sf1 artifacts shows whether data MOVEMENT
+    // grows linearly or an operator hides a quadratic shuffle behind an
+    // unchanged plan shape. Off by default: listener-bus drain costs a
+    // bounded poll per query, and the driver's per-round artifact contract
+    // is timings.
+    val shuffleMetrics = sys.env.get("SPARK_GRAFT_SHUFFLE_METRICS").contains("true")
+    val accShuffle = new java.util.concurrent.atomic.AtomicLong
+    val accSpill = new java.util.concurrent.atomic.AtomicLong
+    if (shuffleMetrics) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            accShuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            accSpill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
+        }
+      })
+    // The listener bus is async and its drain API is private: poll the
+    // counters until two consecutive 50 ms reads agree (bounded at 1 s).
+    // Shuffle bytes per pass are deterministic, so a straggler event past
+    // the bound only perturbs the per-run average, never the timings.
+    def drainListeners(): Unit = if (shuffleMetrics) {
+      var prev = -1L
+      var spins = 0
+      while (spins < 20 && (accShuffle.get + accSpill.get) != prev) {
+        prev = accShuffle.get + accSpill.get
+        Thread.sleep(50)
+        spins += 1
+      }
+    }
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val shuffleBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val spillBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      drainListeners()
+      val sh0 = accShuffle.get; val sp0 = accSpill.get
+      var passesRun = 0
       val times = (1 to Passes).flatMap { _ =>
         if (errors.contains(name)) None // first failure wins, skip reruns
         else {
@@ -104,6 +146,7 @@ object Bench {
           val t0 = System.nanoTime()
           try {
             materialize(fn(spark, sfDir))
+            passesRun += 1
             Some((System.nanoTime() - t0) / 1e9)
           } catch {
             case scala.util.control.NonFatal(t) =>
@@ -112,6 +155,11 @@ object Bench {
               None
           }
         }
+      }
+      if (shuffleMetrics && passesRun > 0) {
+        drainListeners()
+        shuffleBytes(name) = (accShuffle.get - sh0) / passesRun
+        spillBytes(name) = (accSpill.get - sp0) / passesRun
       }
       if (errors.contains(name)) name -> -1.0
       else name -> times.sorted.apply(times.size / 2) // median of the passes
@@ -124,7 +172,12 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val shufJson = if (!shuffleMetrics) "" else {
+      def m(mm: scala.collection.Map[String, Long]) =
+        mm.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s""","shuffle_bytes":${m(shuffleBytes)},"spill_bytes":${m(spillBytes)}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson$shufJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

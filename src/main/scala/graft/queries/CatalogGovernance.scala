@@ -1174,7 +1174,104 @@ private[queries] object CatalogGovernance {
         CAST(n_true * 1000000 + noise_micro AS BIGINT) AS noisy_micro
       FROM nz"""))
 
+  /** Deterministic bootstrap confidence interval for a corpus statistic
+    * (mean tokens/doc) — the uncertainty bar every eval-harness number
+    * needs ("is 4.31 tokens/doc different from last month's 4.28, or is
+    * that sampling noise?"). The Poisson bootstrap (Chamandy et al.,
+    * Google 2012) replaces the unshardable multinomial resample with an
+    * independent Poisson(1) weight per (doc, resample): here the weight
+    * comes from a seeded md5 uniform through the Poisson CDF ladder
+    * (identical double literals both engines), so the interval is
+    * REPRODUCIBLE run to run. B=40 resamples ride ONE explode fan-out
+    * whose groupBy(b) partial-aggregates map-side to B rows per
+    * partition — the shuffle carries B×partitions tiny rows, never the
+    * corpus, and weighted sums Σw·x / Σw are exact BIGINTs until one
+    * micro-rounded division per resample. The B per-resample means
+    * collect into a sorted array on one row (bounded by B at any corpus
+    * size) and the 2.5th/97.5th order statistics read off as elements
+    * 1 and 39. */
+  private val q197 = Q(
+    "q197_bootstrap_ci",
+    (s, d) => {
+      import graft.ops.Corpus
+      val B = 40
+      val base = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("x"))
+      val fan = base.select(col("doc_id"), col("x"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      val u = Corpus.uniformHash(
+        concat(col("doc_id").cast("string"), lit(":"), col("b").cast("string")),
+        "graft-boot")
+      val wt = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .otherwise(5L)
+      val perb = fan.withColumn("wt", wt)
+        .groupBy(col("b"))
+        .agg(sum(col("wt") * col("x")).as("swx"), sum(col("wt")).as("sw"))
+      val means = perb.select(
+        when(col("sw") === 0, lit(0L))
+          .otherwise(floor(col("swx").cast("double") / col("sw") * 1000000 + 0.5)
+            .cast("long")).as("mean_micro"))
+      val arr = means.agg(
+        sort_array(collect_list(col("mean_micro"))).as("a"),
+        count(lit(1)).as("nb"))
+      val full = base.agg(
+        floor(sum(col("x")).cast("double") / count(lit(1)) * 1000000 + 0.5)
+          .cast("long").as("mean_full_micro"))
+      arr.crossJoin(broadcast(full)).select(
+        col("nb").as("n_resamples"), col("mean_full_micro"),
+        element_at(col("a"), 1).as("lo_micro"),
+        element_at(col("a"), 39).as("hi_micro"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS BIGINT) AS x
+        FROM documents),
+      fan AS (
+        SELECT doc_id, x, g.b
+        FROM base, (SELECT unnest(generate_series(0, 39)) AS b) g),
+      uu AS (
+        SELECT b, x,
+          (('0x' || substr(md5(doc_id::VARCHAR || ':' || b::VARCHAR
+            || 'graft-boot'), 1, 15))::BIGINT)::DOUBLE
+            / 1152921504606846976 AS u
+        FROM fan),
+      w AS (
+        SELECT b, x,
+          CASE WHEN u < 0.36787944117144233 THEN 0
+               WHEN u < 0.7357588823428847 THEN 1
+               WHEN u < 0.9196986029286058 THEN 2
+               WHEN u < 0.9810118431238462 THEN 3
+               WHEN u < 0.9963401531726563 THEN 4
+               ELSE 5 END AS wt
+        FROM uu),
+      perb AS (
+        SELECT b, CAST(sum(wt * x) AS BIGINT) AS swx,
+          CAST(sum(wt) AS BIGINT) AS sw
+        FROM w GROUP BY 1),
+      means AS (
+        SELECT CASE WHEN sw = 0 THEN 0
+          ELSE CAST(floor(swx * 1.0 / sw * 1000000 + 0.5) AS BIGINT)
+          END AS mean_micro
+        FROM perb),
+      arr AS (
+        SELECT list_sort(list(mean_micro)) AS a, count(*) AS nb FROM means),
+      fullm AS (
+        SELECT CAST(floor(sum(x) * 1.0 / count(*) * 1000000 + 0.5) AS BIGINT)
+          AS mean_full_micro
+        FROM base)
+      SELECT nb AS n_resamples, mean_full_micro,
+        a[1] AS lo_micro, a[39] AS hi_micro
+      FROM arr, fullm"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q172, q173, q174, q175, q176, q177, q178, q179,
-    q89b, q180, q181, q182, q185, q186, q190, q191, q194, q195, q196)
+    q89b, q180, q181, q182, q185, q186, q190, q191, q194, q195, q196, q197)
 }

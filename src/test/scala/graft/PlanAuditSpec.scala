@@ -68,6 +68,9 @@ class PlanAuditSpec extends SparkSpec {
       // q187: DSIR's λ table derives from a crossJoin of the ≤256-row
       // bucket histogram with the 1-row corpus-totals broadcast
       "q187_dsir_weights" -> 1,
+      // q197: the sorted 40-element resample-means row crossJoins the
+      // 1-row full-corpus-mean broadcast (both sides bounded by B=40)
+      "q197_bootstrap_ci" -> 1,
       // q191: the 1-row token-budget broadcast against the doc stream
       "q191_token_budget_select" -> 1,
       "q176_bpe_merges" -> 12,
