@@ -1271,7 +1271,101 @@ private[queries] object CatalogGovernance {
         a[1] AS lo_micro, a[39] AS hi_micro
       FROM arr, fullm"""))
 
+  /** Content-defined chunking (the rsync/LBFS/backup-dedup boundary
+    * algorithm) + chunk-hash dedup accounting — the STORAGE-level dedup
+    * tier below the document-level family (q19 exact, q21 near-dup, q55
+    * substring spans): how much smaller does the corpus get if shared
+    * chunks are stored once? A cut lands before token p whenever the
+    * 2-token window hash ending at p ≡ 0 (mod 8) (avg chunk ~8 tokens),
+    * so boundaries depend only on LOCAL content — an insertion reshuffles
+    * at most its own chunk, unlike fixed-size blocks where one shifted
+    * byte re-chunks the whole file. All chunking is map-side HOF work
+    * (per-doc O(tokens) md5s, lambda-bound once against the
+    * CollapseProject inlining trap, q78's pattern); the only full-data
+    * shuffle is the (source, chunk_hash) aggregate. Duplicate-hash char
+    * counts take min() so the 60-bit-collision case stays deterministic
+    * cross-engine. DuckDB's list slicing is 1-based INCLUSIVE of the end
+    * bound, so Spark's slice(ts, a, b−a) twins as ts[a : b−1]; DuckDB
+    * range(2, n+1) is empty for n<2 where Spark sequence(2, n) would
+    * DESCEND — the n≥2 guard exists on the Spark side only. */
+  private val q198 = Q(
+    "q198_cdc_chunking",
+    (s, d) => {
+      def h15(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val toksC = filter(split(col("text"), " "), x => x =!= "")
+      val chunksCol = element_at(transform(array(toksC), ts => {
+        val n = size(ts)
+        val cutsInner = when(n >= 2,
+          filter(sequence(lit(2), n),
+            p => h15(concat_ws(" ", slice(ts, p - 1, lit(2)))) % 8 === 0))
+          .otherwise(array().cast("array<int>"))
+        val cuts = concat(array(lit(1)), cutsInner, array(n + 1))
+        zip_with(
+          slice(cuts, lit(1), size(cuts) - 1),
+          slice(cuts, lit(2), size(cuts) - 1),
+          (a, b) => concat_ws(" ", slice(ts, a, b - a)))
+      }), 1)
+      val ch = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .filter(size(toksC) > 0)
+        .select(col("source"), explode(chunksCol).as("chunk"))
+        .select(col("source"), h15(col("chunk")).as("chash"),
+          length(col("chunk")).cast("long").as("cchars"))
+      val l1 = ch.groupBy(col("source"), col("chash"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cchars")).as("schars"),
+          min(col("cchars")).as("mchars"))
+      l1.groupBy(col("source")).agg(
+        sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("schars")).as("chars_total"),
+        sum(col("mchars")).as("chars_dedup"))
+        .select(col("source"), col("n_chunks"), col("n_distinct"),
+          col("chars_total"), col("chars_dedup"),
+          floor(col("chars_dedup").cast("double") / col("chars_total")
+            * 1000000 + 0.5).cast("long").as("dedup_ratio_micro"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents),
+      ne AS (
+        SELECT source, ts, len(ts) AS n FROM base WHERE len(ts) > 0),
+      cu AS (
+        SELECT source, ts,
+          list_concat(list_concat([1::BIGINT],
+            list_filter(range(2, n + 1), p ->
+              (('0x' || substr(md5(array_to_string(ts[p-1:p], ' ')), 1, 15))
+                ::BIGINT) % 8 = 0)),
+            [(n + 1)::BIGINT]) AS cuts
+        FROM ne),
+      chunks AS (
+        SELECT source,
+          unnest(list_transform(range(1, len(cuts)), j ->
+            array_to_string(ts[cuts[j] : cuts[j+1] - 1], ' '))) AS chunk
+        FROM cu),
+      ch AS (
+        SELECT source,
+          (('0x' || substr(md5(chunk), 1, 15))::BIGINT) AS chash,
+          CAST(length(chunk) AS BIGINT) AS cchars
+        FROM chunks),
+      l1 AS (
+        SELECT source, chash, count(*) AS cnt,
+          CAST(sum(cchars) AS BIGINT) AS schars,
+          CAST(min(cchars) AS BIGINT) AS mchars
+        FROM ch GROUP BY 1, 2),
+      l2 AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+          count(*) AS n_distinct,
+          CAST(sum(schars) AS BIGINT) AS chars_total,
+          CAST(sum(mchars) AS BIGINT) AS chars_dedup
+        FROM l1 GROUP BY 1)
+      SELECT source, n_chunks, n_distinct, chars_total, chars_dedup,
+        CAST(floor(chars_dedup * 1.0 / chars_total * 1000000 + 0.5) AS BIGINT)
+          AS dedup_ratio_micro
+      FROM l2"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q172, q173, q174, q175, q176, q177, q178, q179,
-    q89b, q180, q181, q182, q185, q186, q190, q191, q194, q195, q196, q197)
+    q89b, q180, q181, q182, q185, q186, q190, q191, q194, q195, q196, q197,
+    q198)
 }
