@@ -1364,8 +1364,132 @@ private[queries] object CatalogGovernance {
           AS dedup_ratio_micro
       FROM l2"""))
 
+  /** Cluster (by-source) bootstrap beside the doc-level bootstrap, from
+    * ONE fan-out — the CI q197 reports assumes docs are independent, but
+    * corpus docs correlate within their source (one crawl, one template),
+    * and resampling DOCS when the sampling unit is really the SOURCE
+    * understates the interval. Here resample b draws a Poisson(1) weight
+    * per (doc, b) for the doc-level CI and per (source, b) — shared by
+    * every doc of the source — for the cluster-level CI: the same
+    * (doc, b) fan carries both weight columns, so the two intervals are
+    * computed on identical resample indices and their widths are directly
+    * comparable (the cluster CI is the wider one whenever within-source
+    * correlation is real). Same exactness discipline as q197: integer
+    * weights, BIGINT weighted sums, one micro-rounded division per
+    * (resample, level), order statistics from sorted B-element arrays on
+    * one bounded row. */
+  private val q199 = Q(
+    "q199_cluster_bootstrap",
+    (s, d) => {
+      import graft.ops.Corpus
+      val B = 40
+      def pois(u: Column): Column =
+        when(u < 0.36787944117144233, 0L)
+          .when(u < 0.7357588823428847, 1L)
+          .when(u < 0.9196986029286058, 2L)
+          .when(u < 0.9810118431238462, 3L)
+          .when(u < 0.9963401531726563, 4L)
+          .otherwise(5L)
+      def mMicro(num: Column, den: Column): Column =
+        when(den === 0, lit(0L))
+          .otherwise(floor(num.cast("double") / den * 1000000 + 0.5)
+            .cast("long"))
+      val base = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("source"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("x"))
+      val fan = base.select(col("doc_id"), col("source"), col("x"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      val wd = pois(Corpus.uniformHash(
+        concat(col("doc_id").cast("string"), lit(":"), col("b").cast("string")),
+        "graft-boot-doc"))
+      val wc = pois(Corpus.uniformHash(
+        concat(col("source"), lit(":"), col("b").cast("string")),
+        "graft-boot-clu"))
+      val perb = fan.withColumn("wd", wd).withColumn("wc", wc)
+        .groupBy(col("b"))
+        .agg(sum(col("wd") * col("x")).as("swdx"), sum(col("wd")).as("swd"),
+          sum(col("wc") * col("x")).as("swcx"), sum(col("wc")).as("swc"))
+      val means = perb.select(
+        mMicro(col("swdx"), col("swd")).as("md"),
+        mMicro(col("swcx"), col("swc")).as("mc"))
+      val arr = means.agg(
+        sort_array(collect_list(col("md"))).as("ad"),
+        sort_array(collect_list(col("mc"))).as("ac"),
+        count(lit(1)).as("nb"))
+      val full = base.agg(
+        floor(sum(col("x")).cast("double") / count(lit(1)) * 1000000 + 0.5)
+          .cast("long").as("mean_full_micro"))
+      arr.crossJoin(broadcast(full)).select(
+        col("nb").as("n_resamples"), col("mean_full_micro"),
+        element_at(col("ad"), 1).as("doc_lo_micro"),
+        element_at(col("ad"), 39).as("doc_hi_micro"),
+        element_at(col("ac"), 1).as("clu_lo_micro"),
+        element_at(col("ac"), 39).as("clu_hi_micro"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS BIGINT) AS x
+        FROM documents),
+      fan AS (
+        SELECT doc_id, source, x, g.b
+        FROM base, (SELECT unnest(generate_series(0, 39)) AS b) g),
+      uu AS (
+        SELECT b, x,
+          (('0x' || substr(md5(doc_id::VARCHAR || ':' || b::VARCHAR
+            || 'graft-boot-doc'), 1, 15))::BIGINT)::DOUBLE
+            / 1152921504606846976 AS ud,
+          (('0x' || substr(md5(source || ':' || b::VARCHAR
+            || 'graft-boot-clu'), 1, 15))::BIGINT)::DOUBLE
+            / 1152921504606846976 AS uc
+        FROM fan),
+      w AS (
+        SELECT b, x,
+          CASE WHEN ud < 0.36787944117144233 THEN 0
+               WHEN ud < 0.7357588823428847 THEN 1
+               WHEN ud < 0.9196986029286058 THEN 2
+               WHEN ud < 0.9810118431238462 THEN 3
+               WHEN ud < 0.9963401531726563 THEN 4
+               ELSE 5 END AS wd,
+          CASE WHEN uc < 0.36787944117144233 THEN 0
+               WHEN uc < 0.7357588823428847 THEN 1
+               WHEN uc < 0.9196986029286058 THEN 2
+               WHEN uc < 0.9810118431238462 THEN 3
+               WHEN uc < 0.9963401531726563 THEN 4
+               ELSE 5 END AS wc
+        FROM uu),
+      perb AS (
+        SELECT b, CAST(sum(wd * x) AS BIGINT) AS swdx,
+          CAST(sum(wd) AS BIGINT) AS swd,
+          CAST(sum(wc * x) AS BIGINT) AS swcx,
+          CAST(sum(wc) AS BIGINT) AS swc
+        FROM w GROUP BY 1),
+      means AS (
+        SELECT
+          CASE WHEN swd = 0 THEN 0
+            ELSE CAST(floor(swdx * 1.0 / swd * 1000000 + 0.5) AS BIGINT)
+            END AS md,
+          CASE WHEN swc = 0 THEN 0
+            ELSE CAST(floor(swcx * 1.0 / swc * 1000000 + 0.5) AS BIGINT)
+            END AS mc
+        FROM perb),
+      arr AS (
+        SELECT list_sort(list(md)) AS ad, list_sort(list(mc)) AS ac,
+          count(*) AS nb
+        FROM means),
+      fullm AS (
+        SELECT CAST(floor(sum(x) * 1.0 / count(*) * 1000000 + 0.5) AS BIGINT)
+          AS mean_full_micro
+        FROM base)
+      SELECT nb AS n_resamples, mean_full_micro,
+        ad[1] AS doc_lo_micro, ad[39] AS doc_hi_micro,
+        ac[1] AS clu_lo_micro, ac[39] AS clu_hi_micro
+      FROM arr, fullm"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q172, q173, q174, q175, q176, q177, q178, q179,
     q89b, q180, q181, q182, q185, q186, q190, q191, q194, q195, q196, q197,
-    q198)
+    q198, q199)
 }
