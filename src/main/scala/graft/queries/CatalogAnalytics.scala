@@ -1325,10 +1325,87 @@ private[queries] object CatalogAnalytics {
           AS BIGINT) AS avg_micro
       FROM bk GROUP BY 1, 2"""))
 
+  /** Per-group OLS trend line (daily event volume vs calendar day): the
+    * closed-form least-squares slope/intercept/r² from the five
+    * sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) — regression as TWO
+    * map-side-combined aggregates, never an iterative solver. x is the
+    * exact epoch-day integer and y the exact daily count, so every
+    * sufficient statistic is an exact BIGINT on both engines; slope and
+    * intercept are exact integer rationals micro-rounded ONCE at emit,
+    * and r² does its single double multiply/divide in the same literal
+    * order both sides. Scale shape: shuffle 1 reduces the event stream
+    * to (type, day) rows — the map-side combine absorbs the 100 TB — and
+    * shuffle 2 reduces days to one row per type; nothing downstream of
+    * the first combine is data-sized. Degenerate groups (a single
+    * distinct day: den = 0) emit zeros rather than ANSI-dividing. */
+  private val q201 = Q(
+    "q201_ols_trend",
+    (s, d) => {
+      def micro(num: Column, den: Column): Column =
+        when(den === 0L, lit(0L))
+          .otherwise(floor(num.cast("double") / den.cast("double") * 1000000 + 0.5)
+            .cast("long"))
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long").as("x"))
+        .groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("y"))
+      val sums = daily.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      val dy = col("n") * col("syy") - col("sy") * col("sy")
+      sums.select(
+        col("event_type"), col("n").as("n_days"),
+        micro(num, den).as("slope_micro"),
+        micro(col("sy") * col("sxx") - col("sx") * col("sxy"), den)
+          .as("intercept_micro"),
+        when(den === 0L || dy === 0L, lit(0L))
+          .otherwise(floor(
+            num.cast("double") * num.cast("double")
+              / (den.cast("double") * dy.cast("double")) * 1000000 + 0.5)
+            .cast("long")).as("r2_micro"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+          CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      sums AS (
+        SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+          CAST(sum(y*y) AS BIGINT) AS syy
+        FROM daily GROUP BY 1),
+      fit AS (
+        SELECT event_type, n,
+          n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+          sy*sxx - sx*sxy AS inum, n*syy - sy*sy AS dy
+        FROM sums)
+      SELECT event_type, n AS n_days,
+        CASE WHEN den = 0 THEN 0
+          ELSE CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) END AS slope_micro,
+        CASE WHEN den = 0 THEN 0
+          ELSE CAST(floor(CAST(inum AS DOUBLE) / CAST(den AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) END AS intercept_micro,
+        CASE WHEN den = 0 OR dy = 0 THEN 0
+          ELSE CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+            / (CAST(den AS DOUBLE) * CAST(dy AS DOUBLE))
+            * 1000000 + 0.5) AS BIGINT) END AS r2_micro
+      FROM fit"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q81, q82, q80,
     q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q183, q193)
+    q99, q183, q193, q201)
 }

@@ -592,6 +592,69 @@ private[queries] object CatalogNorthStar {
         SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       WHERE token <> '' GROUP BY token"""))
 
+  /** Sorted-neighborhood near-dup blocking (Hernández & Stolfo, SIGMOD
+    * '95): sort the corpus by a blocking key, then compare each document
+    * only with its next W-1 neighbors in the sorted order — the third
+    * classic blocking strategy beside prefix-equality (q20) and LSH
+    * banding (q21). Where LSH's candidate count depends on hash
+    * collisions and prefix-blocking on key skew, SNM's is EXACTLY
+    * n×(W-1) regardless of data — a hard shuffle budget. Scale shape:
+    * the global order comes from Corpus.globalIndex (range exchange +
+    * per-partition zipWithIndex — NO single-task sort), and the window
+    * comparison is an equi-join on position: each doc explodes into W-1
+    * probe positions and joins the neighbor at exactly that index, so
+    * the whole operator is one range exchange plus one hash join on a
+    * dense long key. Verified pairs need exact Jaccard >= 0.5 over
+    * distinct token sets; `gap` records how far apart the members sat.
+    * Tie-break doc_id makes the sort order engine-exact (ASCII keys,
+    * binary collation both sides). */
+  private val q200 = Q(
+    "q200_sorted_neighborhood",
+    (s, d) => {
+      import graft.ops.Corpus
+      val W = 4
+      val docs = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("k"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+      val idx = Corpus.globalIndex(docs, Seq(col("k"), col("doc_id")), 8, "pos")
+      val probes = idx.select(
+          col("doc_id").as("id_a"), col("toks").as("toks_a"), col("pos"),
+          explode(sequence(lit(1L), lit((W - 1).toLong))).as("gap"))
+        .select(col("id_a"), col("toks_a"), col("gap"),
+          (col("pos") + col("gap")).as("tpos"))
+      val right = idx.select(
+        col("doc_id").as("id_b"), col("toks").as("toks_b"),
+        col("pos").as("tpos"))
+      val jac = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+        size(array_union(col("toks_a"), col("toks_b")))
+      probes.join(right, "tpos")
+        .select(
+          least(col("id_a"), col("id_b")).as("doc_a"),
+          greatest(col("id_a"), col("id_b")).as("doc_b"),
+          col("gap"), jac.as("jac"))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("gap"),
+          r(col("jac"), 3).as("jaccard"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, substr(text, 1, 30) AS k,
+          list_distinct(string_split(text, ' ')) AS toks
+        FROM documents),
+      p AS (
+        SELECT doc_id, toks,
+          row_number() OVER (ORDER BY k, doc_id) AS pos
+        FROM d)
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        greatest(a.doc_id, b.doc_id) AS doc_b,
+        CAST(b.pos - a.pos AS BIGINT) AS gap,
+        floor((len(list_intersect(a.toks, b.toks))::DOUBLE
+               / len(list_distinct(list_concat(a.toks, b.toks))))*1000 + 0.5)/1000
+          AS jaccard
+      FROM p a JOIN p b ON b.pos > a.pos AND b.pos <= a.pos + 3
+      WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5"""))
+
   // ------------------------------------------- reference pipelines (gold)
   // q37-q40 run the ACTUAL reference dataflows (Rates/Trends/Flights
   // .gold) end-to-end over the bundled bronze fixtures
@@ -607,5 +670,5 @@ private[queries] object CatalogNorthStar {
   private[queries] val all: Seq[Q] = Seq(
     q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q31b, q32, q33,
-    q34, q35, q36)
+    q34, q35, q36, q200)
 }

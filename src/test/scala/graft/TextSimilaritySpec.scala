@@ -334,4 +334,31 @@ class TextSimilaritySpec extends SparkSpec {
         (r.getAs[Long]("total_grams"), r.getAs[Long]("distinct_grams")))).toMap
     assert(out == Map(1 -> (6L, 2L), 2 -> (3L, 2L), 3 -> (1L, 1L)))
   }
+
+  test("q200: sorted-neighborhood pairs == brute-force window sweep over the sorted corpus") {
+    // Independent reference: collect the (tiny) fixture, sort by the same
+    // blocking key, sweep a W=4 window imperatively, verify exact Jaccard.
+    val W = 4
+    val docs = graft.sources.Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sorted = docs
+      .map { case (id, t) => (t.take(30), id, t.split(" ").toSet) }
+      .sortBy { case (k, id, _) => (k, id) }
+    val expect = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for (i <- sorted.indices; g <- 1 until W; if i + g < sorted.length) {
+      val (_, ida, ta) = sorted(i)
+      val (_, idb, tb) = sorted(i + g)
+      val jac = (ta & tb).size.toDouble / (ta | tb).size
+      if (jac >= 0.5)
+        expect += ((math.min(ida, idb), math.max(ida, idb), g.toLong))
+    }
+    val got = graft.queries.QueryCatalog
+      .queries("q200_sorted_neighborhood")(spark, sf())
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("gap"))).toSet
+    assert(got == expect.toSet, s"got ${got.size} pairs, expected ${expect.size}")
+    assert(got.nonEmpty, "fixture should contain near-dup neighbors")
+  }
 }
