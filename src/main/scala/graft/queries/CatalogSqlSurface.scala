@@ -1144,9 +1144,72 @@ private[queries] object CatalogSqlSurface {
         CAST(floor(0.15 * 1000000.0 / b.n::DOUBLE + 0.5) AS BIGINT) + COALESCE(csum, 0) AS pr_micro
       FROM (SELECT event_type, n FROM nodes, nn) b LEFT JOIN c3 USING (event_type)"""))
 
+  /** SQL front door, WITH RECURSIVE (new in Spark 4.x): depth-bounded BFS
+    * from a deterministic seed set through the near-dup edge graph — the
+    * "contamination blast radius" question (if these docs are benchmark-
+    * contaminated, what else is within 3 near-dup hops?) asked in pure
+    * declarative SQL, the SAME recursive text both engines execute.
+    * Spark restricts recursion to UNION ALL (no dedup across iterations,
+    * [UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), so the recursion must be
+    * finite by construction: the dist < 3 guard bounds depth, and min()
+    * over the path multiset recovers the true hop distance afterwards.
+    * Scale note: UNION ALL recursion materializes one row per PATH, not
+    * per node — fine at radius 3 on near-dup graphs (tiny components),
+    * but unbounded-radius closure belongs to the iterative pointer-
+    * jumping operator (q46, O(log d) rounds with dedup per round); this
+    * is the SQL-surface form, not a replacement. Seeds are doc_id ≡ 0
+    * (mod 97) — deterministic, corpus-spread, engine-exact. */
+  private val q202 = Q(
+    "q202_recursive_radius",
+    (s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("documents_v")
+      s.sql("""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, substring(text, 1, 30) AS pfx,
+            array_distinct(split(text, ' ')) AS toks
+          FROM documents_v),
+        e AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+          WHERE CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE)
+                / size(array_union(a.toks, b.toks)) >= 0.5),
+        sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        bfs(node, dist) AS (
+          SELECT doc_id, 0 FROM documents_v WHERE doc_id % 97 = 0
+          UNION ALL
+          SELECT sym.b, dist + 1
+          FROM bfs JOIN sym ON sym.a = bfs.node WHERE dist < 3),
+        md AS (
+          SELECT node, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY node)
+        SELECT dist, CAST(count(*) AS BIGINT) AS n_docs,
+          min(node) AS min_doc, max(node) AS max_doc
+        FROM md GROUP BY dist""")
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, substr(text, 1, 30) AS pfx,
+          list_distinct(string_split(text, ' ')) AS toks
+        FROM documents),
+      e AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+      sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      bfs(node, dist) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+        UNION ALL
+        SELECT sym.b, dist + 1
+        FROM bfs JOIN sym ON sym.a = bfs.node WHERE dist < 3),
+      md AS (
+        SELECT node, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY node)
+      SELECT dist, CAST(count(*) AS BIGINT) AS n_docs,
+        min(node) AS min_doc, max(node) AS max_doc
+      FROM md GROUP BY dist"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128)
+    q124, q125, q126, q127, q128, q202)
 }

@@ -78,4 +78,33 @@ class DedupClusterSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
     assert(got == Set((10L, 10L, 1L, true), (11L, 11L, 1L, true)))
   }
+
+  test("q202 recursive BFS agrees with q46 components: every reached doc shares a seed's cluster") {
+    // The WITH RECURSIVE radius query and the iterative pointer-jumping
+    // components run over the SAME edge set; radius-reached docs (dist>=1)
+    // must therefore lie in a cluster that contains at least one seed, and
+    // dist 0 must count exactly the seeds.
+    val dir = sf()
+    val seeds = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 97 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusters = graft.queries.QueryCatalog.queries("q46_dedup_clusters")(spark, dir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seedClusters = seeds.map(clusters)
+    val radius = graft.queries.QueryCatalog.queries("q202_recursive_radius")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Int]("dist") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc"))))
+      .toMap
+    assert(radius(0)._1 == seeds.size.toLong)
+    // membership: every doc within the radius shares a cluster with a seed.
+    // Check via cluster mass: the non-seed docs BFS reaches can never
+    // exceed the non-seed docs living in seed-containing clusters.
+    val seedClusterSizes = clusters.values.groupBy(identity)
+      .collect { case (cid, g) if seedClusters(cid) => g.size.toLong }.sum
+    val reachedMass = radius.collect { case (d, (n, _, _)) if d >= 1 => n }.sum
+    assert(reachedMass <= seedClusterSizes - seeds.size,
+      s"BFS reached $reachedMass docs but seed clusters only hold ${seedClusterSizes - seeds.size} non-seed docs")
+  }
 }
