@@ -1402,10 +1402,402 @@ private[queries] object CatalogAnalytics {
             * 1000000 + 0.5) AS BIGINT) END AS r2_micro
       FROM fit"""))
 
+  /** One-sided CUSUM changepoint detection over the per-type daily event
+    * series — the standard sequential drift alarm (Page 1954): S_t =
+    * max(0, S_{t-1} + x_t − μ), alarm when S_t exceeds h. The recursion
+    * has the closed WINDOW form S_t = P_t − min(0, min_{j≤t} P_j) with
+    * P_t the prefix sum of deviations — so the sequential algorithm
+    * becomes two cumulative windows, no iteration. Fully EXACT integers:
+    * deviations are scaled by n_days (d_t = y_t·n_days − total), so
+    * prefix, running min, cusum and the alarm threshold (2·total =
+    * two daily means of cumulated excess, in the same scaled units) never
+    * touch a float. The windows partition by event_type over the DAILY
+    * aggregate — input is bounded by types×calendar-days at any corpus
+    * size (q201's daily-series shape), so the few-partition window is
+    * scale-safe by construction: the corpus-sized work is the one
+    * map-side-combined count shuffle. */
+  private val q204 = Q(
+    "q204_cusum_changepoint",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long").as("x"))
+        .groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("y"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("y")).as("total"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .join(broadcast(tot), Seq("event_type"))
+        .withColumn("dvn", col("y") * col("n_days") - col("total"))
+        .withColumn("pfx", sum(col("dvn")).over(w))
+        .withColumn("cusum_scaled",
+          col("pfx") - least(lit(0L), min(col("pfx")).over(w)))
+        .select(col("event_type"), col("x").as("day_epoch"), col("y"),
+          col("cusum_scaled"),
+          (col("cusum_scaled") > lit(2L) * col("total")).as("alarm"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_epoch,
+          CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(y) AS BIGINT) AS total
+        FROM daily GROUP BY 1),
+      dev AS (
+        SELECT d.event_type, d.day_epoch, d.y, t.total,
+          d.y * t.n_days - t.total AS dvn
+        FROM daily d JOIN tot t USING (event_type)),
+      pfxd AS (
+        SELECT event_type, day_epoch, y, total,
+          CAST(sum(dvn) OVER w AS BIGINT) AS pfx
+        FROM dev
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_epoch
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      cum AS (
+        SELECT event_type, day_epoch, y, total, pfx,
+          CAST(min(pfx) OVER w AS BIGINT) AS runmin
+        FROM pfxd
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_epoch
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type, day_epoch, y,
+        pfx - least(CAST(0 AS BIGINT), runmin) AS cusum_scaled,
+        pfx - least(CAST(0 AS BIGINT), runmin) > 2 * total AS alarm
+      FROM cum"""))
+
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-data / unit-mixing detector for financial columns: a
+    * naturally multi-decade positive measure follows P(d) = log10(1+1/d).
+    * The digit is extracted WITHOUT floats (floor → BIGINT → string →
+    * first char: exact in both engines, immune to log10 ULP divergence at
+    * decade boundaries), and the nine Benford probabilities are frozen
+    * micro-integer LITERALS (they sum to exactly 1,000,000) joined from a
+    * 9-row values table — so expected counts are exact BIGINT products
+    * and only the per-digit chi² term touches a double, micro-rounded in
+    * identical textual order (q172 discipline). LEFT join from the digit
+    * table keeps zero-observation digits. One hash aggregate to ≤9 rows;
+    * the values side is a literal broadcast. */
+  private val q205 = Q(
+    "q205_benford_audit",
+    (s, d) => {
+      val benford = s.createDataFrame(Seq(
+        (1, 301030L), (2, 176091L), (3, 124939L), (4, 96910L), (5, 79181L),
+        (6, 66947L), (7, 57992L), (8, 51153L), (9, 45757L)))
+        .toDF("digit", "e_micro")
+      val obs = Tables.orders(s, d)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val total = obs.agg(sum(col("n_obs")).as("n"))
+      broadcast(benford)
+        .join(obs, Seq("digit"), "left")
+        .join(broadcast(total))
+        .select(col("digit"), col("e_micro"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          (col("n") * col("e_micro")).as("expected_micro"))
+        .withColumn("chi2_term_micro",
+          floor(
+            (col("n_obs").cast("double")
+              - col("expected_micro").cast("double") / 1000000)
+            * (col("n_obs").cast("double")
+              - col("expected_micro").cast("double") / 1000000)
+            / (col("expected_micro").cast("double") / 1000000)
+            * 1000000 + 0.5).cast("long"))
+    },
+    Some("""
+      WITH benford(digit, e_micro) AS (VALUES
+        (1, CAST(301030 AS BIGINT)), (2, 176091), (3, 124939), (4, 96910),
+        (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+      obs AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+            AS VARCHAR), 1, 1) AS INT) AS digit,
+          CAST(count(*) AS BIGINT) AS n_obs
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+      SELECT b.digit, b.e_micro,
+        COALESCE(o.n_obs, CAST(0 AS BIGINT)) AS n_obs,
+        t.n * b.e_micro AS expected_micro,
+        CAST(floor(
+          (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+            - CAST(t.n * b.e_micro AS DOUBLE) / 1000000)
+          * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+            - CAST(t.n * b.e_micro AS DOUBLE) / 1000000)
+          / (CAST(t.n * b.e_micro AS DOUBLE) / 1000000)
+          * 1000000 + 0.5) AS BIGINT) AS chi2_term_micro
+      FROM benford b
+      LEFT JOIN obs o USING (digit)
+      CROSS JOIN tot t"""))
+
+  /** RFM segmentation — the marketing-standard customer triage (recency /
+    * frequency / monetary), aggregated to the score grid. Scores use
+    * FIXED domain breakpoints, not ntile quantiles: quantile scoring is
+    * q89/q89b's territory and a global ntile over customers is exactly
+    * the few-task sort ceiling q89b exists to avoid; fixed breakpoints
+    * keep the whole query two hash aggregates (orders → customer → grid
+    * cell) with a 1-row broadcast anchor date and NO window at all.
+    * Monetary sums are exact cents (floor(p·100+0.5) per order, BIGINT
+    * sum) so threshold comparisons never depend on float summation
+    * order. Output is bounded by the 5×5×5 grid at any corpus size. */
+  private val q206 = Q(
+    "q206_rfm_segments",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val anchor = orders.agg(max(col("od")).as("anchor"))
+      val perCust = orders
+        .groupBy(col("o_custkey"))
+        .agg(max(col("od")).as("last_od"),
+          count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("monetary_cents"))
+        .join(broadcast(anchor))
+        .withColumn("recency_days",
+          datediff(col("anchor"), col("last_od")).cast("long"))
+      val scored = perCust
+        .withColumn("r_score",
+          when(col("recency_days") <= 30, 5)
+            .when(col("recency_days") <= 90, 4)
+            .when(col("recency_days") <= 180, 3)
+            .when(col("recency_days") <= 365, 2).otherwise(1))
+        .withColumn("f_score",
+          when(col("n_orders") >= 20, 5)
+            .when(col("n_orders") >= 10, 4)
+            .when(col("n_orders") >= 5, 3)
+            .when(col("n_orders") >= 2, 2).otherwise(1))
+        .withColumn("m_score",
+          when(col("monetary_cents") >= 200000000L, 5)
+            .when(col("monetary_cents") >= 100000000L, 4)
+            .when(col("monetary_cents") >= 50000000L, 3)
+            .when(col("monetary_cents") >= 10000000L, 2).otherwise(1))
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4 &&
+            col("m_score") >= 4, "champion")
+            .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+            .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+            .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+            .otherwise("core"))
+      scored.groupBy(col("r_score"), col("f_score"), col("m_score"),
+          col("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary_cents")).as("total_cents"),
+          sum(col("n_orders")).as("total_orders"),
+          sum(col("recency_days")).as("recency_day_sum"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+      anchor AS (SELECT max(od) AS anchor FROM o),
+      per_cust AS (
+        SELECT o_custkey, max(od) AS last_od,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(cents) AS BIGINT) AS monetary_cents
+        FROM o GROUP BY 1),
+      scored AS (
+        SELECT
+          CAST(a.anchor - p.last_od AS BIGINT) AS recency_days,
+          p.n_orders, p.monetary_cents,
+          CASE WHEN a.anchor - p.last_od <= 30 THEN 5
+            WHEN a.anchor - p.last_od <= 90 THEN 4
+            WHEN a.anchor - p.last_od <= 180 THEN 3
+            WHEN a.anchor - p.last_od <= 365 THEN 2 ELSE 1 END AS r_score,
+          CASE WHEN p.n_orders >= 20 THEN 5
+            WHEN p.n_orders >= 10 THEN 4
+            WHEN p.n_orders >= 5 THEN 3
+            WHEN p.n_orders >= 2 THEN 2 ELSE 1 END AS f_score,
+          CASE WHEN p.monetary_cents >= 200000000 THEN 5
+            WHEN p.monetary_cents >= 100000000 THEN 4
+            WHEN p.monetary_cents >= 50000000 THEN 3
+            WHEN p.monetary_cents >= 10000000 THEN 2 ELSE 1 END AS m_score
+        FROM per_cust p CROSS JOIN anchor a),
+      seg AS (
+        SELECT r_score, f_score, m_score,
+          CASE
+            WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+              THEN 'champion'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'core' END AS segment,
+          n_orders, monetary_cents, recency_days
+        FROM scored)
+      SELECT r_score, f_score, m_score, segment,
+        count(*) AS n_customers,
+        CAST(sum(monetary_cents) AS BIGINT) AS total_cents,
+        CAST(sum(n_orders) AS BIGINT) AS total_orders,
+        CAST(sum(recency_days) AS BIGINT) AS recency_day_sum
+      FROM seg GROUP BY 1, 2, 3, 4"""))
+
+  /** Ordered conversion funnel (view → click-after-view →
+    * purchase-after-that-click) — the product-analytics staple that is NOT
+    * expressible as three independent filters: each stage must happen
+    * strictly AFTER the user's first completion of the previous stage.
+    * The sequential scan is three chained cumulative windows over the
+    * per-user event stream ordered by event_id (the catalog's canonical
+    * time order — monotone with ts, exact BIGINT, immune to the ns/µs
+    * parquet vintage): mv = first view so far; a click qualifies iff mv
+    * exists strictly earlier (guaranteed: the cumulative min at a click
+    * row only sees earlier rows); qc = first qualifying click; qp = first
+    * qualifying purchase. All three windows share ONE user-hash exchange
+    * and one sort — Spark chains same-partitioning Window operators with
+    * no re-shuffle. Final per-user flags collapse to a single funnel row;
+    * conversion ratios are micro-rounded divisions of exact counts. */
+  private val q207 = Q(
+    "q207_funnel",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("mv",
+          min(when(col("event_type") === "view", col("event_id"))).over(w))
+        .withColumn("qc",
+          min(when(col("event_type") === "click" && col("mv").isNotNull &&
+            col("mv") < col("event_id"), col("event_id"))).over(w))
+        .withColumn("qp",
+          min(when(col("event_type") === "purchase" && col("qc").isNotNull &&
+            col("qc") < col("event_id"), col("event_id"))).over(w))
+      val perUser = staged.groupBy(col("user_id"))
+        .agg(max(col("mv").isNotNull).as("s1"),
+          max(col("qc").isNotNull).as("s2"),
+          max(col("qp").isNotNull).as("s3"))
+      perUser.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("s1"), 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("n_click_after_view"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("n_purchase_chain"))
+        .select(col("n_users"), col("n_view"), col("n_click_after_view"),
+          col("n_purchase_chain"),
+          // empty-stage guard: 0/0 is NaN and floor(NaN)→BIGINT crashes
+          // under ANSI (q158's lesson) — emit 0 conversion instead
+          when(col("n_view") === 0L, lit(0L)).otherwise(
+            floor(col("n_click_after_view").cast("double")
+              / col("n_view").cast("double") * 1000000 + 0.5).cast("long"))
+            .as("click_conv_micro"),
+          when(col("n_click_after_view") === 0L, lit(0L)).otherwise(
+            floor(col("n_purchase_chain").cast("double")
+              / col("n_click_after_view").cast("double") * 1000000 + 0.5)
+              .cast("long")).as("purchase_conv_micro"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type FROM events),
+      s1 AS (
+        SELECT user_id, event_id, event_type,
+          min(CASE WHEN event_type = 'view' THEN event_id END) OVER w AS mv
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      s2 AS (
+        SELECT user_id, event_id, event_type, mv,
+          min(CASE WHEN event_type = 'click' AND mv IS NOT NULL
+            AND mv < event_id THEN event_id END) OVER w AS qc
+        FROM s1
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      s3 AS (
+        SELECT user_id, event_id, mv, qc,
+          min(CASE WHEN event_type = 'purchase' AND qc IS NOT NULL
+            AND qc < event_id THEN event_id END) OVER w AS qp
+        FROM s2
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      per_user AS (
+        SELECT user_id,
+          max(mv IS NOT NULL) AS f1, max(qc IS NOT NULL) AS f2,
+          max(qp IS NOT NULL) AS f3
+        FROM s3 GROUP BY 1),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+          CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+          CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_click_after_view,
+          CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_purchase_chain
+        FROM per_user)
+      SELECT n_users, n_view, n_click_after_view, n_purchase_chain,
+        CASE WHEN n_view = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(n_click_after_view AS DOUBLE)
+            / CAST(n_view AS DOUBLE) * 1000000 + 0.5) AS BIGINT) END
+          AS click_conv_micro,
+        CASE WHEN n_click_after_view = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(n_purchase_chain AS DOUBLE)
+            / CAST(n_click_after_view AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          END AS purchase_conv_micro
+      FROM agg"""))
+
+  /** Weekly retention-cohort matrix — per signup cohort (a user's first
+    * active epoch-week), the share still active k weeks later: THE
+    * engagement report every event warehouse serves. Exact-integer
+    * week arithmetic (epoch-day // 7, no calendar functions, no
+    * timestamps beyond to_date); activity first collapses to distinct
+    * (user, week) — the corpus-sized shuffle, map-side combined — then
+    * each user's cohort week re-aggregates from those rows and joins
+    * BACK on user_id, reusing the same hash partitioning; the final
+    * (cohort, offset) aggregate is bounded by weeks² cells at any corpus
+    * size. Retention is a micro-rounded division of exact counts. */
+  private val q208 = Q(
+    "q208_retention_cohorts",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val uw = Tables.events(s, d)
+        .select(col("user_id"),
+          (datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) / 7)
+            .cast("long").as("week"))
+        .distinct()
+      // cohort week via a user-partitioned window min — no self-join; and
+      // because every user HAS an offset-0 row (week == cw), cohort size
+      // is exactly the offset-0 cell of the matrix itself, read back with
+      // one window over the bounded (cohort, offset) grid.
+      val act = uw
+        .withColumn("cw", min(col("week")).over(
+          Window.partitionBy(col("user_id"))))
+        .groupBy(col("cw"), (col("week") - col("cw")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      act
+        .withColumn("n_cohort",
+          max(when(col("week_offset") === 0L, col("n_active"))).over(
+            Window.partitionBy(col("cw"))))
+        .select(col("cw").as("cohort_week"), col("week_offset"),
+          col("n_active"), col("n_cohort"),
+          floor(col("n_active").cast("double") / col("n_cohort").cast("double")
+            * 1000000 + 0.5).cast("long").as("retention_micro"))
+    },
+    Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+          CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS week
+        FROM events),
+      wc AS (
+        SELECT user_id, week,
+          min(week) OVER (PARTITION BY user_id) AS cw
+        FROM uw),
+      act AS (
+        SELECT cw, week - cw AS week_offset,
+          CAST(count(*) AS BIGINT) AS n_active
+        FROM wc GROUP BY 1, 2),
+      sized AS (
+        SELECT cw, week_offset, n_active,
+          CAST(max(CASE WHEN week_offset = 0 THEN n_active END)
+            OVER (PARTITION BY cw) AS BIGINT) AS n_cohort
+        FROM act)
+      SELECT cw AS cohort_week, week_offset, n_active, n_cohort,
+        CAST(floor(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)
+          * 1000000 + 0.5) AS BIGINT) AS retention_micro
+      FROM sized"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q81, q82, q80,
     q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q183, q193, q201)
+    q99, q183, q193, q201, q204, q205, q206, q207, q208)
 }

@@ -958,8 +958,101 @@ private[queries] object CatalogEval {
       FROM s GROUP BY 1"""))
   }
 
+  /** Inter-rater agreement (Cohen's κ) between two frozen classifier-head
+    * VERSIONS over the same embeddings — the model-rollout audit: raw
+    * agreement overstates consistency when both heads keep most docs, κ
+    * corrects for chance agreement from the marginals. Both heads are
+    * q177-style literal-weight codegen'd vec_dots (seedless deterministic
+    * weights, different version tags); each decision micro-rounds its
+    * logit BEFORE the sign test so a cross-engine ULP in the dot product
+    * can't flip a borderline keep. The 2×2 confusion matrix is ONE
+    * map-side-combined aggregate to a single row; p_o and p_e are exact
+    * integer rationals (common denominator n²) and κ's one double
+    * division is micro-rounded in identical textual order. Zero joins,
+    * zero windows — pure map + 1-row reduce at any corpus size. */
+  private val q209 = {
+    def weights(tag: String) = Array.tabulate(64) { j =>
+      (scala.util.hashing.MurmurHash3.productHash((j, tag)) % 1000) / 1000.0
+    }
+    val wa = weights("graft-linear")
+    val wb = weights("graft-linear-v2")
+    val biasA = -0.1
+    val biasB = -0.05
+    Q(
+      "q209_rater_agreement",
+      (s, d) => {
+        graft.plans.GraftExtensions.install(s)
+        def logitMicro(w: Array[Double], bias: Double) =
+          floor((graft.functions.VectorDot.vec_dot(
+            transform(col("embedding"), x => x.cast("double")),
+            array(w.map(lit).toIndexedSeq: _*)) + lit(bias)) * 1000000 + 0.5)
+            .cast("long")
+        val decided = Tables.embeddings(s, d)
+          .select(
+            (logitMicro(wa, biasA) >= 0L).as("keep_a"),
+            (logitMicro(wb, biasB) >= 0L).as("keep_b"))
+        val conf = decided.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("keep_a") && col("keep_b"), 1L).otherwise(0L))
+            .as("n11"),
+          sum(when(col("keep_a") && !col("keep_b"), 1L).otherwise(0L))
+            .as("n10"),
+          sum(when(!col("keep_a") && col("keep_b"), 1L).otherwise(0L))
+            .as("n01"),
+          sum(when(!col("keep_a") && !col("keep_b"), 1L).otherwise(0L))
+            .as("n00"))
+        // κ = (po − pe)/(1 − pe) with po = (n11+n00)/n and
+        // pe = (a1·b1 + a0·b0)/n² — over the common denominator n²:
+        // κ = (n·(n11+n00) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0)),
+        // both sides exact BIGINTs until the final micro-rounded divide.
+        // pe == 1 (both raters unanimous) zeroes the denominator: emit 0
+        // rather than let floor(Inf) overflow under ANSI (q158's lesson).
+        val pe = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+          (col("n01") + col("n00")) * (col("n10") + col("n00"))
+        val den = col("n") * col("n") - pe
+        conf.select(
+          col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          when(den === 0L, lit(0L)).otherwise(
+            floor((col("n") * (col("n11") + col("n00")) - pe).cast("double")
+              / den.cast("double") * 1000000 + 0.5).cast("long"))
+            .as("kappa_micro"))
+      },
+      Some(s"""
+      WITH decided AS (
+        SELECT
+          CAST(floor((list_dot_product(embedding::DOUBLE[],
+            ${wa.map(_.toString).mkString("[", ", ", "]")}) + $biasA)
+            * 1000000 + 0.5) AS BIGINT) >= 0 AS keep_a,
+          CAST(floor((list_dot_product(embedding::DOUBLE[],
+            ${wb.map(_.toString).mkString("[", ", ", "]")}) + $biasB)
+            * 1000000 + 0.5) AS BIGINT) >= 0 AS keep_b
+        FROM embeddings),
+      conf AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN keep_a AND keep_b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n11,
+          CAST(sum(CASE WHEN keep_a AND NOT keep_b THEN 1 ELSE 0 END)
+            AS BIGINT) AS n10,
+          CAST(sum(CASE WHEN NOT keep_a AND keep_b THEN 1 ELSE 0 END)
+            AS BIGINT) AS n01,
+          CAST(sum(CASE WHEN NOT keep_a AND NOT keep_b THEN 1 ELSE 0 END)
+            AS BIGINT) AS n00
+        FROM decided)
+      SELECT n, n11, n10, n01, n00,
+        CASE WHEN n * n
+            - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) = 0
+          THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(n * (n11 + n00)
+              - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+            AS DOUBLE)
+            / CAST(n * n
+              - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+            AS DOUBLE) * 1000000 + 0.5) AS BIGINT) END AS kappa_micro
+      FROM conf"""))
+  }
+
   private[queries] val all: Seq[Q] = Seq(
     q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q164b, q165, q166, q167, q168,
-    q169, q170, q171, q184, q188)
+    q169, q170, q171, q184, q188, q209)
 }

@@ -1488,8 +1488,85 @@ private[queries] object CatalogGovernance {
         ac[1] AS clu_lo_micro, ac[39] AS clu_hi_micro
       FROM arr, fullm"""))
 
+  /** t-closeness audit — completes the anonymity trio (q175 k-anonymity,
+    * q185 l-diversity): a quasi-identifier class can be k-anonymous AND
+    * l-diverse yet still leak if its sensitive-attribute DISTRIBUTION
+    * differs sharply from the global one. For the categorical sensitive
+    * column the EMD of the t-closeness paper reduces to total variation
+    * distance: t = ½·Σ_s |p_s − q_s| over the global source alphabet.
+    * Exact-integer core: within a class the common denominator is
+    * n_class·N, so Σ over PRESENT sources of |n_lbs·N − n_s·n_class| plus
+    * the absent-source mass (N − Σ_present n_s)·n_class is an exact BIGINT
+    * numerator; one final double division is micro-rounded in identical
+    * textual order both engines (q172 discipline) — absent cells are
+    * accounted in closed form, no dense class×source expansion exists
+    * anywhere. One (lang,bucket,source) cell aggregate shuffle; class and
+    * source margins re-aggregate from the cells and join back broadcast
+    * (cells ≤ langs×buckets×sources at any corpus size). */
+  private val q203 = Q(
+    "q203_t_closeness",
+    (s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy(col("lang"),
+          (col("n_chars") / 100).cast("int").as("len_bucket"),
+          col("source"))
+        .agg(count(lit(1)).as("n_lbs"))
+      val bySrc = cells.groupBy(col("source")).agg(sum(col("n_lbs")).as("n_s"))
+      val total = bySrc.agg(sum(col("n_s")).as("n"))
+      // The |p−q| terms need n_class, which is only known after the class
+      // aggregate — so aggregate twice: cells → class sizes, then terms.
+      val classes = cells.groupBy(col("lang"), col("len_bucket"))
+        .agg(sum(col("n_lbs")).as("n_class"))
+      cells
+        .join(broadcast(bySrc), Seq("source"))
+        .join(broadcast(classes), Seq("lang", "len_bucket"))
+        .join(broadcast(total))
+        .groupBy(col("lang"), col("len_bucket"), col("n_class"), col("n"))
+        .agg(
+          sum(abs(col("n_lbs") * col("n") - col("n_s") * col("n_class")))
+            .as("present_num"),
+          sum(col("n_s")).as("present_ns"))
+        .select(
+          col("lang"), col("len_bucket"),
+          col("n_class").as("n_docs"),
+          floor((col("present_num") +
+              (col("n") - col("present_ns")) * col("n_class")).cast("double")
+            / (lit(2.0) * col("n_class").cast("double") * col("n").cast("double"))
+            * 1000000 + 0.5).cast("long").as("t_micro"))
+        .withColumn("t_close", col("t_micro") <= 200000L)
+    },
+    Some("""
+      WITH cells AS (
+        SELECT lang, CAST(n_chars // 100 AS INT) AS len_bucket, source,
+          CAST(count(*) AS BIGINT) AS n_lbs
+        FROM documents GROUP BY 1, 2, 3),
+      by_src AS (
+        SELECT source, CAST(sum(n_lbs) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM by_src),
+      classes AS (
+        SELECT lang, len_bucket, CAST(sum(n_lbs) AS BIGINT) AS n_class
+        FROM cells GROUP BY 1, 2),
+      terms AS (
+        SELECT c.lang, c.len_bucket, cl.n_class, t.n,
+          CAST(sum(abs(c.n_lbs * t.n - s.n_s * cl.n_class)) AS BIGINT)
+            AS present_num,
+          CAST(sum(s.n_s) AS BIGINT) AS present_ns
+        FROM cells c
+        JOIN by_src s USING (source)
+        JOIN classes cl USING (lang, len_bucket)
+        CROSS JOIN tot t
+        GROUP BY 1, 2, 3, 4)
+      SELECT lang, len_bucket, n_class AS n_docs,
+        CAST(floor(CAST(present_num + (n - present_ns) * n_class AS DOUBLE)
+          / (2.0 * CAST(n_class AS DOUBLE) * CAST(n AS DOUBLE))
+          * 1000000 + 0.5) AS BIGINT) AS t_micro,
+        CAST(floor(CAST(present_num + (n - present_ns) * n_class AS DOUBLE)
+          / (2.0 * CAST(n_class AS DOUBLE) * CAST(n AS DOUBLE))
+          * 1000000 + 0.5) AS BIGINT) <= 200000 AS t_close
+      FROM terms"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q172, q173, q174, q175, q176, q177, q178, q179,
     q89b, q180, q181, q182, q185, q186, q190, q191, q194, q195, q196, q197,
-    q198, q199)
+    q198, q199, q203)
 }

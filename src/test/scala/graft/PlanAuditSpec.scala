@@ -86,6 +86,14 @@ class PlanAuditSpec extends SparkSpec {
       // be exact there); 7 = that join + the 1-row corpus-count
       // broadcast replicated across the sample's lineage branches
       "q179_lsh_quality" -> 7,
+      // q203: the 1-row corpus-total broadcast crossJoins the bounded
+      // (lang, bucket, source) cell table
+      "q203_t_closeness" -> 1,
+      // q205: the 9-row Benford literal table LEFT-joins digit counts
+      // with no equi-key surviving the 1-row total crossJoin
+      "q205_benford_audit" -> 1,
+      // q206: the 1-row anchor-date broadcast against per-customer rows
+      "q206_rfm_segments" -> 1,
       "q23_cosine_topk" -> 1,
       "q38_trends_gold" -> 1, "q44_theta_cohorts" -> 1,
       "q51_range_join" -> 1, "q57_tfidf" -> 1,
