@@ -1794,10 +1794,179 @@ private[queries] object CatalogAnalytics {
           * 1000000 + 0.5) AS BIGINT) AS retention_micro
       FROM sized"""))
 
+  /** First-order Markov transition matrix over per-user event streams —
+    * the sequence model behind next-action prediction, anomaly scoring
+    * and session simulation, and the generative companion to q207's
+    * funnel (which asks about ONE path; this estimates all of them). The
+    * corpus-sized work is a single lag window per user (one user-hash
+    * exchange, same as q207) collapsing to |types|² transition cells;
+    * everything after runs on that bounded table: row totals and the
+    * per-row entropy come from windows PARTITIONED by prev_type over the
+    * cells, never a corpus shuffle. Number discipline: counts are exact
+    * BIGINTs; p_micro is one rounded division of exact counts; the
+    * per-state entropy sums per-CELL micro-rounded −p·ln p terms (the q69
+    * round-before-sum move), so the window sum is exact integer
+    * arithmetic and no float summation order exists. */
+  private val q211 = Q(
+    "q211_markov_transitions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val cells = pairs
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val wr = Window.partitionBy(col("prev_type"))
+      val p = col("n").cast("double") / col("row_total").cast("double")
+      cells
+        .withColumn("row_total", sum(col("n")).over(wr))
+        .withColumn("p_micro",
+          floor(p * 1000000 + 0.5).cast("long"))
+        .withColumn("ent_term",
+          floor(-p * log(p) * 1000000 + 0.5).cast("long"))
+        .withColumn("row_entropy_micro", sum(col("ent_term")).over(wr))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          col("row_total"), col("p_micro"), col("row_entropy_micro"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type FROM events),
+      p AS (
+        SELECT user_id, event_type AS next_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+            AS prev_type
+        FROM ev),
+      cells AS (
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      rt AS (
+        SELECT prev_type, next_type, n,
+          CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total
+        FROM cells),
+      terms AS (
+        SELECT prev_type, next_type, n, row_total,
+          CAST(floor(CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) AS p_micro,
+          CAST(floor(-(CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE))
+            * ln(CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE))
+            * 1000000 + 0.5) AS BIGINT) AS ent_term
+        FROM rt)
+      SELECT prev_type, next_type, n, row_total, p_micro,
+        CAST(sum(ent_term) OVER (PARTITION BY prev_type) AS BIGINT)
+          AS row_entropy_micro
+      FROM terms"""))
+
+  /** Kaplan–Meier survival estimate for time-to-first-purchase — the
+    * right-censoring-aware "how long until conversion" curve a naive
+    * mean-of-converted-users biases: users who never purchase inside the
+    * observation window are CENSORED at the corpus horizon, not dropped.
+    * Time arithmetic is wall-clock epoch-hour integers built from the
+    * q204-proven cast-to-date form (day·24 + hour — no epoch/zone
+    * conversion, immune to the ns/µs parquet vintage). Shape: one
+    * per-user aggregate (first event, first purchase) is the only
+    * corpus-sized shuffle; the horizon rides a 1-row broadcast (q206's
+    * anchor move); everything after operates on the duration GRID —
+    * bounded by the observation span in hours at any corpus size — where
+    * the at-risk counts are a reverse cumulative window and the survival
+    * curve a forward one (bounded-input global windows, q195's spine
+    * discipline). The curve itself is the cumulative sum of per-time
+    * micro-rounded −ln((n−d)/n) terms — exact BIGINT after one rounding
+    * per grid row, monotone, and exp-free (no cross-engine pow). A
+    * survival-zero row (d = n at the last death time) would be −ln 0:
+    * capped at 13,815,511 micro ≡ −ln 1e-6, documented, ANSI-safe
+    * (q158's floor(Inf) lesson). Output: one row per death time. */
+  private val q212 = Q(
+    "q212_survival_km",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        (datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long") * 24 + hour(col("ts")).cast("long")).as("h"))
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(col("h")).as("h0"),
+        min(when(col("event_type") === "purchase", col("h"))).as("hp"))
+      val horizon = ev.agg(max(col("h")).as("hmax"))
+      val obs = perUser.join(broadcast(horizon))
+        .select(
+          when(col("hp").isNotNull, col("hp") - col("h0"))
+            .otherwise(col("hmax") - col("h0")).as("t"),
+          col("hp").isNotNull.as("death"))
+      val byT = obs.groupBy(col("t")).agg(
+        sum(when(col("death"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("death"), 1L).otherwise(0L)).as("c"))
+      val wRev = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFwd = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT
+        .withColumn("n_risk", sum(col("d") + col("c")).over(wRev))
+        .withColumn("term",
+          when(col("d") === 0L, lit(0L))
+            .when(col("d") === col("n_risk"), lit(13815511L))
+            .otherwise(floor(-log(
+              (col("n_risk") - col("d")).cast("double")
+                / col("n_risk").cast("double")) * 1000000 + 0.5)
+              .cast("long")))
+        .withColumn("neg_log_surv_micro", sum(col("term")).over(wFwd))
+        .filter(col("d") > 0L)
+        .select(col("t"), col("d"), col("c"), col("n_risk"),
+          col("neg_log_surv_micro"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) * 24
+            + CAST(hour(ts) AS BIGINT) AS h
+        FROM events),
+      per_user AS (
+        SELECT user_id, min(h) AS h0,
+          min(CASE WHEN event_type = 'purchase' THEN h END) AS hp
+        FROM ev GROUP BY 1),
+      horizon AS (SELECT max(h) AS hmax FROM ev),
+      obs AS (
+        SELECT
+          CASE WHEN hp IS NOT NULL THEN hp - h0 ELSE hmax - h0 END AS t,
+          hp IS NOT NULL AS death
+        FROM per_user CROSS JOIN horizon),
+      by_t AS (
+        SELECT t,
+          CAST(sum(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS d,
+          CAST(sum(CASE WHEN death THEN 0 ELSE 1 END) AS BIGINT) AS c
+        FROM obs GROUP BY 1),
+      risk AS (
+        SELECT t, d, c,
+          CAST(sum(d + c) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_risk
+        FROM by_t),
+      terms AS (
+        SELECT t, d, c, n_risk,
+          CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+            WHEN d = n_risk THEN CAST(13815511 AS BIGINT)
+            ELSE CAST(floor(-ln(CAST(n_risk - d AS DOUBLE)
+              / CAST(n_risk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+          END AS term
+        FROM risk),
+      curve AS (
+        -- the cumulative sum must run over ALL grid rows (censor-only
+        -- rows contribute term=0 but still order the frame) BEFORE the
+        -- death-time filter — WHERE in the same SELECT would filter first
+        SELECT t, d, c, n_risk,
+          CAST(sum(term) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS neg_log_surv_micro
+        FROM terms)
+      SELECT t, d, c, n_risk, neg_log_surv_micro
+      FROM curve WHERE d > 0"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q67, q68, q69, q70, q71, q72, q73, q74,
     q75, q76, q77, q78, q79, q81, q82, q80,
     q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q183, q193, q201, q204, q205, q206, q207, q208)
+    q99, q183, q193, q201, q204, q205, q206, q207, q208,
+    q211, q212)
 }

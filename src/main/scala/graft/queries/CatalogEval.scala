@@ -1051,8 +1051,77 @@ private[queries] object CatalogEval {
       FROM conf"""))
   }
 
+  /** Horvitz–Thompson estimation audit under UNEQUAL-probability
+    * sampling — the estimator that makes q47-style hash sampling usable
+    * when strata are sampled at DIFFERENT rates (cheap sources throttled
+    * to 1/10, rare ones kept at 1/2): each sampled row is up-weighted by
+    * its inverse inclusion probability, and the audit measures the
+    * estimate against the true total the full scan knows. Everything is
+    * exact integer arithmetic by construction: inclusion is the md5-60-bit
+    * value mod the per-source denominator (never a double compare), the
+    * propensity denominators {2,4,5,10} are literals keyed on a source
+    * hash, and the HT estimate Σ n_chars·den over the sample is an exact
+    * BIGINT — the ONLY double is the final guarded micro relative-error
+    * division. One scan, one hash aggregate to |sources| rows, no join,
+    * no window; the estimator adds zero shuffles to the plain total. */
+  private val q213 = Q(
+    "q213_ht_estimator",
+    (s, d) => {
+      def h(key: Column, salt: String): Column =
+        conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15),
+          16, 10).cast("long")
+      val m = h(col("source"), "graft-ht-src") % 4
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("den",
+          when(m === 0L, 2L).when(m === 1L, 4L).when(m === 2L, 5L)
+            .otherwise(10L))
+        .withColumn("picked",
+          h(col("doc_id"), "graft-ht-doc") % col("den") === 0L)
+      docs.groupBy(col("source"), col("den"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("true_chars"),
+          sum(when(col("picked"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("picked"), col("n_chars").cast("long") * col("den"))
+            .otherwise(0L)).as("ht_chars"))
+        .select(col("source"), col("den"), col("n_docs"), col("true_chars"),
+          col("n_sampled"), col("ht_chars"),
+          when(col("true_chars") === 0L, lit(0L)).otherwise(
+            floor(abs(col("ht_chars") - col("true_chars")).cast("double")
+              / col("true_chars").cast("double") * 1000000 + 0.5)
+              .cast("long")).as("rel_err_micro"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source, n_chars,
+          CASE ('0x' || substr(md5(source || 'graft-ht-src'), 1, 15))::BIGINT
+              % 4
+            WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 5 ELSE 10 END AS den
+        FROM documents),
+      flagged AS (
+        SELECT source, den, n_chars,
+          ('0x' || substr(md5(doc_id::VARCHAR || 'graft-ht-doc'), 1, 15))
+            ::BIGINT % den = 0 AS picked
+        FROM docs),
+      agg AS (
+        SELECT source, CAST(den AS BIGINT) AS den,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS true_chars,
+          CAST(sum(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_sampled,
+          CAST(sum(CASE WHEN picked THEN n_chars * den ELSE 0 END)
+            AS BIGINT) AS ht_chars
+        FROM flagged GROUP BY 1, 2)
+      SELECT source, den, n_docs, true_chars, n_sampled, ht_chars,
+        CASE WHEN true_chars = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(abs(ht_chars - true_chars) AS DOUBLE)
+            / CAST(true_chars AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          END AS rel_err_micro
+      FROM agg"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q164b, q165, q166, q167, q168,
-    q169, q170, q171, q184, q188, q209)
+    q169, q170, q171, q184, q188, q209, q213)
 }

@@ -655,6 +655,159 @@ private[queries] object CatalogNorthStar {
       WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
             / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5"""))
 
+  /** Fellegi–Sunter record linkage with planted ground truth — the
+    * entity-resolution operator (match records that DESCRIBE the same
+    * entity despite corrupted fields) the dedup family's equal/similar
+    * TEXT operators don't cover. The q179 metrology move: a ~20%
+    * md5-chosen cohort of customers is deterministically corrupted
+    * in-query (one digit DELETED from the 9-digit name suffix at an
+    * md5-chosen position, balance perturbed ±99 cents, 10% of the cohort
+    * gets a junk segment), so precision/recall are measurable in-engine
+    * against known truth. Blocking is the scale move: instead of
+    * within-block all-pairs (quadratic in the block) each CLEAN record
+    * posts its 9 one-digit-deletion variants and candidates are an
+    * equi-join on (nation, variant) — O(9n) posted keys, hash-partitioned,
+    * no block ever quadratic, the deletion-neighborhood trick from
+    * spelling correction applied to blocking. Candidate pairs then score
+    * by frozen Fellegi–Sunter centi-log-odds literals (agree/disagree
+    * weights ~ log2(m/u): balance-within-±99¢ +300/−150, segment equal
+    * +100/−250 — the name agreement is implied by the blocking join), 1:1
+    * resolution keeps the best score per dirty record (custkey tiebreak),
+    * and `matched` thresholds at score ≥ 0. All-integer output: the
+    * confusion counts are exact BIGINTs and the two ratios are guarded
+    * micro divisions. The candidate-count passenger rides the SAME
+    * true_key window partition as the resolution row_number, so both use
+    * one exchange. */
+  private val q210 = Q(
+    "q210_record_linkage",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def h(key: Column, salt: String): Column =
+        conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15),
+          16, 10).cast("long")
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"),
+        substring(col("c_name"), 10, 9).as("sfx"))
+      val dirty = cust
+        .filter(h(col("c_custkey"), "graft-rl-pick") % 5 === 0)
+        .withColumn("pos",
+          (h(col("c_custkey"), "graft-rl-pos") % 9 + 1).cast("int"))
+        .select(
+          col("c_custkey").as("true_key"),
+          col("c_nationkey").as("d_nation"),
+          concat(expr("substring(sfx, 1, pos - 1)"),
+            expr("substring(sfx, pos + 1, 9 - pos)")).as("d_sfx"),
+          (col("cents") + h(col("c_custkey"), "graft-rl-bal") % 199 - 99)
+            .as("d_cents"),
+          when(h(col("c_custkey"), "graft-rl-seg") % 10 === 0, lit("UNKNOWN"))
+            .otherwise(col("c_mktsegment")).as("d_seg"))
+      // repeated adjacent digits make different deletion positions collide
+      // on the same variant string — array_distinct dedups them MAP-SIDE
+      // before the explode ((custkey, variant) is then unique globally for
+      // free, custkeys being distinct), where a row-level distinct() would
+      // be a full 9n-row shuffle
+      val variants = cust.select(
+          col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("cents"),
+          explode(expr("array_distinct(transform(sequence(1, 9), " +
+            "p -> concat(substring(sfx, 1, p - 1), " +
+            "substring(sfx, p + 1, 9 - p))))")).as("variant"))
+      val scored = variants.join(dirty,
+          variants("c_nationkey") === dirty("d_nation") &&
+            variants("variant") === dirty("d_sfx"))
+        .withColumn("score",
+          when(abs(col("cents") - col("d_cents")) <= 99, 300L)
+            .otherwise(-150L) +
+          when(col("c_mktsegment") === col("d_seg"), 100L).otherwise(-250L))
+      val w = Window.partitionBy(col("true_key"))
+        .orderBy(col("score").desc, col("c_custkey").asc)
+      val best = scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_cand",
+          count(lit(1)).over(Window.partitionBy(col("true_key"))))
+        .filter(col("rn") === 1)
+        .withColumn("matched", col("score") >= 0L)
+      best.agg(
+          count(lit(1)).as("n_dirty"),
+          sum(col("n_cand")).as("n_candidates"),
+          sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("matched") && col("c_custkey") === col("true_key"),
+            1L).otherwise(0L)).as("tp"),
+          sum(when(col("matched") && col("c_custkey") =!= col("true_key"),
+            1L).otherwise(0L)).as("fp"))
+        .select(col("n_dirty"), col("n_candidates"), col("n_matched"),
+          col("tp"), col("fp"),
+          (col("n_dirty") - col("tp")).as("fn"),
+          when(col("n_matched") === 0L, lit(0L)).otherwise(
+            floor(col("tp").cast("double") / col("n_matched").cast("double")
+              * 1000000 + 0.5).cast("long")).as("precision_micro"),
+          when(col("n_dirty") === 0L, lit(0L)).otherwise(
+            floor(col("tp").cast("double") / col("n_dirty").cast("double")
+              * 1000000 + 0.5).cast("long")).as("recall_micro"))
+    },
+    Some("""
+      WITH cust AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+          substr(c_name, 10, 9) AS sfx
+        FROM customer),
+      dirty AS (
+        SELECT c_custkey AS true_key, c_nationkey AS d_nation,
+          substr(sfx, 1, pos - 1) || substr(sfx, pos + 1, 9 - pos) AS d_sfx,
+          cents + (('0x' || substr(md5(c_custkey::VARCHAR || 'graft-rl-bal'),
+            1, 15))::BIGINT % 199) - 99 AS d_cents,
+          CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR || 'graft-rl-seg'),
+              1, 15))::BIGINT % 10 = 0
+            THEN 'UNKNOWN' ELSE c_mktsegment END AS d_seg
+        FROM (
+          SELECT *, CAST(('0x' || substr(md5(c_custkey::VARCHAR
+              || 'graft-rl-pos'), 1, 15))::BIGINT % 9 + 1 AS INTEGER) AS pos
+          FROM cust
+          WHERE ('0x' || substr(md5(c_custkey::VARCHAR || 'graft-rl-pick'),
+            1, 15))::BIGINT % 5 = 0) t),
+      vars AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment, cents,
+          unnest(list_distinct(list_transform(generate_series(1, 9),
+            p -> substr(sfx, 1, p - 1) || substr(sfx, p + 1, 9 - p))))
+            AS variant
+        FROM cust),
+      scored AS (
+        SELECT d.true_key, v.c_custkey,
+          (CASE WHEN abs(v.cents - d.d_cents) <= 99 THEN 300 ELSE -150 END
+           + CASE WHEN v.c_mktsegment = d.d_seg THEN 100 ELSE -250 END)
+            AS score
+        FROM dirty d
+        JOIN vars v
+          ON v.c_nationkey = d.d_nation AND v.variant = d.d_sfx),
+      best AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY true_key
+            ORDER BY score DESC, c_custkey ASC) AS rn,
+          count(*) OVER (PARTITION BY true_key) AS n_cand
+        FROM scored),
+      r AS (
+        SELECT *, score >= 0 AS matched FROM best WHERE rn = 1),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_dirty,
+          CAST(sum(n_cand) AS BIGINT) AS n_candidates,
+          CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_matched,
+          CAST(sum(CASE WHEN matched AND c_custkey = true_key
+            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN matched AND c_custkey <> true_key
+            THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        FROM r)
+      SELECT n_dirty, n_candidates, n_matched, tp, fp,
+        n_dirty - tp AS fn,
+        CASE WHEN n_matched = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(tp AS DOUBLE) / CAST(n_matched AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) END AS precision_micro,
+        CASE WHEN n_dirty = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(tp AS DOUBLE) / CAST(n_dirty AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) END AS recall_micro
+      FROM agg"""))
+
   // ------------------------------------------- reference pipelines (gold)
   // q37-q40 run the ACTUAL reference dataflows (Rates/Trends/Flights
   // .gold) end-to-end over the bundled bronze fixtures
@@ -670,5 +823,5 @@ private[queries] object CatalogNorthStar {
   private[queries] val all: Seq[Q] = Seq(
     q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q31b, q32, q33,
-    q34, q35, q36, q200)
+    q34, q35, q36, q200, q210)
 }

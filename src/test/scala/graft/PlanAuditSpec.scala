@@ -38,7 +38,11 @@ class PlanAuditSpec extends SparkSpec {
       "q192_length_gini" -> 1,
       // q193: per-language offset window over the ≤|languages|-row
       // count aggregate (q89b's shape)
-      "q193_perplexity_buckets" -> 1)
+      "q193_perplexity_buckets" -> 1,
+      // q212: the reverse (at-risk) and forward (survival-curve)
+      // cumulative sums run over the duration GRID — bounded by the
+      // observation span in hours at any corpus size (q195's spine shape)
+      "q212_survival_km" -> 2)
 
     // BNLJ allowlist: BroadcastNestedLoopJoinExec is legitimate exactly
     // when the broadcast side is BOUNDED (a handful of query rows, a
@@ -94,6 +98,9 @@ class PlanAuditSpec extends SparkSpec {
       "q205_benford_audit" -> 1,
       // q206: the 1-row anchor-date broadcast against per-customer rows
       "q206_rfm_segments" -> 1,
+      // q212: the 1-row censoring-horizon broadcast against per-user rows
+      // (q206's anchor move)
+      "q212_survival_km" -> 1,
       "q23_cosine_topk" -> 1,
       "q38_trends_gold" -> 1, "q44_theta_cohorts" -> 1,
       "q51_range_join" -> 1, "q57_tfidf" -> 1,

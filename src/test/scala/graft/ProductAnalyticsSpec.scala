@@ -79,6 +79,41 @@ class ProductAnalyticsSpec extends SparkSpec {
     assert(nView >= nClick && nClick >= nPurchase)
   }
 
+  test("q211: transition matrix equals the imperative per-user sequence walk") {
+    import spark.implicits._
+    val seqs = graft.sources.Tables.events(spark, sf())
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1)
+
+    val counts = collection.mutable.Map.empty[(String, String), Long]
+    seqs.foreach { case (_, rows) =>
+      rows.sortBy(_._2).map(_._3).toSeq.sliding(2).foreach {
+        case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+        case _ =>
+      }
+    }
+    val rowTotals = counts.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val entTerms = counts.map { case ((p, n), c) =>
+      val pr = c.toDouble / rowTotals(p)
+      (p, n) -> math.floor(-pr * math.log(pr) * 1000000 + 0.5).toLong
+    }
+    val entropy = entTerms.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+
+    val got = graft.queries.QueryCatalog.queries("q211_markov_transitions")(spark, sf())
+      .collect()
+    assert(got.length == counts.size && got.nonEmpty)
+    got.foreach { r =>
+      val k = (r.getAs[String]("prev_type"), r.getAs[String]("next_type"))
+      assert(r.getAs[Long]("n") == counts(k), s"count at $k")
+      assert(r.getAs[Long]("row_total") == rowTotals(k._1), s"row total at $k")
+      assert(r.getAs[Long]("p_micro") ==
+        math.floor(counts(k).toDouble / rowTotals(k._1) * 1000000 + 0.5).toLong,
+        s"p at $k")
+      assert(r.getAs[Long]("row_entropy_micro") == entropy(k._1), s"entropy at $k")
+    }
+  }
+
   test("q209: aggregate kappa equals the direct formula over collected decisions") {
     val row = graft.queries.QueryCatalog.queries("q209_rater_agreement")(spark, sf())
       .collect().head
