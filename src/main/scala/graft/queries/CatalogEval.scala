@@ -1120,8 +1120,231 @@ private[queries] object CatalogEval {
           END AS rel_err_micro
       FROM agg"""))
 
+  /** Neyman-optimal stratified allocation — the design step q213's
+    * Horvitz–Thompson estimator audits after the fact: given a fixed
+    * sampling budget, the variance-minimizing share for each stratum is
+    * n_h·S_h / Σ n_h·S_h (allocate by SIZE × SPREAD, not size alone), so
+    * a small high-variance source gets oversampled and a huge uniform
+    * one throttled. One hash aggregate carries the exact sufficient
+    * statistics (n, Σx, Σx² as BIGINTs — n_chars is an INT so the squares
+    * stay exact at fixture scales; at true corpus scale Σx² graduates to
+    * a double sum, same closed form); the stratum SD is then a
+    * literal-identical double expression over those exact inputs (both
+    * engines divide, subtract, sqrt the same IEEE values in the same
+    * order — no float ever aggregates), micro-rounded ONCE into ns_micro
+    * so the allocation shares are divisions of exact BIGINTs. Totals ride
+    * one global window over the ≤|sources|-row aggregate (the q74 rule);
+    * zero-total guards keep ANSI safe. Output: per-source SD, the
+    * proportional-vs-Neyman shares, and both allocations of a B=10,000
+    * budget — the table a curation run reads to set per-source sampling
+    * rates before q213 measures what they achieved. */
+  private val q214 = Q(
+    "q214_neyman_allocation",
+    (s, d) => {
+      val agg = Tables.documents(s, d).groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars").cast("long")).as("sx"),
+        sum(col("n_chars").cast("long") * col("n_chars").cast("long"))
+          .as("sx2"))
+      val m = col("sx").cast("double") / col("n").cast("double")
+      val v = col("sx2").cast("double") / col("n").cast("double") - m * m
+      val wAll = Window.orderBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      agg
+        .withColumn("sd", sqrt(greatest(v, lit(0.0))))
+        .withColumn("ns_micro",
+          floor(col("n").cast("double") * col("sd") * 1000000 + 0.5)
+            .cast("long"))
+        .withColumn("tot_ns", sum(col("ns_micro")).over(wAll))
+        .withColumn("tot_n", sum(col("n")).over(wAll))
+        .select(col("source"), col("n").as("n_docs"),
+          floor(col("sd") * 1000000 + 0.5).cast("long").as("sd_micro"),
+          when(col("tot_n") === 0L, lit(0L)).otherwise(
+            floor(col("n").cast("double") / col("tot_n").cast("double")
+              * 1000000 + 0.5).cast("long")).as("share_prop_micro"),
+          when(col("tot_ns") === 0L, lit(0L)).otherwise(
+            floor(col("ns_micro").cast("double")
+              / col("tot_ns").cast("double") * 1000000 + 0.5).cast("long"))
+            .as("share_neyman_micro"),
+          when(col("tot_n") === 0L, lit(0L)).otherwise(
+            floor(col("n").cast("double") / col("tot_n").cast("double")
+              * 10000 + 0.5).cast("long")).as("n_prop"),
+          when(col("tot_ns") === 0L, lit(0L)).otherwise(
+            floor(col("ns_micro").cast("double")
+              / col("tot_ns").cast("double") * 10000 + 0.5).cast("long"))
+            .as("n_neyman"))
+    },
+    Some("""
+      WITH agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+          CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS sx2
+        FROM documents GROUP BY 1),
+      st AS (
+        SELECT source, n,
+          sqrt(greatest(
+            CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS sd
+        FROM agg),
+      ns AS (
+        SELECT source, n, sd,
+          CAST(floor(CAST(n AS DOUBLE) * sd * 1000000 + 0.5) AS BIGINT)
+            AS ns_micro
+        FROM st),
+      tot AS (
+        SELECT source, n, sd, ns_micro,
+          CAST(sum(ns_micro) OVER () AS BIGINT) AS tot_ns,
+          CAST(sum(n) OVER () AS BIGINT) AS tot_n
+        FROM ns)
+      SELECT source, n AS n_docs,
+        CAST(floor(sd * 1000000 + 0.5) AS BIGINT) AS sd_micro,
+        CASE WHEN tot_n = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(n AS DOUBLE) / CAST(tot_n AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) END AS share_prop_micro,
+        CASE WHEN tot_ns = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(ns_micro AS DOUBLE) / CAST(tot_ns AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) END AS share_neyman_micro,
+        CASE WHEN tot_n = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(n AS DOUBLE) / CAST(tot_n AS DOUBLE)
+            * 10000 + 0.5) AS BIGINT) END AS n_prop,
+        CASE WHEN tot_ns = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(ns_micro AS DOUBLE) / CAST(tot_ns AS DOUBLE)
+            * 10000 + 0.5) AS BIGINT) END AS n_neyman
+      FROM tot"""))
+
+  /** Split-conformal selective-classification threshold for the frozen
+    * q177/q188 head — the distribution-free way to pick the keep
+    * threshold a curation run needs: calibrate on half the labeled pool,
+    * and the resulting prediction sets cover the true label with ≥90%
+    * probability on exchangeable data, NO model-calibration assumption
+    * (q188 measures how miscalibrated the head is; this works anyway).
+    * Nonconformity is 1−p̂(true label), micro-rounded ONCE so everything
+    * downstream is exact integers. The scale move is the quantile: the
+    * ⌈(n+1)(1−α)⌉-th order statistic is read from a COUNTING-SORT
+    * histogram — nonconformity lives on the bounded [0, 1e6] micro grid,
+    * so a groupBy on the value plus one cumulative window over the
+    * ≤1e6-row (domain-bounded, corpus-independent) histogram replaces
+    * any global sort of n calibration scores. k uses exact integer
+    * ceiling division ((9(n+1)+9) div 10); an undersized calibration set
+    * (k > n) degrades to the full-set threshold via coalesce. The test
+    * half then audits: marginal coverage and average prediction-set
+    * size, both micro divisions of exact counts, 1-row output. */
+  private val q216 = {
+    val w = Array.tabulate(64) { j =>
+      (scala.util.hashing.MurmurHash3.productHash((j, "graft-linear")) % 1000) / 1000.0
+    }
+    val bias = -0.1
+    Q(
+      "q216_conformal_threshold",
+      (s, d) => {
+        graft.plans.GraftExtensions.install(s)
+        val z = graft.functions.VectorDot.vec_dot(
+          transform(col("embedding"), x => x.cast("double")),
+          array(w.map(lit).toIndexedSeq: _*)) + lit(bias)
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val scored = Tables.embeddings(s, d)
+          .select((col("label") % 2).cast("long").as("y"),
+            floor(p * 1000000 + 0.5).cast("long").as("p_micro"),
+            (conv(substring(md5(concat(col("vec_id").cast("string"),
+              lit("graft-conf-split"))), 1, 15), 16, 10).cast("long")
+              % 2 === 0L).as("calib"))
+          .withColumn("a_micro",
+            when(col("y") === 1L, lit(1000000L) - col("p_micro"))
+              .otherwise(col("p_micro")))
+        val calib = scored.filter(col("calib"))
+        val kdf = calib.agg(count(lit(1)).as("n_cal"))
+          .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+        val hist = calib.groupBy(col("a_micro")).agg(count(lit(1)).as("cnt"))
+        val wCum = Window.orderBy(col("a_micro"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val thr = hist
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .join(broadcast(kdf))
+          .agg(max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+            coalesce(min(when(col("cum") >= col("k"), col("a_micro"))),
+              lit(1000000L)).as("q_hat_micro"))
+        scored.filter(!col("calib"))
+          .join(broadcast(thr))
+          .agg(
+            max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+            max(col("q_hat_micro")).as("q_hat_micro"),
+            count(lit(1)).as("n_test"),
+            sum(when(col("a_micro") <= col("q_hat_micro"), 1L).otherwise(0L))
+              .as("n_covered"),
+            sum(when(lit(1000000L) - col("p_micro") <= col("q_hat_micro"),
+              1L).otherwise(0L)
+              + when(col("p_micro") <= col("q_hat_micro"), 1L).otherwise(0L))
+              .as("set_cells"))
+          .select(col("n_cal"), col("k"), col("q_hat_micro"), col("n_test"),
+            col("n_covered"),
+            when(col("n_test") === 0L, lit(0L)).otherwise(
+              floor(col("n_covered").cast("double")
+                / col("n_test").cast("double") * 1000000 + 0.5).cast("long"))
+              .as("coverage_micro"),
+            when(col("n_test") === 0L, lit(0L)).otherwise(
+              floor(col("set_cells").cast("double")
+                / col("n_test").cast("double") * 1000000 + 0.5).cast("long"))
+              .as("avg_set_micro"))
+      },
+      Some(s"""
+      WITH s AS (
+        SELECT CAST(label % 2 AS BIGINT) AS y,
+          CAST(floor((1.0 / (1.0 + exp(-(list_dot_product(embedding::DOUBLE[],
+            ${w.map(_.toString).mkString("[", ", ", "]")}) + $bias))))
+            * 1000000 + 0.5) AS BIGINT) AS p_micro,
+          ('0x' || substr(md5(vec_id::VARCHAR || 'graft-conf-split'), 1, 15))
+            ::BIGINT % 2 = 0 AS calib
+        FROM embeddings),
+      s2 AS (
+        SELECT *, CASE WHEN y = 1 THEN 1000000 - p_micro ELSE p_micro END
+          AS a_micro
+        FROM s),
+      kdf AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cal,
+          CAST((9 * (count(*) + 1) + 9) // 10 AS BIGINT) AS k
+        FROM s2 WHERE calib),
+      hist AS (
+        SELECT a_micro, CAST(count(*) AS BIGINT) AS cnt
+        FROM s2 WHERE calib GROUP BY 1),
+      cum AS (
+        SELECT a_micro,
+          CAST(sum(cnt) OVER (ORDER BY a_micro
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum
+        FROM hist),
+      thr AS (
+        SELECT CAST(max(n_cal) AS BIGINT) AS n_cal,
+          CAST(max(k) AS BIGINT) AS k,
+          CAST(coalesce(min(CASE WHEN cum >= k THEN a_micro END), 1000000)
+            AS BIGINT) AS q_hat_micro
+        FROM cum CROSS JOIN kdf),
+      t AS (
+        SELECT CAST(max(n_cal) AS BIGINT) AS n_cal,
+          CAST(max(k) AS BIGINT) AS k,
+          CAST(max(q_hat_micro) AS BIGINT) AS q_hat_micro,
+          CAST(count(*) AS BIGINT) AS n_test,
+          CAST(sum(CASE WHEN a_micro <= q_hat_micro THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+          CAST(sum(
+            (CASE WHEN 1000000 - p_micro <= q_hat_micro THEN 1 ELSE 0 END)
+            + (CASE WHEN p_micro <= q_hat_micro THEN 1 ELSE 0 END))
+            AS BIGINT) AS set_cells
+        FROM s2 CROSS JOIN thr WHERE NOT calib)
+      SELECT n_cal, k, q_hat_micro, n_test, n_covered,
+        CASE WHEN n_test = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(n_covered AS DOUBLE)
+            / CAST(n_test AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          END AS coverage_micro,
+        CASE WHEN n_test = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(set_cells AS DOUBLE)
+            / CAST(n_test AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          END AS avg_set_micro
+      FROM t"""))
+  }
+
   private[queries] val all: Seq[Q] = Seq(
     q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q164b, q165, q166, q167, q168,
-    q169, q170, q171, q184, q188, q209, q213)
+    q169, q170, q171, q184, q188, q209, q213, q214, q216)
 }

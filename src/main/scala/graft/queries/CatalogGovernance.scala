@@ -1565,8 +1565,74 @@ private[queries] object CatalogGovernance {
           * 1000000 + 0.5) AS BIGINT) <= 200000 AS t_close
       FROM terms"""))
 
+  /** Golden-record survivorship — the master-data consolidation step
+    * after q210's linkage: collapse every record describing one entity
+    * into a single profile where each FIELD independently picks its value
+    * from a different source row by its own rule (latest-wins, first-seen,
+    * most-frequent, max), which row-level keep-best (q121, W2) cannot
+    * express. Per user: first/last event_type by min_by/max_by over the
+    * unique event_id order (deterministic LWW — no timestamp-vintage
+    * dependence), exact cent totals, and the MODE of event_type from a
+    * (user, type) count + per-user row_number with a lexical tiebreak —
+    * mode-at-scale without collecting a group. Shuffle story: the base
+    * aggregate, the mode's two stages and the final join are ALL keyed by
+    * user (the (user,type) aggregate partial-combines map-side first), so
+    * the corpus is never globally sorted or windowed, and output is
+    * Θ(users) — the operator stays hash-partitioned at any corpus size. */
+  private val q215 = Q(
+    "q215_golden_record",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val base = ev.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        sum(col("cents")).as("total_cents"),
+        max(col("cents")).as("max_cents"))
+      val cnt = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val wm = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+      val mode = cnt.withColumn("rn", row_number().over(wm))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"),
+          col("cnt").as("mode_n"))
+      base.join(mode, Seq("user_id"))
+        .select(col("user_id"), col("n_events"), col("first_type"),
+          col("last_type"), col("mode_type"), col("mode_n"),
+          col("total_cents"), col("max_cents"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      base AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          arg_min(event_type, event_id) AS first_type,
+          arg_max(event_type, event_id) AS last_type,
+          CAST(sum(cents) AS BIGINT) AS total_cents,
+          CAST(max(cents) AS BIGINT) AS max_cents
+        FROM ev GROUP BY 1),
+      cnt AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY 1, 2),
+      mode AS (
+        SELECT user_id, event_type AS mode_type, cnt AS mode_n
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY cnt DESC, event_type ASC) AS rn
+          FROM cnt) t
+        WHERE rn = 1)
+      SELECT b.user_id, n_events, first_type, last_type, mode_type, mode_n,
+        total_cents, max_cents
+      FROM base b JOIN mode m ON b.user_id = m.user_id"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q172, q173, q174, q175, q176, q177, q178, q179,
     q89b, q180, q181, q182, q185, q186, q190, q191, q194, q195, q196, q197,
-    q198, q199, q203)
+    q198, q199, q203, q215)
 }

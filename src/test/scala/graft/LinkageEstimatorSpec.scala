@@ -143,4 +143,116 @@ class LinkageEstimatorSpec extends SparkSpec {
     }
     assert(anySampled, "empty sample everywhere — the estimator pins nothing")
   }
+
+  test("q214: Neyman shares equal the textbook n_h*S_h allocation") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf())
+      .select(col("source"), col("n_chars").cast("long"))
+      .as[(String, Long)].collect()
+    val strata = docs.groupBy(_._1).map { case (src, ds) =>
+      val n = ds.length.toLong
+      val sx = ds.map(_._2).sum
+      val sx2 = ds.map(d => d._2 * d._2).sum
+      val m = sx.toDouble / n.toDouble
+      val v = sx2.toDouble / n.toDouble - m * m
+      val sd = math.sqrt(math.max(v, 0.0))
+      (src, n, sd, math.floor(n.toDouble * sd * 1000000 + 0.5).toLong)
+    }
+    val totNs = strata.map(_._4).sum
+    val totN = strata.map(_._2).sum
+    val rows = graft.queries.QueryCatalog.queries("q214_neyman_allocation")(spark, sf())
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.size == strata.size && strata.nonEmpty)
+    strata.foreach { case (src, n, sd, nsMicro) =>
+      val r = rows(src)
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("sd_micro") ==
+        math.floor(sd * 1000000 + 0.5).toLong, s"sd for $src")
+      assert(r.getAs[Long]("share_neyman_micro") ==
+        math.floor(nsMicro.toDouble / totNs * 1000000 + 0.5).toLong,
+        s"Neyman share for $src")
+      assert(r.getAs[Long]("n_neyman") ==
+        math.floor(nsMicro.toDouble / totNs * 10000 + 0.5).toLong)
+      assert(r.getAs[Long]("n_prop") ==
+        math.floor(n.toDouble / totN * 10000 + 0.5).toLong)
+    }
+    // the point of Neyman: at least one stratum's allocation must differ
+    // from proportional, or the fixture can't distinguish the two rules
+    assert(rows.values.exists(r =>
+      r.getAs[Long]("n_neyman") != r.getAs[Long]("n_prop")),
+      "Neyman == proportional everywhere on the fixture")
+  }
+
+  test("q215: golden record equals the imperative per-user field fold") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf())
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[(Long, Long, String, Long)].collect()
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      val byId = rows.sortBy(_._2)
+      val counts = rows.groupBy(_._3).map { case (t, rs) => (t, rs.length.toLong) }
+      val (modeType, modeN) = counts.toSeq.minBy { case (t, c) => (-c, t) }
+      u -> (rows.length.toLong, byId.head._3, byId.last._3,
+        modeType, modeN, rows.map(_._4).sum, rows.map(_._4).max)
+    }
+    val got = graft.queries.QueryCatalog.queries("q215_golden_record")(spark, sf())
+      .collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val (n, first, last, modeT, modeN, tot, mx) = expect(u)
+      assert(r.getAs[Long]("n_events") == n, s"n for $u")
+      assert(r.getAs[String]("first_type") == first, s"first for $u")
+      assert(r.getAs[String]("last_type") == last, s"last for $u")
+      assert(r.getAs[String]("mode_type") == modeT, s"mode for $u")
+      assert(r.getAs[Long]("mode_n") == modeN, s"mode count for $u")
+      assert(r.getAs[Long]("total_cents") == tot, s"total for $u")
+      assert(r.getAs[Long]("max_cents") == mx, s"max for $u")
+    }
+  }
+
+  test("q216: counting-sort conformal quantile equals the sorted order statistic") {
+    import spark.implicits._
+    val w = Array.tabulate(64) { j =>
+      (scala.util.hashing.MurmurHash3.productHash((j, "graft-linear")) % 1000) / 1000.0
+    }
+    val rows = graft.sources.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), (col("label") % 2).cast("long"),
+        transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Long, Seq[Double])].collect()
+    val scored = rows.map { case (id, y, emb) =>
+      // same left-to-right accumulation as VectorDot.dot
+      var z = -0.1
+      var i = 0
+      while (i < math.min(emb.length, 64)) { z += emb(i) * w(i); i += 1 }
+      val pMicro = math.floor(1.0 / (1.0 + math.exp(-z)) * 1000000 + 0.5).toLong
+      val aMicro = if (y == 1L) 1000000L - pMicro else pMicro
+      val calib = h60(id.toString, "graft-conf-split") % 2 == 0
+      (pMicro, aMicro, calib)
+    }
+    val calA = scored.filter(_._3).map(_._2).sorted
+    val nCal = calA.length.toLong
+    val k = (9 * (nCal + 1) + 9) / 10
+    val qHat = if (k > nCal) 1000000L else calA((k - 1).toInt)
+    val test = scored.filterNot(_._3)
+    val covered = test.count(_._2 <= qHat).toLong
+    val cells = test.map { case (p, _, _) =>
+      (if (1000000L - p <= qHat) 1L else 0L) + (if (p <= qHat) 1L else 0L)
+    }.sum
+
+    val r = graft.queries.QueryCatalog.queries("q216_conformal_threshold")(spark, sf())
+      .collect().head
+    assert(r.getAs[Long]("n_cal") == nCal && nCal > 0)
+    assert(r.getAs[Long]("k") == k)
+    assert(r.getAs[Long]("q_hat_micro") == qHat, "quantile mismatch")
+    assert(r.getAs[Long]("n_test") == test.length.toLong)
+    assert(r.getAs[Long]("n_covered") == covered)
+    assert(r.getAs[Long]("coverage_micro") ==
+      math.floor(covered.toDouble / test.length * 1000000 + 0.5).toLong)
+    assert(r.getAs[Long]("avg_set_micro") ==
+      math.floor(cells.toDouble / test.length * 1000000 + 0.5).toLong)
+    // the threshold must actually bind: some test rows outside the set
+    assert(covered < test.length, "q_hat covers everything — nothing pinned")
+  }
 }

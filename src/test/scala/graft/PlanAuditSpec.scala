@@ -42,7 +42,14 @@ class PlanAuditSpec extends SparkSpec {
       // q212: the reverse (at-risk) and forward (survival-curve)
       // cumulative sums run over the duration GRID — bounded by the
       // observation span in hours at any corpus size (q195's spine shape)
-      "q212_survival_km" -> 2)
+      "q212_survival_km" -> 2,
+      // q214: allocation totals over the ≤|sources|-row sufficient-
+      // statistics aggregate (q192's shape)
+      "q214_neyman_allocation" -> 1,
+      // q216: the counting-sort quantile's cumulative count runs over the
+      // micro-value histogram — bounded by the [0, 1e6] value DOMAIN, not
+      // the corpus
+      "q216_conformal_threshold" -> 1)
 
     // BNLJ allowlist: BroadcastNestedLoopJoinExec is legitimate exactly
     // when the broadcast side is BOUNDED (a handful of query rows, a
@@ -101,6 +108,9 @@ class PlanAuditSpec extends SparkSpec {
       // q212: the 1-row censoring-horizon broadcast against per-user rows
       // (q206's anchor move)
       "q212_survival_km" -> 1,
+      // q216: two 1-row broadcasts — k against the bounded histogram,
+      // then the threshold row against the test stream
+      "q216_conformal_threshold" -> 2,
       "q23_cosine_topk" -> 1,
       "q38_trends_gold" -> 1, "q44_theta_cohorts" -> 1,
       "q51_range_join" -> 1, "q57_tfidf" -> 1,
