@@ -1343,8 +1343,184 @@ private[queries] object CatalogEval {
       FROM t"""))
   }
 
+  /** Mann–Whitney U rank-sum test between two deterministic source
+    * cohorts' doc-length distributions — the nonparametric two-sample
+    * test the drift family (q149 KS, q150 PSI, q156 JSD) lacks: KS pins
+    * the worst vertical gap, U pins stochastic dominance with an exact
+    * null variance, no distributional assumption. The scale move is the
+    * same counting-sort trick as q216: ranks never materialize — the
+    * corpus collapses to ONE value-domain histogram (n_chars is bounded,
+    * so the table is domain-sized, corpus-independent), a cumulative
+    * window walks that bounded table, and 2·U_A = Σ_v a(v)·(2·cumB(<v) +
+    * b(v)) keeps the doubled statistic an exact BIGINT (the ½-per-tie
+    * term never becomes a float). The tie correction Σ(t³−t) is likewise
+    * exact per bucket (t ≤ docs-per-value; at 100 TB a single saturated
+    * bucket graduates t³ to double — documented, not hit at any fixture
+    * sf). Only the final z and rank-biserial r touch doubles — identical
+    * literal expressions over exact integers in both engines, guarded
+    * for empty cohorts and zero variance, micro-rounded once. */
+  private val q217 = Q(
+    "q217_mannwhitney_u",
+    (s, d) => {
+      val ga = conv(substring(md5(concat(col("source"), lit("graft-mwu"))),
+        1, 15), 16, 10).cast("long") % 2 === 0L
+      val hist = Tables.documents(s, d)
+        .select(col("n_chars").cast("long").as("v"), ga.as("ga"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("ga"), 1L).otherwise(0L)).as("b"))
+      val wc = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = col("a") + col("b")
+      val agg = hist
+        .withColumn("cumb", sum(col("b")).over(wc) - col("b"))
+        .agg(
+          sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+          sum(col("a") * (lit(2L) * col("cumb") + col("b"))).as("u2a"),
+          sum(t * t * t - t).as("ties3"))
+      val n1d = col("n1").cast("double")
+      val n2d = col("n2").cast("double")
+      val nd = (col("n1") + col("n2")).cast("double")
+      val sig2 = n1d * n2d / 12.0 *
+        ((nd + 1.0) - col("ties3").cast("double") / (nd * (nd - 1.0)))
+      agg.select(
+        col("n1"), col("n2"), col("u2a"), col("ties3"),
+        when(col("n1") === 0L || col("n2") === 0L ||
+            col("n1") + col("n2") < 2L || sig2 <= 0.0, lit(0L))
+          .otherwise(floor(
+            (col("u2a").cast("double") - n1d * n2d) / (lit(2.0) * sqrt(sig2))
+              * 1000000 + 0.5).cast("long")).as("z_micro"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(0L))
+          .otherwise(floor(
+            (col("u2a").cast("double") / (n1d * n2d) - 1.0) * 1000000 + 0.5)
+            .cast("long")).as("rb_micro"))
+    },
+    Some("""
+      WITH hist AS (
+        SELECT CAST(n_chars AS BIGINT) AS v,
+          CAST(sum(CASE WHEN ('0x' || substr(md5(source || 'graft-mwu'),
+            1, 15))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(sum(CASE WHEN ('0x' || substr(md5(source || 'graft-mwu'),
+            1, 15))::BIGINT % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS b
+        FROM documents GROUP BY 1),
+      cum AS (
+        SELECT v, a, b,
+          CAST(sum(b) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b
+            AS BIGINT) AS cumb
+        FROM hist),
+      agg AS (
+        SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2,
+          CAST(sum(a * (2 * cumb + b)) AS BIGINT) AS u2a,
+          CAST(sum((a + b) * (a + b) * (a + b) - (a + b)) AS BIGINT)
+            AS ties3
+        FROM cum)
+      SELECT n1, n2, u2a, ties3,
+        CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2
+            OR CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+              * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                - CAST(ties3 AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+                  * (CAST(n1 + n2 AS DOUBLE) - 1.0))) <= 0.0
+          THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(
+            (CAST(u2a AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+            / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+              * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                - CAST(ties3 AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+                  * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))
+            * 1000000 + 0.5) AS BIGINT) END AS z_micro,
+        CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(
+            (CAST(u2a AS DOUBLE)
+              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) - 1.0)
+            * 1000000 + 0.5) AS BIGINT) END AS rb_micro
+      FROM agg"""))
+
+  /** One-way ANOVA across sources on doc length — the omnibus
+    * complement to q217's two-cohort test and the variance decomposition
+    * behind q214's allocation: how much of corpus length variance is
+    * BETWEEN sources (eta² = SSB/SST) vs within them, with the F
+    * statistic on top. Everything reduces to the same exact sufficient
+    * statistics as q214 — one hash aggregate to (n_h, Σx, Σx²) per
+    * source — then the per-group term sx²/n (the only division) is
+    * computed in doubles from exact BIGINTs and micro-rounded PER GROUP,
+    * so the cross-group sums SSB/SSW assemble from exact integers (the
+    * q214 ns_micro discipline; at extreme corpus scale sx² graduates to
+    * a double product, same closed form). The grand term S²/N, F and
+    * eta² are literal-identical double expressions in a final
+    * ≤|sources|-row aggregate; guards cover k ≤ 1, N ≤ k and SSW = 0
+    * under ANSI. Zero corpus windows, zero sorts: two hash aggregates
+    * total, output one row. */
+  private val q218 = Q(
+    "q218_anova_f",
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sx2"))
+        .withColumn("t_micro",
+          floor(col("sx").cast("double") * col("sx").cast("double")
+            / col("n").cast("double") * 1000000 + 0.5).cast("long"))
+      val agg = g.agg(
+        count(lit(1)).as("k"), sum(col("n")).as("n"),
+        sum(col("sx")).as("s"), sum(col("sx2")).as("q"),
+        sum(col("t_micro")).as("t_micro_sum"))
+      val td = col("t_micro_sum").cast("double") / 1000000.0
+      val grand = col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double")
+      val ssb = td - grand
+      val ssw = col("q").cast("double") - td
+      val fStat = (ssb / (col("k") - 1L).cast("double")) /
+        (ssw / (col("n") - col("k")).cast("double"))
+      agg.select(
+        col("k"), col("n"),
+        floor(ssb * 100 + 0.5).cast("long").as("ssb_centi"),
+        floor(ssw * 100 + 0.5).cast("long").as("ssw_centi"),
+        when(col("k") <= 1L || col("n") <= col("k") || ssw <= 0.0, lit(0L))
+          .otherwise(floor(fStat * 1000000 + 0.5).cast("long"))
+          .as("f_micro"),
+        when(ssb + ssw <= 0.0, lit(0L))
+          .otherwise(floor(ssb / (ssb + ssw) * 1000000 + 0.5).cast("long"))
+          .as("eta2_micro"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+          CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS sx2
+        FROM documents GROUP BY 1),
+      gm AS (
+        SELECT *, CAST(floor(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+          / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS t_micro
+        FROM g),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+          CAST(sum(sx) AS BIGINT) AS s, CAST(sum(sx2) AS BIGINT) AS q,
+          CAST(sum(t_micro) AS BIGINT) AS t_micro_sum
+        FROM gm),
+      f AS (
+        SELECT k, n,
+          CAST(t_micro_sum AS DOUBLE) / 1000000.0
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+            AS ssb,
+          CAST(q AS DOUBLE) - CAST(t_micro_sum AS DOUBLE) / 1000000.0
+            AS ssw
+        FROM agg)
+      SELECT k, n,
+        CAST(floor(ssb * 100 + 0.5) AS BIGINT) AS ssb_centi,
+        CAST(floor(ssw * 100 + 0.5) AS BIGINT) AS ssw_centi,
+        CASE WHEN k <= 1 OR n <= k OR ssw <= 0.0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor((ssb / CAST(k - 1 AS DOUBLE))
+            / (ssw / CAST(n - k AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+          END AS f_micro,
+        CASE WHEN ssb + ssw <= 0.0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(ssb / (ssb + ssw) * 1000000 + 0.5) AS BIGINT)
+          END AS eta2_micro
+      FROM f"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q164b, q165, q166, q167, q168,
-    q169, q170, q171, q184, q188, q209, q213, q214, q216)
+    q169, q170, q171, q184, q188, q209, q213, q214, q216, q217, q218)
 }

@@ -1343,9 +1343,164 @@ private[queries] object CatalogQuality {
           * 1000000 + 0.5) / 1000000 AS gini
       FROM rk GROUP BY 1"""))
 
+  /** Top principal direction of the embedding Gram matrix by POWER
+    * ITERATION — the spectral diagnostic the drift family lacks: the
+    * dominant PC and its share of total variance (anisotropy) tell a
+    * curation run whether its embedding space has collapsed toward one
+    * direction (a known failure of contrastive encoders) before ANN
+    * recall quietly degrades. The scale shape is exactly q176's
+    * iterate-with-a-1-row-broadcast: each of the three unrolled
+    * iterations is ONE corpus aggregate (posexplode → 64-key groupBy,
+    * map-side combined) producing s = Σᵣ x·(x·v) — the matrix A = XᵀX is
+    * NEVER materialized (64² doubles would be fine, but n·64² work per
+    * iteration would not; this is n·64) — followed by a 64-long
+    * normalize on the driver-sized row. Cross-engine determinism: the
+    * per-row term x_j·(x·v) is micro-rounded BEFORE summing, so every
+    * corpus sum is exact BIGINT (no float-order anywhere); the dot x·v
+    * and the 64-element normalize are left-to-right folds proven
+    * bit-identical between `vec_dot` and DuckDB's list_dot_product
+    * (q216's pin). λ is the Rayleigh quotient v₂ᵀ(Av₂) read off the last
+    * iteration's integer vector; trace(A) = ΣΣ x_j² is one more exact
+    * micro aggregate; their ratio is the top-PC variance share. Three
+    * iterations is the FIXED-POINT CONTRACT, not a convergence claim —
+    * both engines compute the identical 3-step map; PcaPowerSpec pins
+    * the engine result against an imperative fold exactly, then proves
+    * the map converges within 2% of a 50-iteration reference ON A
+    * PLANTED-SPIKE corpus. Power iteration's error shrinks as
+    * (λ₂/λ₁)^{2k}: fast precisely in the anisotropic regime this
+    * diagnostic exists to detect; on a near-isotropic corpus (the raw
+    * fixture: λ₂/λ₁ ≈ 0.93) the reported λ is a lower bound and the
+    * share stays small — the alarm correctly does not fire. Output: the
+    * 64 components of the (normalized) iterate plus λ, trace, share —
+    * 64 rows, all exact integers. */
+  private val q219 = {
+    val v0Sql = Seq.fill(64)("0.125").mkString("[", ", ", "]")
+    Q(
+      "q219_top_pc_power",
+      (s, d) => {
+        graft.plans.GraftExtensions.install(s)
+        import graft.functions.VectorDot.vec_dot
+        val e = Tables.embeddings(s, d)
+          .select(transform(col("embedding"), x => x.cast("double")).as("x"))
+        def fold(arr: Column, f: (Column, Column) => Column): Column =
+          aggregate(arr, lit(0.0), f)
+        def normalized(sCol: Column): Column = {
+          val nrm = sqrt(fold(sCol,
+            (acc, y) => acc + y.cast("double") * y.cast("double")))
+          transform(sCol, y =>
+            when(nrm === 0.0, lit(0.0)).otherwise(y.cast("double") / nrm))
+        }
+        // one power step: s_j = Σ_rows round_micro(x_j · (x·v))
+        def step(vrow: DataFrame, vName: String): DataFrame =
+          e.join(broadcast(vrow))
+            .select(vec_dot(col("x"), col(vName)).as("dd"), col("x"))
+            .select(col("dd"), posexplode(col("x"))).toDF("dd", "p", "xj")
+            .groupBy(col("p"))
+            .agg(sum(floor(col("xj") * col("dd") * 1000000 + 0.5)
+              .cast("long")).as("sv"))
+            .agg(array_sort(collect_list(struct(col("p"), col("sv"))))
+              .as("ps"))
+            .select(transform(col("ps"), x => x.getField("sv")).as("sarr"))
+        val v0 = array_repeat(lit(0.125), 64)
+        val s1 = e
+          .select(vec_dot(col("x"), v0).as("dd"), col("x"))
+          .select(col("dd"), posexplode(col("x"))).toDF("dd", "p", "xj")
+          .groupBy(col("p"))
+          .agg(sum(floor(col("xj") * col("dd") * 1000000 + 0.5)
+            .cast("long")).as("sv"))
+          .agg(array_sort(collect_list(struct(col("p"), col("sv"))))
+            .as("ps"))
+          .select(transform(col("ps"), x => x.getField("sv")).as("sarr"))
+        val v1 = s1.select(normalized(col("sarr")).as("v1"))
+        val v2 = step(v1, "v1").select(normalized(col("sarr")).as("v2"))
+        val s3 = step(v2, "v2")
+        val lam = s3.join(broadcast(v2))
+          .select(
+            floor(vec_dot(col("v2"),
+              transform(col("sarr"), y => y.cast("double"))) + 0.5)
+              .cast("long").as("lambda_micro"),
+            normalized(col("sarr")).as("v3"))
+        val tr = e.select(posexplode(col("x"))).toDF("p", "xj")
+          .agg(sum(floor(col("xj") * col("xj") * 1000000 + 0.5)
+            .cast("long")).as("trace_micro"))
+        lam.join(broadcast(tr))
+          .select(posexplode(col("v3")).as(Seq("p", "vj")),
+            col("lambda_micro"), col("trace_micro"))
+          .select((col("p") + 1L).cast("long").as("pos"),
+            floor(col("vj") * 1000000 + 0.5).cast("long").as("pc_micro"),
+            col("lambda_micro"), col("trace_micro"),
+            when(col("trace_micro") === 0L, lit(0L)).otherwise(
+              floor(col("lambda_micro").cast("double")
+                / col("trace_micro").cast("double") * 1000000 + 0.5)
+                .cast("long")).as("share_micro"))
+      },
+      Some(s"""
+      WITH e AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+      s1 AS (
+        SELECT pos,
+          CAST(sum(CAST(floor(xj * dd * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS sv
+        FROM (SELECT unnest(x) AS xj, generate_subscripts(x, 1) AS pos, dd
+              FROM (SELECT x, list_dot_product(x, $v0Sql::DOUBLE[]) AS dd
+                    FROM e))
+        GROUP BY 1),
+      l1 AS (SELECT list(CAST(sv AS DOUBLE) ORDER BY pos) AS ls FROM s1),
+      v1 AS (
+        SELECT list_transform(ls, y ->
+          CASE WHEN sqrt(list_dot_product(ls, ls)) = 0.0 THEN 0.0
+            ELSE y / sqrt(list_dot_product(ls, ls)) END) AS v
+        FROM l1),
+      s2 AS (
+        SELECT pos,
+          CAST(sum(CAST(floor(xj * dd * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS sv
+        FROM (SELECT unnest(x) AS xj, generate_subscripts(x, 1) AS pos, dd
+              FROM (SELECT x, list_dot_product(x, v) AS dd
+                    FROM e CROSS JOIN v1))
+        GROUP BY 1),
+      l2 AS (SELECT list(CAST(sv AS DOUBLE) ORDER BY pos) AS ls FROM s2),
+      v2 AS (
+        SELECT list_transform(ls, y ->
+          CASE WHEN sqrt(list_dot_product(ls, ls)) = 0.0 THEN 0.0
+            ELSE y / sqrt(list_dot_product(ls, ls)) END) AS v
+        FROM l2),
+      s3 AS (
+        SELECT pos,
+          CAST(sum(CAST(floor(xj * dd * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS sv
+        FROM (SELECT unnest(x) AS xj, generate_subscripts(x, 1) AS pos, dd
+              FROM (SELECT x, list_dot_product(x, v) AS dd
+                    FROM e CROSS JOIN v2))
+        GROUP BY 1),
+      l3 AS (SELECT list(CAST(sv AS DOUBLE) ORDER BY pos) AS ls FROM s3),
+      lam AS (
+        SELECT CAST(floor(list_dot_product(v2.v, l3.ls) + 0.5) AS BIGINT)
+          AS lambda_micro
+        FROM v2 CROSS JOIN l3),
+      v3 AS (
+        SELECT list_transform(ls, y ->
+          CASE WHEN sqrt(list_dot_product(ls, ls)) = 0.0 THEN 0.0
+            ELSE y / sqrt(list_dot_product(ls, ls)) END) AS v
+        FROM l3),
+      tr AS (
+        SELECT CAST(sum(CAST(floor(xj * xj * 1000000 + 0.5) AS BIGINT))
+          AS BIGINT) AS trace_micro
+        FROM (SELECT unnest(x) AS xj FROM e))
+      SELECT CAST(pos AS BIGINT) AS pos,
+        CAST(floor(vj * 1000000 + 0.5) AS BIGINT) AS pc_micro,
+        lambda_micro, trace_micro,
+        CASE WHEN trace_micro = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(lambda_micro AS DOUBLE)
+            / CAST(trace_micro AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          END AS share_micro
+      FROM (SELECT unnest(v) AS vj, generate_subscripts(v, 1) AS pos
+            FROM v3)
+      CROSS JOIN lam CROSS JOIN tr"""))
+  }
+
   private[queries] val all: Seq[Q] = Seq(
     q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q137b, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153, q187, q189, q192)
+    q152, q153, q187, q189, q192, q219)
 }

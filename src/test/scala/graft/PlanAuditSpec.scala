@@ -49,7 +49,11 @@ class PlanAuditSpec extends SparkSpec {
       // q216: the counting-sort quantile's cumulative count runs over the
       // micro-value histogram — bounded by the [0, 1e6] value DOMAIN, not
       // the corpus
-      "q216_conformal_threshold" -> 1)
+      "q216_conformal_threshold" -> 1,
+      // q217: the rank cumulative runs over the n_chars value-domain
+      // histogram (q216's counting-sort move) — domain-bounded, never
+      // corpus rows
+      "q217_mannwhitney_u" -> 1)
 
     // BNLJ allowlist: BroadcastNestedLoopJoinExec is legitimate exactly
     // when the broadcast side is BOUNDED (a handful of query rows, a
@@ -111,6 +115,10 @@ class PlanAuditSpec extends SparkSpec {
       // q216: two 1-row broadcasts — k against the bounded histogram,
       // then the threshold row against the test stream
       "q216_conformal_threshold" -> 2,
+      // q219: the power-iteration chain re-broadcasts each 1-row iterate
+      // (v1, v2 twice, then λ and trace rows) against the corpus or
+      // against another 1-row frame — q176's iterate shape
+      "q219_top_pc_power" -> 5,
       "q23_cosine_topk" -> 1,
       "q38_trends_gold" -> 1, "q44_theta_cohorts" -> 1,
       "q51_range_join" -> 1, "q57_tfidf" -> 1,
