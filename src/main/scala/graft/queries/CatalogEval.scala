@@ -1519,8 +1519,219 @@ private[queries] object CatalogEval {
           END AS eta2_micro
       FROM f"""))
 
+  /** 1-D Wasserstein (earth-mover) distance between the SAME two source
+    * cohorts q217 rank-tests — the drift metric that completes the
+    * family: KS (q149) reads the worst single CDF gap, JSD/PSI
+    * (q156/q150) bucket first and lose geometry, W₁ integrates |F_A −
+    * F_B| over the VALUE AXIS, so "how many characters of mass moved"
+    * comes out in the variable's own units. Same counting-sort shape as
+    * q217: one value-domain histogram, one cumulative + lead walk over
+    * the domain-bounded table, and the integrand is kept exact by
+    * cross-multiplying — |cumA·n₂ − cumB·n₁|·(vₙₑₓₜ − v) is BIGINT
+    * arithmetic (≤ corpus²·range, inside int64 at every fixture sf and
+    * documented to graduate at true corpus scale), summed exactly; the
+    * single division by n₁·n₂ happens once at the end, micro-rounded.
+    * Also emitted per-unit-of-range so drift is comparable across
+    * differently-scaled variables. */
+  private val q220 = Q(
+    "q220_wasserstein_drift",
+    (s, d) => {
+      val ga = conv(substring(md5(concat(col("source"), lit("graft-mwu"))),
+        1, 15), 16, 10).cast("long") % 2 === 0L
+      val hist = Tables.documents(s, d)
+        .select(col("n_chars").cast("long").as("v"), ga.as("ga"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("ga"), 1L).otherwise(0L)).as("b"))
+      val wCum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wLead = Window.orderBy(col("v"))
+      val agg = hist
+        .withColumn("cuma", sum(col("a")).over(wCum))
+        .withColumn("cumb", sum(col("b")).over(wCum))
+        .withColumn("n1", sum(col("a")).over(wAll))
+        .withColumn("n2", sum(col("b")).over(wAll))
+        .withColumn("gap",
+          coalesce(lead(col("v"), 1).over(wLead) - col("v"), lit(0L)))
+        .agg(
+          max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(abs(col("cuma") * col("n2") - col("cumb") * col("n1"))
+            * col("gap")).as("w1_num"),
+          (max(col("v")) - min(col("v"))).as("v_range"))
+      agg.select(
+        col("n1"), col("n2"), col("w1_num"), col("v_range"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(0L)).otherwise(
+          floor(col("w1_num").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double"))
+            * 1000000 + 0.5).cast("long")).as("w1_micro"),
+        when(col("n1") === 0L || col("n2") === 0L || col("v_range") === 0L,
+          lit(0L)).otherwise(
+          floor(col("w1_num").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double")
+              * col("v_range").cast("double"))
+            * 1000000 + 0.5).cast("long")).as("w1_rel_micro"))
+    },
+    Some("""
+      WITH hist AS (
+        SELECT CAST(n_chars AS BIGINT) AS v,
+          CAST(sum(CASE WHEN ('0x' || substr(md5(source || 'graft-mwu'),
+            1, 15))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(sum(CASE WHEN ('0x' || substr(md5(source || 'graft-mwu'),
+            1, 15))::BIGINT % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS b
+        FROM documents GROUP BY 1),
+      cum AS (
+        SELECT v, a, b,
+          CAST(sum(a) OVER wc AS BIGINT) AS cuma,
+          CAST(sum(b) OVER wc AS BIGINT) AS cumb,
+          CAST(sum(a) OVER wa AS BIGINT) AS n1,
+          CAST(sum(b) OVER wa AS BIGINT) AS n2,
+          CAST(coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS BIGINT) AS gap
+        FROM hist
+        WINDOW wc AS (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wa AS (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      agg AS (
+        SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+          CAST(sum(abs(cuma * n2 - cumb * n1) * gap) AS BIGINT) AS w1_num,
+          CAST(max(v) - min(v) AS BIGINT) AS v_range
+        FROM cum)
+      SELECT n1, n2, w1_num, v_range,
+        CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(w1_num AS DOUBLE)
+            / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+            * 1000000 + 0.5) AS BIGINT) END AS w1_micro,
+        CASE WHEN n1 = 0 OR n2 = 0 OR v_range = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST(w1_num AS DOUBLE)
+            / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              * CAST(v_range AS DOUBLE))
+            * 1000000 + 0.5) AS BIGINT) END AS w1_rel_micro
+      FROM agg"""))
+
+  /** Day-of-week seasonal decomposition of the event stream — the
+    * seasonality-aware layer between q86's trailing-z anomaly (blind to
+    * weekly rhythm: every Monday looks anomalous vs a weekend-heavy
+    * trailing window) and q204's CUSUM (mean shifts, not cycles). The
+    * corpus contributes exactly ONE shuffle (the per-day count); trend
+    * (centered 7-day mean), the day-of-week seasonal profile, residuals
+    * and the z flag all live on the DAY GRID — bounded by the
+    * observation span at any corpus size (q195's spine rule). Day-of-week
+    * is epoch-day mod 7 (q208's no-calendar-functions discipline — both
+    * engines' dayofweek() disagree on numbering). Seasonal means come
+    * from exact per-dow integer sums micro-rounded once; residual = cnt −
+    * seasonal stays exact micro-BIGINT; the z denominator exploits that
+    * the seasonal term is CONSTANT within a dow group, so var(resid) =
+    * 1e12·var(cnt) exactly and the SD builds from exact (n, Σcnt, Σcnt²)
+    * (never stddev_samp — q86's Welford-order lesson — and never a
+    * squared micro residual, which would overflow int64 at large sf).
+    * Trend is null until its 7-day window is full rather than silently
+    * shrinking. */
+  private val q222 = Q(
+    "q222_seasonal_decomposition",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("epoch_day",
+          datediff(col("day"), lit("1970-01-01")).cast("long"))
+        .withColumn("dow", col("epoch_day") % 7)
+      val wDow = Window.partitionBy(col("dow"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val g = daily
+        .withColumn("dn", count(lit(1)).over(wDow))
+        .withColumn("ds", sum(col("cnt")).over(wDow))
+        .withColumn("seasonal_micro",
+          floor(col("ds").cast("double") / col("dn").cast("double")
+            * 1000000 + 0.5).cast("long"))
+        .withColumn("resid_micro",
+          col("cnt") * 1000000L - col("seasonal_micro"))
+        .withColumn("tn", count(lit(1)).over(wTrend))
+        .withColumn("ts7", sum(col("cnt")).over(wTrend))
+        .withColumn("trend_micro",
+          when(col("tn") === 7L,
+            floor(col("ts7").cast("double") / 7.0 * 1000000 + 0.5)
+              .cast("long")))
+      // within a dow group the seasonal term is constant, so
+      // var(resid_micro) = 1e12 · var(cnt) EXACTLY — build the z
+      // denominator from exact (dn, Σcnt, Σcnt²) and never square a
+      // micro-scaled residual (resid² would overflow int64 at large sf)
+      val wDow2 = Window.partitionBy(col("dow"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val g2 = g
+        .withColumn("css", sum(col("cnt") * col("cnt")).over(wDow2))
+      val nD = col("dn").cast("double")
+      val variance = (col("css").cast("double")
+        - col("ds").cast("double") * col("ds").cast("double") / nD) /
+        (nD - 1.0)
+      val z = col("resid_micro").cast("double") /
+        (lit(1000000.0) * sqrt(variance))
+      g2.select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("cnt"), col("trend_micro"),
+        col("seasonal_micro"), col("resid_micro"),
+        when(col("dn") >= 3L && variance > 0.0,
+          floor(z * 1000000 + 0.5).cast("long")).as("z_micro"),
+        coalesce(col("dn") >= 3L && variance > 0.0 && abs(z) > 2.0,
+          lit(false)).as("is_anomaly"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1),
+      keyed AS (
+        SELECT day, cnt,
+          CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS dow
+        FROM daily),
+      g AS (
+        SELECT day, dow, cnt,
+          CAST(count(*) OVER wd AS BIGINT) AS dn,
+          CAST(sum(cnt) OVER wd AS BIGINT) AS ds,
+          CAST(count(*) OVER wt AS BIGINT) AS tn,
+          CAST(sum(cnt) OVER wt AS BIGINT) AS ts7
+        FROM keyed
+        WINDOW wd AS (PARTITION BY dow),
+          wt AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      se AS (
+        SELECT *,
+          CAST(floor(CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) AS seasonal_micro
+        FROM g),
+      re AS (
+        SELECT *, CAST(cnt * 1000000 - seasonal_micro AS BIGINT)
+          AS resid_micro
+        FROM se),
+      rv AS (
+        SELECT *,
+          CAST(sum(cnt * cnt) OVER wd AS BIGINT) AS css
+        FROM re
+        WINDOW wd AS (PARTITION BY dow))
+      SELECT strftime(day, '%Y-%m-%d') AS day, dow, cnt,
+        CASE WHEN tn = 7 THEN CAST(floor(CAST(ts7 AS DOUBLE) / 7.0
+          * 1000000 + 0.5) AS BIGINT) END AS trend_micro,
+        seasonal_micro, resid_micro,
+        CASE WHEN dn >= 3 AND (CAST(css AS DOUBLE)
+              - CAST(ds AS DOUBLE) * CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE))
+              / (CAST(dn AS DOUBLE) - 1.0) > 0.0
+          THEN CAST(floor(CAST(resid_micro AS DOUBLE)
+            / (1000000.0 * sqrt((CAST(css AS DOUBLE)
+              - CAST(ds AS DOUBLE) * CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE))
+              / (CAST(dn AS DOUBLE) - 1.0))) * 1000000 + 0.5) AS BIGINT)
+          END AS z_micro,
+        coalesce(dn >= 3 AND (CAST(css AS DOUBLE)
+              - CAST(ds AS DOUBLE) * CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE))
+              / (CAST(dn AS DOUBLE) - 1.0) > 0.0
+          AND abs(CAST(resid_micro AS DOUBLE)
+            / (1000000.0 * sqrt((CAST(css AS DOUBLE)
+              - CAST(ds AS DOUBLE) * CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE))
+              / (CAST(dn AS DOUBLE) - 1.0)))) > 2.0, false) AS is_anomaly
+      FROM rv"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q164b, q165, q166, q167, q168,
-    q169, q170, q171, q184, q188, q209, q213, q214, q216, q217, q218)
+    q169, q170, q171, q184, q188, q209, q213, q214, q216, q217, q218,
+    q220, q222)
 }

@@ -1631,8 +1631,86 @@ private[queries] object CatalogGovernance {
         total_cents, max_cents
       FROM base b JOIN mode m ON b.user_id = m.user_id"""))
 
+  /** Quantile normalization of per-source length distributions onto the
+    * global distribution — the microarray-classic harmonizer a curation
+    * run needs when per-source quality/length scores aren't comparable
+    * (one crawler truncates, another pads) but RANK within a source is
+    * trustworthy: every doc's value is replaced by the global quantile
+    * at its source-relative rank, so all sources end up with the same
+    * marginal distribution and downstream thresholds (q195's sweep)
+    * mean the same thing everywhere. All quantile logic lives on
+    * DOMAIN-BOUNDED histograms: a per-(source,value) aggregate with
+    * per-source cumulative windows, a global-value histogram with one
+    * domain-bounded cumulative window, and the inverse-CDF lookup
+    * mapped = min{u : F_G(u) ≥ F_S(v)} is a range join of two bounded
+    * tables — kept EXACT by cross-multiplying (cumg·nₛ ≥ cumₛ·N, pure
+    * BIGINT, no quantile floats anywhere). The corpus contributes one
+    * groupBy and one broadcast dictionary join-back; output is Θ(docs)
+    * by design (it is a rewrite operator, like q66). */
+  private val q221 = Q(
+    "q221_quantile_norm",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("v"))
+      val wS = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSt = Window.partitionBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val hs = docs.groupBy(col("source"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cums", sum(col("cnt")).over(wS))
+        .withColumn("ns", sum(col("cnt")).over(wSt))
+      val wG = Window.orderBy(col("u"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wGt = Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val hg = docs.groupBy(col("v").as("u"))
+        .agg(count(lit(1)).as("gcnt"))
+        .withColumn("cumg", sum(col("gcnt")).over(wG))
+        .withColumn("nn", sum(col("gcnt")).over(wGt))
+      val m = hs.join(broadcast(hg),
+          col("cumg") * col("ns") >= col("cums") * col("nn"))
+        .groupBy(col("source"), col("v"))
+        .agg(min(col("u")).as("mapped"))
+      docs.join(broadcast(m), Seq("source", "v"))
+        .select(col("doc_id"), col("source"), col("v").as("n_chars"),
+          col("mapped"), (col("mapped") - col("v")).as("shift"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+        FROM documents),
+      hs AS (
+        SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+        FROM docs GROUP BY 1, 2),
+      hsw AS (
+        SELECT source, v,
+          CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cums,
+          CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS ns
+        FROM hs),
+      hg AS (
+        SELECT v AS u, CAST(count(*) AS BIGINT) AS gcnt
+        FROM docs GROUP BY 1),
+      hgw AS (
+        SELECT u,
+          CAST(sum(gcnt) OVER (ORDER BY u
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cumg,
+          CAST(sum(gcnt) OVER () AS BIGINT) AS nn
+        FROM hg),
+      m AS (
+        SELECT s.source, s.v, CAST(min(g.u) AS BIGINT) AS mapped
+        FROM hsw s JOIN hgw g ON g.cumg * s.ns >= s.cums * g.nn
+        GROUP BY 1, 2)
+      SELECT d.doc_id, d.source, d.v AS n_chars, m.mapped,
+        CAST(m.mapped - d.v AS BIGINT) AS shift
+      FROM docs d JOIN m ON d.source = m.source AND d.v = m.v"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q172, q173, q174, q175, q176, q177, q178, q179,
     q89b, q180, q181, q182, q185, q186, q190, q191, q194, q195, q196, q197,
-    q198, q199, q203, q215)
+    q198, q199, q203, q215, q221)
 }

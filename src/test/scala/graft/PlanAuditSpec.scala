@@ -53,7 +53,17 @@ class PlanAuditSpec extends SparkSpec {
       // q217: the rank cumulative runs over the n_chars value-domain
       // histogram (q216's counting-sort move) — domain-bounded, never
       // corpus rows
-      "q217_mannwhitney_u" -> 1)
+      "q217_mannwhitney_u" -> 1,
+      // q220: CDF cumulative + lead gap over the same value-domain
+      // histogram as q217 — domain-bounded
+      "q220_wasserstein_drift" -> 1,
+      // q221: global-CDF cumulative + total over the ≤|n_chars domain|
+      // histogram (the per-source windows are partitioned and the
+      // corpus only sees the broadcast dictionary)
+      "q221_quantile_norm" -> 2,
+      // q222: centered 7-day trend window over the DAY GRID — bounded by
+      // the observation span at any corpus size (q195's spine rule)
+      "q222_seasonal_decomposition" -> 1)
 
     // BNLJ allowlist: BroadcastNestedLoopJoinExec is legitimate exactly
     // when the broadcast side is BOUNDED (a handful of query rows, a
@@ -119,6 +129,10 @@ class PlanAuditSpec extends SparkSpec {
       // (v1, v2 twice, then λ and trace rows) against the corpus or
       // against another 1-row frame — q176's iterate shape
       "q219_top_pc_power" -> 5,
+      // q221: the inverse-CDF range join of two DOMAIN-BOUNDED histograms
+      // (per-source ≤ sources×|n_chars domain| rows vs global ≤|domain|
+      // rows) — q51's bounded range-join shape
+      "q221_quantile_norm" -> 1,
       "q23_cosine_topk" -> 1,
       "q38_trends_gold" -> 1, "q44_theta_cohorts" -> 1,
       "q51_range_join" -> 1, "q57_tfidf" -> 1,

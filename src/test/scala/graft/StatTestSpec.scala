@@ -2,12 +2,16 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Imperative pins for the two-sample / omnibus test rows: q217's
-  * histogram identity 2U = Σ a(2·cumB+b) is checked against the TEXTBOOK
-  * construction (average ranks over the sorted pooled sample, U = R₁ −
-  * n₁(n₁+1)/2) — an independent derivation, not a re-execution of the
-  * query's own algebra — and q218's F/eta² against the direct
-  * two-pass SSB/SSW decomposition. */
+/** Imperative pins for the statistics rows, each against an INDEPENDENT
+  * textbook construction rather than a re-execution of the query's own
+  * algebra: q217's histogram identity 2U = Σ a(2·cumB+b) vs average
+  * ranks over the sorted pooled sample (U = R₁ − n₁(n₁+1)/2); q218's
+  * F/eta² vs the direct two-pass SSB/SSW decomposition; q220's
+  * cross-multiplied W₁ vs a per-unit-step CDF integration; q221's
+  * range-join inverse CDF vs a per-doc sorted-array quantile lookup
+  * (plus the two properties that make quantile normalization correct:
+  * within-source monotonicity and exact marginal agreement); q222's
+  * grid decomposition vs a direct per-day fold. */
 class StatTestSpec extends SparkSpec {
 
   private def h60(key: String, salt: String): Long = {
@@ -102,5 +106,120 @@ class StatTestSpec extends SparkSpec {
     assert(r.getAs[Long]("eta2_micro") ==
       math.floor(ssb / (ssb + ssw) * 1000000 + 0.5).toLong)
     assert(k > 1 && r.getAs[Long]("f_micro") != 0L)
+  }
+
+  test("q220: cross-multiplied W1 equals per-unit-step CDF integration") {
+    val docs = lengths().map { case (src, v) =>
+      (v, h60(src, "graft-mwu") % 2 == 0)
+    }
+    val av = docs.filter(_._2).map(_._1).sorted
+    val bv = docs.filterNot(_._2).map(_._1).sorted
+    val (n1, n2) = (av.length.toLong, bv.length.toLong)
+    assert(n1 > 0 && n2 > 0)
+    // integrate |F_A(x) - F_B(x)| over every INTEGER unit step of the
+    // support, keeping the integrand rational via cross-multiplication
+    val lo = math.min(av.head, bv.head)
+    val hi = math.max(av.last, bv.last)
+    var num = 0L // Σ_x |cntA(≤x)·n2 − cntB(≤x)·n1| — denominator n1·n2
+    (lo until hi).foreach { x =>
+      val ca = av.count(_ <= x).toLong
+      val cb = bv.count(_ <= x).toLong
+      num += math.abs(ca * n2 - cb * n1)
+    }
+    val r = graft.queries.QueryCatalog.queries("q220_wasserstein_drift")(
+      spark, sf()).collect().head
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Long]("w1_num") == num, "W1 numerator mismatch")
+    assert(r.getAs[Long]("v_range") == hi - lo)
+    assert(r.getAs[Long]("w1_micro") ==
+      math.floor(num.toDouble / (n1.toDouble * n2.toDouble)
+        * 1000000 + 0.5).toLong)
+    assert(r.getAs[Long]("w1_micro") > 0L,
+      "zero W1 — the fixture cohorts don't separate, nothing pinned")
+  }
+
+  test("q221: range-join inverse CDF equals the sorted-array quantile lookup") {
+    val docs = {
+      import spark.implicits._
+      graft.sources.Tables.documents(spark, sf())
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long"))
+        .as[(Long, String, Long)].collect()
+    }
+    val global = docs.map(_._3).sorted
+    val n = global.length.toLong
+    val bySource = docs.groupBy(_._2)
+    val got = graft.queries.QueryCatalog.queries("q221_quantile_norm")(
+      spark, sf()).collect()
+    assert(got.length == docs.length)
+    val gm = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, src, v) =>
+      val sv = bySource(src).map(_._3)
+      val ns = sv.length.toLong
+      val rank = sv.count(_ <= v).toLong // right-continuous F_S(v)·ns
+      // smallest global value whose CDF ≥ rank/ns: index ⌈rank·n/ns⌉−1
+      val idx = ((rank * n + ns - 1) / ns - 1).toInt
+      val expect = global(idx)
+      val r = gm(id)
+      assert(r.getAs[Long]("mapped") == expect,
+        s"doc $id: v=$v rank=$rank/$ns mapped=${r.getAs[Long]("mapped")} expect=$expect")
+      assert(r.getAs[Long]("shift") == expect - v)
+    }
+    // monotonicity within each source: higher value never maps lower
+    got.groupBy(_.getAs[String]("source")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("n_chars"))
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.getAs[Long]("mapped") <= y.getAs[Long]("mapped"))
+        case _ =>
+      }
+    }
+    // the operator must actually move mass on the fixture
+    assert(got.exists(_.getAs[Long]("shift") != 0L), "identity mapping")
+  }
+
+  test("q222: grid decomposition equals the direct per-day fold") {
+    val days = {
+      import spark.implicits._
+      graft.sources.Tables.events(spark, sf())
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("day"), "yyyy-MM-dd"),
+          datediff(col("day"), lit("1970-01-01")).cast("long"), col("cnt"))
+        .as[(String, Long, Long)].collect().sortBy(_._2)
+    }
+    val byDow = days.groupBy(_._2 % 7)
+    val got = graft.queries.QueryCatalog.queries("q222_seasonal_decomposition")(
+      spark, sf()).collect().map(r => r.getAs[String]("day") -> r).toMap
+    assert(got.size == days.length && days.nonEmpty)
+    days.zipWithIndex.foreach { case ((dayStr, epoch, cnt), i) =>
+      val r = got(dayStr)
+      val dow = epoch % 7
+      assert(r.getAs[Long]("dow") == dow)
+      assert(r.getAs[Long]("cnt") == cnt)
+      val grp = byDow(dow).map(_._3)
+      val seasonal =
+        math.floor(grp.sum.toDouble / grp.length * 1000000 + 0.5).toLong
+      assert(r.getAs[Long]("seasonal_micro") == seasonal)
+      assert(r.getAs[Long]("resid_micro") == cnt * 1000000L - seasonal)
+      // trend: centered 7-day ROW window, null unless 7 rows present
+      if (i >= 3 && i + 3 < days.length) {
+        val w = (i - 3 to i + 3).map(j => days(j)._3).sum
+        assert(r.getAs[Long]("trend_micro") ==
+          math.floor(w.toDouble / 7.0 * 1000000 + 0.5).toLong)
+      } else assert(r.isNullAt(r.fieldIndex("trend_micro")))
+      val nd = grp.length.toDouble
+      val variance =
+        (grp.map(c => c * c).sum.toDouble -
+          grp.sum.toDouble * grp.sum.toDouble / nd) / (nd - 1.0)
+      if (grp.length >= 3 && variance > 0.0) {
+        val z = (cnt * 1000000L - seasonal).toDouble /
+          (1000000.0 * math.sqrt(variance))
+        assert(r.getAs[Long]("z_micro") ==
+          math.floor(z * 1000000 + 0.5).toLong)
+        assert(r.getAs[Boolean]("is_anomaly") == (math.abs(z) > 2.0))
+      } else {
+        assert(r.isNullAt(r.fieldIndex("z_micro")))
+        assert(!r.getAs[Boolean]("is_anomaly"))
+      }
+    }
   }
 }
