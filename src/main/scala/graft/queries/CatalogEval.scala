@@ -1729,9 +1729,94 @@ private[queries] object CatalogEval {
               / (CAST(dn AS DOUBLE) - 1.0)))) > 2.0, false) AS is_anomaly
       FROM rv"""))
 
+  /** Confident-learning label-noise audit (Northcutt et al.) over the
+    * frozen q177/q216 head — the step between q188 (is the head
+    * calibrated?) and actually PRUNING mislabeled rows: per-class
+    * self-confidence thresholds t_c = mean p̂(c) among rows labeled c,
+    * then the confident joint C[given][guessed] counts rows whose
+    * predicted probability clears the OTHER class's threshold — the
+    * off-diagonal cells are the estimated-mislabeled set a curation run
+    * drops or re-labels. Works WITHOUT calibration assumptions (only
+    * rank order within a class matters), which is why it composes with
+    * q188 rather than repeating it. Shape: one hash aggregate to the
+    * 1-row threshold frame (exact Σp̂/n per class, micro-floored once),
+    * one broadcast back, one aggregate to ≤4 cells — two corpus scans,
+    * zero windows, zero sorts; every comparison is BIGINT vs BIGINT on
+    * the micro grid. Ambiguous rows clearing both thresholds go to the
+    * higher probability (ties to class 1, pinned); rows clearing
+    * neither are counted but unassigned (guess = -1 cell). */
+  private val q225 = {
+    val w = Array.tabulate(64) { j =>
+      (scala.util.hashing.MurmurHash3.productHash((j, "graft-linear")) % 1000) / 1000.0
+    }
+    val bias = -0.1
+    Q(
+      "q225_label_noise",
+      (s, d) => {
+        graft.plans.GraftExtensions.install(s)
+        val z = graft.functions.VectorDot.vec_dot(
+          transform(col("embedding"), x => x.cast("double")),
+          array(w.map(lit).toIndexedSeq: _*)) + lit(bias)
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val scored = Tables.embeddings(s, d)
+          .select((col("label") % 2).cast("long").as("y"),
+            floor(p * 1000000 + 0.5).cast("long").as("p_micro"))
+        val thr = scored.agg(
+          floor(sum(when(col("y") === 1L, col("p_micro"))).cast("double")
+            / sum(when(col("y") === 1L, 1L)).cast("double") + 0.5)
+            .cast("long").as("t1"),
+          floor(sum(when(col("y") === 0L, lit(1000000L) - col("p_micro")))
+            .cast("double")
+            / sum(when(col("y") === 0L, 1L)).cast("double") + 0.5)
+            .cast("long").as("t0"))
+        val c1 = col("p_micro") >= col("t1")
+        val c0 = lit(1000000L) - col("p_micro") >= col("t0")
+        val guess = when(c1 && c0,
+            when(col("p_micro") >= lit(1000000L) - col("p_micro"), 1L)
+              .otherwise(0L))
+          .when(c1, lit(1L)).when(c0, lit(0L)).otherwise(lit(-1L))
+        scored.join(broadcast(thr))
+          .select(col("y"), guess.as("guess"))
+          .groupBy(col("y"), col("guess"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("is_noise",
+            col("guess") >= 0L && col("guess") =!= col("y"))
+      },
+      Some(s"""
+      WITH scored AS (
+        SELECT CAST(label % 2 AS BIGINT) AS y,
+          CAST(floor((1.0 / (1.0 + exp(-(list_dot_product(embedding::DOUBLE[],
+            ${w.map(_.toString).mkString("[", ", ", "]")}) + $bias))))
+            * 1000000 + 0.5) AS BIGINT) AS p_micro
+        FROM embeddings),
+      thr AS (
+        SELECT
+          CAST(floor(CAST(sum(CASE WHEN y = 1 THEN p_micro END) AS DOUBLE)
+            / CAST(sum(CASE WHEN y = 1 THEN 1 END) AS DOUBLE) + 0.5)
+            AS BIGINT) AS t1,
+          CAST(floor(CAST(sum(CASE WHEN y = 0 THEN 1000000 - p_micro END)
+              AS DOUBLE)
+            / CAST(sum(CASE WHEN y = 0 THEN 1 END) AS DOUBLE) + 0.5)
+            AS BIGINT) AS t0
+        FROM scored),
+      g AS (
+        SELECT y,
+          CASE
+            WHEN p_micro >= t1 AND 1000000 - p_micro >= t0 THEN
+              CASE WHEN p_micro >= 1000000 - p_micro THEN 1 ELSE 0 END
+            WHEN p_micro >= t1 THEN 1
+            WHEN 1000000 - p_micro >= t0 THEN 0
+            ELSE -1 END AS guess
+        FROM scored CROSS JOIN thr)
+      SELECT y, CAST(guess AS BIGINT) AS guess,
+        CAST(count(*) AS BIGINT) AS cnt,
+        (guess >= 0 AND guess <> y) AS is_noise
+      FROM g GROUP BY y, guess"""))
+  }
+
   private[queries] val all: Seq[Q] = Seq(
     q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q164b, q165, q166, q167, q168,
     q169, q170, q171, q184, q188, q209, q213, q214, q216, q217, q218,
-    q220, q222)
+    q220, q222, q225)
 }

@@ -820,8 +820,116 @@ private[queries] object CatalogNorthStar {
   // every scale factor.
 
 
+  /** Stationary distribution of q211's event-type Markov chain by power
+    * iteration ON THE BOUNDED CELL TABLE — the long-run behavioral mix
+    * the chain converges to, read against the empirical marginal: a gap
+    * between the two is the non-stationarity signal (the corpus was
+    * sampled while the process was still drifting). The corpus
+    * contributes exactly q87/q211's work: one user-keyed lag window and
+    * one hash aggregate to ≤|types|² cells (+ one marginal count).
+    * Everything after runs on the cell table: states never observed as
+    * a FROM state get an explicit self-loop row (no silent mass leak),
+    * and eight unrolled π ← πP steps are joins/aggregates over ≤|types|²
+    * rows — driver-trivial at any corpus size. Determinism: π lives on
+    * the micro grid; each term floor(πᵢ·nᵢⱼ/rᵢ + 0.5) is one double
+    * expression over exact BIGINTs rounded back to BIGINT, so every
+    * cross-state SUM is exact integer arithmetic (the q219 move applied
+    * to a bounded matrix; Σπ drifts by ≤|types| micro per step,
+    * identically in both engines). */
+  private val q224 = {
+    val iters = 8
+    Q(
+      "q224_markov_stationary",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("i"))
+          .withColumn("j", lead(col("i"), 1).over(w))
+          .filter(col("j").isNotNull)
+        val cells = pairs.groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("n"))
+        val marg = Tables.events(s, d).groupBy(col("event_type").as("t"))
+          .agg(count(lit(1)).as("m"))
+        // states = every observed type; FROM-less states self-loop
+        val rows = cells.groupBy(col("i")).agg(sum(col("n")).as("r"))
+        val loops = marg.select(col("t"))
+          .join(rows.select(col("i")), col("t") === col("i"), "left_anti")
+          .select(col("t").as("i"), col("t").as("j"),
+            lit(1L).as("n"), lit(1L).as("r"))
+        // EAGER localCheckpoint: mat is ≤|types|²+|types| rows but its
+        // lineage contains the corpus lag-window — without the cut,
+        // every one of the 8 iterate broadcasts re-derives that window
+        // (the q176 lesson; LAZY would race across broadcast threads)
+        val mat = cells.join(rows, Seq("i")).unionByName(loops)
+          .localCheckpoint(true)
+        val nStates = marg.agg(count(lit(1)).as("k"))
+        // π₀ uniform on the micro grid
+        var pi = marg.join(broadcast(nStates))
+          .select(col("t"),
+            floor(lit(1000000.0) / col("k").cast("double")).cast("long")
+              .as("pi"))
+        (1 to iters).foreach { _ =>
+          pi = mat.join(broadcast(pi), col("i") === col("t"))
+            .select(col("j"),
+              floor(col("pi").cast("double") * col("n").cast("double")
+                / col("r").cast("double") + 0.5).cast("long").as("term"))
+            .groupBy(col("j")).agg(sum(col("term")).as("pi"))
+            .select(col("j").as("t"), col("pi"))
+        }
+        val tot = marg.agg(sum(col("m")).as("mt"))
+        pi.join(marg, Seq("t")).join(broadcast(tot))
+          .select(col("t").as("event_type"), col("pi").as("pi_micro"),
+            floor(col("m").cast("double") / col("mt").cast("double")
+              * 1000000 + 0.5).cast("long").as("empirical_micro"))
+          .withColumn("gap_micro",
+            abs(col("pi_micro") - col("empirical_micro")))
+      },
+      Some {
+        val steps = (1 to iters).map { k =>
+          s"""p$k AS (
+        SELECT j AS t, CAST(sum(CAST(floor(
+            CAST(pi AS DOUBLE) * CAST(n AS DOUBLE) / CAST(r AS DOUBLE)
+            + 0.5) AS BIGINT)) AS BIGINT) AS pi
+        FROM mat JOIN p${k - 1} ON mat.i = p${k - 1}.t
+        GROUP BY 1)"""
+        }.mkString(",\n      ")
+        s"""
+      WITH pairs AS (
+        SELECT event_type AS i,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+            AS j
+        FROM events),
+      cells AS (
+        SELECT i, j, CAST(count(*) AS BIGINT) AS n
+        FROM pairs WHERE j IS NOT NULL GROUP BY 1, 2),
+      marg AS (
+        SELECT event_type AS t, CAST(count(*) AS BIGINT) AS m
+        FROM events GROUP BY 1),
+      rows_ AS (SELECT i, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+      loops AS (
+        SELECT t AS i, t AS j, CAST(1 AS BIGINT) AS n, CAST(1 AS BIGINT) AS r
+        FROM marg WHERE t NOT IN (SELECT i FROM rows_)),
+      mat AS (
+        SELECT c.i, c.j, c.n, r.r FROM cells c JOIN rows_ r ON c.i = r.i
+        UNION ALL SELECT i, j, n, r FROM loops),
+      p0 AS (
+        SELECT t, CAST(floor(1000000.0
+          / CAST((SELECT count(*) FROM marg) AS DOUBLE)) AS BIGINT) AS pi
+        FROM marg),
+      $steps,
+      tot AS (SELECT CAST(sum(m) AS BIGINT) AS mt FROM marg)
+      SELECT p.t AS event_type, p.pi AS pi_micro,
+        CAST(floor(CAST(m AS DOUBLE) / CAST(mt AS DOUBLE) * 1000000 + 0.5)
+          AS BIGINT) AS empirical_micro,
+        CAST(abs(p.pi - CAST(floor(CAST(m AS DOUBLE) / CAST(mt AS DOUBLE)
+          * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS gap_micro
+      FROM p$iters p JOIN marg ON p.t = marg.t CROSS JOIN tot"""
+      })
+  }
+
   private[queries] val all: Seq[Q] = Seq(
     q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q31b, q32, q33,
-    q34, q35, q36, q200, q210)
+    q34, q35, q36, q200, q210, q224)
 }

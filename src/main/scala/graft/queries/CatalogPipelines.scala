@@ -1218,9 +1218,118 @@ private[queries] object CatalogPipelines {
         count(*) AS n_tokens_kept
       FROM kept GROUP BY doc_id"""))
 
+  /** Interpolated Kneser–Ney bigram LM — the CCNet-grade upgrade of
+    * q69's add-one model, and the actual filter shape production
+    * curation uses (train a small LM on trusted sources, score the
+    * rest, keep the low-perplexity tail). KN's two ideas, both exact
+    * count arithmetic: absolute discounting (max(c₁₂ − D, 0)/c₁ with
+    * D = 0.75) and the CONTINUATION probability (how many distinct left
+    * contexts a word follows — "francisco" is frequent but only ever
+    * follows "san") as the back-off mass. Train on the md5-even source
+    * cohort, score the odd cohort's docs. The model is four hash
+    * aggregates over train pairs (c₂, per-context c₁+N1+(w₁,·),
+    * per-word N1+(·,w₂), and the 1-row distinct-bigram total); scoring
+    * is three LEFT equi-joins on token keys + one 1-row broadcast —
+    * shuffle-partitioned by vocabulary, never by corpus position, the
+    * LM-serving shape at any scale. Per-pair probabilities are the same
+    * IEEE expression over exact BIGINTs both engines, floored at 1e-9
+    * (unseen continuation), and log-probs micro-round BEFORE the
+    * per-doc sum (q69's discipline) so doc scores are exact integer
+    * sums. */
+  private val q223 = Q(
+    "q223_kneser_ney_lm",
+    (s, d) => {
+      val train = conv(substring(md5(concat(col("source"),
+        lit("graft-kn"))), 1, 15), 16, 10).cast("long") % 2 === 0L
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val m = size(col("toks")) - 1
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), train.as("train"), toks.as("toks"))
+        .select(col("doc_id"), col("train"),
+          explode(when(size(col("toks")) >= 2,
+            zip_with(slice(col("toks"), lit(1), m),
+              slice(col("toks"), lit(2), m),
+              (a, b) => struct(a.as("w1"), b.as("w2"))))
+            .otherwise(array())).as("pr"))
+        .select(col("doc_id"), col("train"),
+          col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      val c2 = pairs.filter(col("train"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("w1"))
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+      val rev = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+      val tot = c2.agg(count(lit(1)).as("nbig"))
+      val pc = coalesce(col("n1r"), lit(0L)).cast("double") /
+        col("nbig").cast("double")
+      val p = when(col("c1").isNull, pc).otherwise(
+        (greatest(coalesce(col("c2"), lit(0L)).cast("double") - 0.75,
+          lit(0.0)) + lit(0.75) * col("n1f").cast("double") * pc) /
+          col("c1").cast("double"))
+      pairs.filter(!col("train"))
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .join(rev, Seq("w2"), "left")
+        .join(broadcast(tot))
+        .select(col("doc_id"),
+          floor(log(greatest(p, lit(1e-9))) * 1000000 + 0.5).cast("long")
+            .as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("lp")).as("sum_lp"))
+        .select(col("doc_id"), col("n_pairs"), col("sum_lp"),
+          floor(col("sum_lp").cast("double") / col("n_pairs").cast("double")
+            + 0.5).cast("long").as("mean_lp_micro"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(source || 'graft-kn'), 1, 15))::BIGINT % 2 = 0
+            AS train,
+          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      tok AS (
+        SELECT doc_id, train, unnest(toks) AS w,
+          generate_subscripts(toks, 1) AS pos
+        FROM t),
+      pr AS (
+        SELECT doc_id, train,
+          lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w AS w2
+        FROM tok),
+      pairs AS (SELECT doc_id, train, w1, w2 FROM pr WHERE w1 IS NOT NULL),
+      c2 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        FROM pairs WHERE train GROUP BY 1, 2),
+      c1 AS (
+        SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+          CAST(count(*) AS BIGINT) AS n1f
+        FROM c2 GROUP BY 1),
+      rev AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM c2 GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS nbig FROM c2),
+      scored AS (
+        SELECT p.doc_id,
+          CAST(floor(ln(greatest(
+            CASE WHEN c1.c1 IS NULL
+              THEN coalesce(rev.n1r, 0)::DOUBLE / tot.nbig::DOUBLE
+              ELSE (greatest(coalesce(c2.c2, 0)::DOUBLE - 0.75, 0.0)
+                + 0.75 * c1.n1f::DOUBLE
+                  * (coalesce(rev.n1r, 0)::DOUBLE / tot.nbig::DOUBLE))
+                / c1.c1::DOUBLE END,
+            1e-9)) * 1000000 + 0.5) AS BIGINT) AS lp
+        FROM pairs p
+        LEFT JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+        LEFT JOIN c1 ON p.w1 = c1.w1
+        LEFT JOIN rev ON p.w2 = rev.w2
+        CROSS JOIN tot
+        WHERE NOT p.train)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(lp) AS BIGINT) AS sum_lp,
+        CAST(floor(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          + 0.5) AS BIGINT) AS mean_lp_micro
+      FROM scored GROUP BY 1"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q37, q38, q39, q40, q41, q42, q43, q44,
     q45, q46, q47, q48, q49, q50, q51, q52,
     q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66)
+    q61, q62, q63, q64, q65, q66, q223)
 }

@@ -133,6 +133,16 @@ class PlanAuditSpec extends SparkSpec {
       // (per-source ≤ sources×|n_chars domain| rows vs global ≤|domain|
       // rows) — q51's bounded range-join shape
       "q221_quantile_norm" -> 1,
+      // q223: the 1-row distinct-bigram total broadcast against the
+      // scored pair stream (q69's LM-normalizer shape)
+      "q223_kneser_ney_lm" -> 1,
+      // q224: the 1-row state-count broadcast (π₀) and the 1-row event
+      // total broadcast — every other join is keyed on the bounded
+      // state set
+      "q224_markov_stationary" -> 2,
+      // q225: the 1-row per-class threshold frame broadcast against the
+      // scored stream (q216's shape)
+      "q225_label_noise" -> 1,
       "q23_cosine_topk" -> 1,
       "q38_trends_gold" -> 1, "q44_theta_cohorts" -> 1,
       "q51_range_join" -> 1, "q57_tfidf" -> 1,
