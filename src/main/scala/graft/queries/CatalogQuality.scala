@@ -1498,9 +1498,140 @@ private[queries] object CatalogQuality {
       CROSS JOIN lam CROSS JOIN tr"""))
   }
 
+  /** DoReMi-style loss-driven domain reweighting — the counterpart to
+    * q140's SIZE-based mixture (p_s ∝ n_s^τ): here the tilt is EXCESS
+    * LM LOSS per domain, so hard-for-the-model sources get upweighted —
+    * the one-shot data-side form of multiplicative weights (with static
+    * per-domain losses, K MW steps collapse to a single exponential
+    * tilt w_d ∝ exp(η·excess_d), so this computes the closed form
+    * honestly instead of unrolling theater iterations). The loss proxy
+    * is q69's add-one bigram LM trained on the full corpus: per-pair
+    * log-probs micro-round before ANY aggregation, and per-domain loss
+    * is −Σlp/Σpairs — one exact-BIGINT division per source, never a
+    * float mean over docs. Excess clamps at 0 vs the global baseline
+    * (DoReMi's pinned-reference rule); exp(η·excess) micro-rounds PER
+    * SOURCE before the normalizing sum (q140's discipline), so the
+    * final weights are divisions of exact integers. Corpus cost: the
+    * q69 pipeline (pair explode + two vocabulary-keyed joins) + one
+    * ≤|sources|-row aggregate; the tilt itself is window math over the
+    * bounded source table. */
+  private val q226 = Q(
+    "q226_doremi_weights",
+    (s, d) => {
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val m = size(col("toks")) - 1
+      val pairs = Tables.documents(s, d)
+        .select(col("source"), toks.as("toks"))
+        .select(col("source"),
+          explode(when(size(col("toks")) >= 2,
+            zip_with(slice(col("toks"), lit(1), m),
+              slice(col("toks"), lit(2), m),
+              (a, b) => struct(a.as("w1"), b.as("w2"))))
+            .otherwise(array())).as("pr"))
+        .select(col("source"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      val c2 = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val v = pairs.agg(countDistinct(col("w2")).as("v"))
+      val perSrc = pairs
+        .join(c2, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .join(broadcast(v))
+        .select(col("source"),
+          floor(log((col("c2").cast("double") + 1.0) /
+            (col("c1") + col("v")).cast("double")) * 1000000 + 0.5)
+            .cast("long").as("lp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("lp")).as("sum_lp"))
+      val wAll = Window.orderBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val eta = 2.0
+      val scored = perSrc
+        .withColumn("loss_micro",
+          floor(-col("sum_lp").cast("double") / col("n_pairs").cast("double")
+            + 0.5).cast("long"))
+        .withColumn("tot_lp", sum(col("sum_lp")).over(wAll))
+        .withColumn("tot_pairs", sum(col("n_pairs")).over(wAll))
+        .withColumn("base_micro",
+          floor(-col("tot_lp").cast("double")
+            / col("tot_pairs").cast("double") + 0.5).cast("long"))
+        .withColumn("excess_micro",
+          greatest(col("loss_micro") - col("base_micro"), lit(0L)))
+        .withColumn("e_micro",
+          floor(exp(lit(eta) * col("excess_micro").cast("double")
+            / 1000000.0) * 1000000 + 0.5).cast("long"))
+        .withColumn("tot_e", sum(col("e_micro")).over(wAll))
+        .withColumn("tot_n", sum(col("n_pairs")).over(wAll))
+      scored.select(col("source"), col("n_pairs"), col("loss_micro"),
+        col("excess_micro"),
+        floor(col("e_micro").cast("double") / col("tot_e").cast("double")
+          * 1000000 + 0.5).cast("long").as("weight_micro"),
+        floor(col("n_pairs").cast("double") / col("tot_n").cast("double")
+          * 1000000 + 0.5).cast("long").as("share_micro"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      tok AS (
+        SELECT doc_id, source, unnest(toks) AS w,
+          generate_subscripts(toks, 1) AS pos
+        FROM t),
+      pr AS (
+        SELECT source,
+          lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w0, w
+        FROM tok),
+      pairs AS (
+        SELECT source, w0 AS w1, w AS w2 FROM pr WHERE w0 IS NOT NULL),
+      c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        FROM pairs GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM pairs),
+      per AS (
+        SELECT p.source,
+          CAST(floor(ln((c2.c2::DOUBLE + 1.0) / (c1.c1 + v.v)::DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) AS lp
+        FROM pairs p
+        JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+        JOIN c1 ON p.w1 = c1.w1
+        CROSS JOIN v),
+      agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(lp) AS BIGINT) AS sum_lp
+        FROM per GROUP BY 1),
+      sc AS (
+        SELECT source, n_pairs,
+          CAST(floor(-CAST(sum_lp AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+            + 0.5) AS BIGINT) AS loss_micro,
+          CAST(sum(sum_lp) OVER () AS BIGINT) AS tot_lp,
+          CAST(sum(n_pairs) OVER () AS BIGINT) AS tot_pairs
+        FROM agg),
+      ex AS (
+        SELECT source, n_pairs, loss_micro,
+          greatest(loss_micro - CAST(floor(-CAST(tot_lp AS DOUBLE)
+            / CAST(tot_pairs AS DOUBLE) + 0.5) AS BIGINT),
+            CAST(0 AS BIGINT)) AS excess_micro
+        FROM sc),
+      ew AS (
+        SELECT *,
+          CAST(floor(exp(2.0 * CAST(excess_micro AS DOUBLE) / 1000000.0)
+            * 1000000 + 0.5) AS BIGINT) AS e_micro
+        FROM ex),
+      tt AS (
+        SELECT *, CAST(sum(e_micro) OVER () AS BIGINT) AS tot_e,
+          CAST(sum(n_pairs) OVER () AS BIGINT) AS tot_n
+        FROM ew)
+      SELECT source, n_pairs, loss_micro, excess_micro,
+        CAST(floor(CAST(e_micro AS DOUBLE) / CAST(tot_e AS DOUBLE)
+          * 1000000 + 0.5) AS BIGINT) AS weight_micro,
+        CAST(floor(CAST(n_pairs AS DOUBLE) / CAST(tot_n AS DOUBLE)
+          * 1000000 + 0.5) AS BIGINT) AS share_micro
+      FROM tt"""))
+
   private[queries] val all: Seq[Q] = Seq(
     q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q137b, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153, q187, q189, q192, q219)
+    q152, q153, q187, q189, q192, q219, q226)
 }

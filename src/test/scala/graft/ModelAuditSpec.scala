@@ -172,4 +172,60 @@ class ModelAuditSpec extends SparkSpec {
     assert(joint.exists { case ((y, g), n) => g >= 0 && g != y && n > 0 },
       "no off-diagonal mass — the noise audit pins nothing")
   }
+
+  test("q226: engine weights == imperative excess-loss exponential tilt") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf())
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    def pairsOf(text: String): Seq[(String, String)] = {
+      val t = text.split(" ").filter(_.nonEmpty)
+      if (t.length < 2) Seq.empty else t.init.zip(t.tail).toSeq
+    }
+    val all = docs.flatMap { case (src, txt) => pairsOf(txt).map(src -> _) }
+    val c2 = all.map(_._2).groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val vocab = all.map(_._2._2).distinct.length.toLong
+    val perSrc = all.groupBy(_._1).map { case (src, ps) =>
+      val lps = ps.map { case (_, (w1, w2)) =>
+        math.floor(math.log((c2((w1, w2)).toDouble + 1.0) /
+          (c1(w1) + vocab).toDouble) * 1000000 + 0.5).toLong
+      }
+      src -> (lps.length.toLong, lps.sum)
+    }
+    val totLp = perSrc.values.map(_._2).sum
+    val totPairs = perSrc.values.map(_._1).sum
+    val base = math.floor(-totLp.toDouble / totPairs.toDouble + 0.5).toLong
+    val tilt = perSrc.map { case (src, (n, sum)) =>
+      val loss = math.floor(-sum.toDouble / n.toDouble + 0.5).toLong
+      val excess = math.max(loss - base, 0L)
+      val e = math.floor(math.exp(2.0 * excess.toDouble / 1000000.0)
+        * 1000000 + 0.5).toLong
+      src -> (n, loss, excess, e)
+    }
+    val totE = tilt.values.map(_._4).sum
+
+    val got = graft.queries.QueryCatalog.queries("q226_doremi_weights")(
+      spark, sf()).collect()
+    assert(got.length == tilt.size && got.nonEmpty)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (n, loss, excess, e) = tilt(src)
+      assert(r.getAs[Long]("n_pairs") == n, s"pairs for $src")
+      assert(r.getAs[Long]("loss_micro") == loss, s"loss for $src")
+      assert(r.getAs[Long]("excess_micro") == excess, s"excess for $src")
+      assert(r.getAs[Long]("weight_micro") ==
+        math.floor(e.toDouble / totE.toDouble * 1000000 + 0.5).toLong,
+        s"weight for $src")
+      assert(r.getAs[Long]("share_micro") ==
+        math.floor(n.toDouble / totPairs.toDouble * 1000000 + 0.5).toLong)
+    }
+    // weights are a distribution (up to per-row rounding) and the tilt
+    // actually moved at least one source off its pair share
+    val mass = got.map(_.getAs[Long]("weight_micro")).sum
+    assert(math.abs(mass - 1000000L) <= got.length.toLong)
+    assert(got.exists(r => math.abs(r.getAs[Long]("weight_micro") -
+      r.getAs[Long]("share_micro")) > 1000L),
+      "tilt is a no-op on the fixture — nothing pinned")
+  }
 }

@@ -63,7 +63,10 @@ class PlanAuditSpec extends SparkSpec {
       "q221_quantile_norm" -> 2,
       // q222: centered 7-day trend window over the DAY GRID — bounded by
       // the observation span at any corpus size (q195's spine rule)
-      "q222_seasonal_decomposition" -> 1)
+      "q222_seasonal_decomposition" -> 1,
+      // q226: baseline + tilt-normalizer totals over the ≤|sources|-row
+      // loss aggregate (q214's shape; two frames → two WindowExec)
+      "q226_doremi_weights" -> 2)
 
     // BNLJ allowlist: BroadcastNestedLoopJoinExec is legitimate exactly
     // when the broadcast side is BOUNDED (a handful of query rows, a
@@ -143,6 +146,9 @@ class PlanAuditSpec extends SparkSpec {
       // q225: the 1-row per-class threshold frame broadcast against the
       // scored stream (q216's shape)
       "q225_label_noise" -> 1,
+      // q226: the 1-row vocabulary-size broadcast against the pair
+      // stream (q69's LM-normalizer shape)
+      "q226_doremi_weights" -> 1,
       "q23_cosine_topk" -> 1,
       "q38_trends_gold" -> 1, "q44_theta_cohorts" -> 1,
       "q51_range_join" -> 1, "q57_tfidf" -> 1,
