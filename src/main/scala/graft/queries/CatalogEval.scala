@@ -1639,7 +1639,10 @@ private[queries] object CatalogEval {
         .withColumn("dow", col("epoch_day") % 7)
       val wDow = Window.partitionBy(col("dow"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      // RANGE on epoch-day, not ROWS: on a gapped grid a row frame would
+      // silently become "7 rows with events" (the q154 calendar lesson);
+      // with RANGE a gap shrinks the window and tn<7 nulls the trend
+      val wTrend = Window.orderBy(col("epoch_day")).rangeBetween(-3, 3)
       val g = daily
         .withColumn("dn", count(lit(1)).over(wDow))
         .withColumn("ds", sum(col("cnt")).over(wDow))
@@ -1663,9 +1666,14 @@ private[queries] object CatalogEval {
       val g2 = g
         .withColumn("css", sum(col("cnt") * col("cnt")).over(wDow2))
       val nD = col("dn").cast("double")
+      // divisor made structurally nonzero: a dow group with ONE day gives
+      // nD-1 = 0, and Spark's subexpression elimination hoists this
+      // division OUT of the dn>=3 guard below — under ANSI the hoisted
+      // x/0 kills the whole query (the q158 lesson, found by the gap-day
+      // fixture). greatest() never changes a value the guard lets through.
       val variance = (col("css").cast("double")
         - col("ds").cast("double") * col("ds").cast("double") / nD) /
-        (nD - 1.0)
+        greatest(nD - 1.0, lit(1.0))
       val z = col("resid_micro").cast("double") /
         (lit(1000000.0) * sqrt(variance))
       g2.select(
@@ -1683,6 +1691,7 @@ private[queries] object CatalogEval {
         FROM events GROUP BY 1),
       keyed AS (
         SELECT day, cnt,
+          CAST(day - DATE '1970-01-01' AS BIGINT) AS epoch_day,
           CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS dow
         FROM daily),
       g AS (
@@ -1693,7 +1702,8 @@ private[queries] object CatalogEval {
           CAST(sum(cnt) OVER wt AS BIGINT) AS ts7
         FROM keyed
         WINDOW wd AS (PARTITION BY dow),
-          wt AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          wt AS (ORDER BY epoch_day
+            RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
       se AS (
         SELECT *,
           CAST(floor(CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE)
@@ -1714,19 +1724,19 @@ private[queries] object CatalogEval {
         seasonal_micro, resid_micro,
         CASE WHEN dn >= 3 AND (CAST(css AS DOUBLE)
               - CAST(ds AS DOUBLE) * CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE))
-              / (CAST(dn AS DOUBLE) - 1.0) > 0.0
+              / greatest(CAST(dn AS DOUBLE) - 1.0, 1.0) > 0.0
           THEN CAST(floor(CAST(resid_micro AS DOUBLE)
             / (1000000.0 * sqrt((CAST(css AS DOUBLE)
               - CAST(ds AS DOUBLE) * CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE))
-              / (CAST(dn AS DOUBLE) - 1.0))) * 1000000 + 0.5) AS BIGINT)
+              / greatest(CAST(dn AS DOUBLE) - 1.0, 1.0))) * 1000000 + 0.5) AS BIGINT)
           END AS z_micro,
         coalesce(dn >= 3 AND (CAST(css AS DOUBLE)
               - CAST(ds AS DOUBLE) * CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE))
-              / (CAST(dn AS DOUBLE) - 1.0) > 0.0
+              / greatest(CAST(dn AS DOUBLE) - 1.0, 1.0) > 0.0
           AND abs(CAST(resid_micro AS DOUBLE)
             / (1000000.0 * sqrt((CAST(css AS DOUBLE)
               - CAST(ds AS DOUBLE) * CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE))
-              / (CAST(dn AS DOUBLE) - 1.0)))) > 2.0, false) AS is_anomaly
+              / greatest(CAST(dn AS DOUBLE) - 1.0, 1.0)))) > 2.0, false) AS is_anomaly
       FROM rv"""))
 
   /** Confident-learning label-noise audit (Northcutt et al.) over the

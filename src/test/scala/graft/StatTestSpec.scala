@@ -200,11 +200,12 @@ class StatTestSpec extends SparkSpec {
         math.floor(grp.sum.toDouble / grp.length * 1000000 + 0.5).toLong
       assert(r.getAs[Long]("seasonal_micro") == seasonal)
       assert(r.getAs[Long]("resid_micro") == cnt * 1000000L - seasonal)
-      // trend: centered 7-day ROW window, null unless 7 rows present
-      if (i >= 3 && i + 3 < days.length) {
-        val w = (i - 3 to i + 3).map(j => days(j)._3).sum
+      // trend: centered 7-CALENDAR-DAY range window, null unless all 7
+      // days are present (gap-robust — the q154 calendar lesson)
+      val win = days.filter(dd => math.abs(dd._2 - epoch) <= 3).map(_._3)
+      if (win.length == 7) {
         assert(r.getAs[Long]("trend_micro") ==
-          math.floor(w.toDouble / 7.0 * 1000000 + 0.5).toLong)
+          math.floor(win.sum.toDouble / 7.0 * 1000000 + 0.5).toLong)
       } else assert(r.isNullAt(r.fieldIndex("trend_micro")))
       val nd = grp.length.toDouble
       val variance =
@@ -220,6 +221,46 @@ class StatTestSpec extends SparkSpec {
         assert(r.isNullAt(r.fieldIndex("z_micro")))
         assert(!r.getAs[Boolean]("is_anomaly"))
       }
+    }
+  }
+
+  test("q222: a gap day nulls the trend window instead of shrinking it") {
+    // synthetic 15-day stream with day 8 missing: a ROWS frame would
+    // silently average 7 rows-with-events across the gap; the RANGE
+    // frame must yield null trend for every day within 3 of the gap
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap").toFile
+    try {
+      val rows = (0 until 15).filter(_ != 8).flatMap { day =>
+        (0 until 10).map { k =>
+          (java.sql.Timestamp.valueOf(
+            java.time.LocalDateTime.of(2024, 3, 1 + day, 12, 0, k)),
+            (day * 10 + k).toLong, (day * 100 + k).toLong, "view",
+            1.0 + k)
+        }
+      }
+      rows.toDF("ts", "user_id", "event_id", "event_type", "value")
+        .coalesce(1).write.parquet(dir.getPath + "/events.parquet")
+      val got = graft.queries.QueryCatalog.queries(
+        "q222_seasonal_decomposition")(spark, dir.getPath)
+        .collect().map(r => r.getAs[String]("day") -> r).toMap
+      assert(got.size == 14)
+      def trendNull(day: String): Boolean =
+        got(day).isNullAt(got(day).fieldIndex("trend_micro"))
+      // every day within 3 calendar days of the missing 2024-03-09 must
+      // have a null trend
+      Seq("2024-03-06", "2024-03-07", "2024-03-08", "2024-03-10",
+        "2024-03-11", "2024-03-12")
+        .foreach(d => assert(trendNull(d), s"$d has a trend"))
+      // a day with a full 7-day neighborhood keeps its trend
+      assert(!trendNull("2024-03-05"))
+      assert(got("2024-03-05").getAs[Long]("trend_micro") ==
+        math.floor(70.0 / 7.0 * 1000000 + 0.5).toLong)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
     }
   }
 }
