@@ -1381,8 +1381,13 @@ private[queries] object CatalogEval {
       val n1d = col("n1").cast("double")
       val n2d = col("n2").cast("double")
       val nd = (col("n1") + col("n2")).cast("double")
+      // divisor structurally nonzero: sig2 is shared between the guard
+      // condition and its branch, so subexpression elimination evaluates
+      // it even when N<2 — nd·(nd−1)=0 would be a hoisted ANSI x/0 (the
+      // q222 gap-fixture lesson); greatest() never changes a guarded value
       val sig2 = n1d * n2d / 12.0 *
-        ((nd + 1.0) - col("ties3").cast("double") / (nd * (nd - 1.0)))
+        ((nd + 1.0) - col("ties3").cast("double") /
+          greatest(nd * (nd - 1.0), lit(1.0)))
       agg.select(
         col("n1"), col("n2"), col("u2a"), col("ties3"),
         when(col("n1") === 0L || col("n2") === 0L ||
@@ -1419,15 +1424,15 @@ private[queries] object CatalogEval {
         CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2
             OR CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
               * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
-                - CAST(ties3 AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
-                  * (CAST(n1 + n2 AS DOUBLE) - 1.0))) <= 0.0
+                - CAST(ties3 AS DOUBLE) / greatest(CAST(n1 + n2 AS DOUBLE)
+                  * (CAST(n1 + n2 AS DOUBLE) - 1.0), 1.0)) <= 0.0
           THEN CAST(0 AS BIGINT)
           ELSE CAST(floor(
             (CAST(u2a AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
             / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
               * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
-                - CAST(ties3 AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
-                  * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))
+                - CAST(ties3 AS DOUBLE) / greatest(CAST(n1 + n2 AS DOUBLE)
+                  * (CAST(n1 + n2 AS DOUBLE) - 1.0), 1.0))))
             * 1000000 + 0.5) AS BIGINT) END AS z_micro,
         CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0 AS BIGINT)
           ELSE CAST(floor(

@@ -1259,8 +1259,12 @@ private[queries] object CatalogPipelines {
         .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
       val rev = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
       val tot = c2.agg(count(lit(1)).as("nbig"))
+      // greatest: an empty train cohort gives nbig = 0 and this division
+      // is evaluated on every scored pair, not inside a guard — under
+      // ANSI a hoisted x/0 kills the query (q222's gap-fixture lesson);
+      // with nbig = 0 every pc is 0 and the 1e-9 floor takes over
       val pc = coalesce(col("n1r"), lit(0L)).cast("double") /
-        col("nbig").cast("double")
+        greatest(col("nbig"), lit(1L)).cast("double")
       val p = when(col("c1").isNull, pc).otherwise(
         (greatest(coalesce(col("c2"), lit(0L)).cast("double") - 0.75,
           lit(0.0)) + lit(0.75) * col("n1f").cast("double") * pc) /
@@ -1309,10 +1313,10 @@ private[queries] object CatalogPipelines {
         SELECT p.doc_id,
           CAST(floor(ln(greatest(
             CASE WHEN c1.c1 IS NULL
-              THEN coalesce(rev.n1r, 0)::DOUBLE / tot.nbig::DOUBLE
+              THEN coalesce(rev.n1r, 0)::DOUBLE / greatest(tot.nbig, 1)::DOUBLE
               ELSE (greatest(coalesce(c2.c2, 0)::DOUBLE - 0.75, 0.0)
                 + 0.75 * c1.n1f::DOUBLE
-                  * (coalesce(rev.n1r, 0)::DOUBLE / tot.nbig::DOUBLE))
+                  * (coalesce(rev.n1r, 0)::DOUBLE / greatest(tot.nbig, 1)::DOUBLE))
                 / c1.c1::DOUBLE END,
             1e-9)) * 1000000 + 0.5) AS BIGINT) AS lp
         FROM pairs p
