@@ -156,7 +156,14 @@ object Bench {
           }
         }
       }
-      if (shuffleMetrics && passesRun > 0) {
+      // Failed queries record NO byte metrics: passesRun counts successes
+      // only, but a pass that dies mid-query still accumulated its partial
+      // shuffle/spill into the window — dividing that contaminated delta
+      // by the success count would inflate the per-pass average. (Known
+      // residual: a straggler listener event past the 1 s drain bound is
+      // attributed to the NEXT query's window — bytes per pass are
+      // deterministic, so this perturbs only the opt-in averages.)
+      if (shuffleMetrics && passesRun > 0 && !errors.contains(name)) {
         drainListeners()
         shuffleBytes(name) = (accShuffle.get - sh0) / passesRun
         spillBytes(name) = (accSpill.get - sp0) / passesRun

@@ -505,7 +505,10 @@ private[queries] object CatalogAnalytics {
           ON u.day BETWEEN sp.day - INTERVAL 6 DAY AND sp.day
         GROUP BY 1)
       SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
-      FROM dau JOIN wau USING (day)"""))
+      FROM dau JOIN wau USING (day)"""),
+    // exact is the oracle-checkable anchor; at scale the per-day sketch
+    // partials + window merge (q154) replace the day×window re-expansion
+    scalePath = false, scaleTwin = Some("q154_sketch_wau"))
 
   /** Quality-ranked token-budget trim (Corpus.budgetTrim): per source,
     * keep documents longest-first until 500 tokens are spent — the
@@ -778,28 +781,25 @@ private[queries] object CatalogAnalytics {
       FROM spine CROSS JOIN types
       LEFT JOIN daily ON daily.day = spine.day AND daily.event_type = types.event_type"""))
 
-  /** Equi-depth histogram via ntile: 8 equal-count price buckets per
-    * returnflag with per-bucket bounds — the data-profiling shape behind
+  /** Equi-depth histogram: 8 equal-count price buckets per returnflag
+    * with per-bucket bounds — the data-profiling shape behind
     * range-bucketed features and boundary selection. ntile's remainder
-    * distribution is SQL-standard in both engines, and the window order
-    * carries a unique (orderkey, linenumber) tiebreak so every row's
-    * bucket is identical cross-engine despite duplicate prices. This is
-    * the exact form: per-group sort windows are fine while groups fit a
-    * task; at corpus scale the KLL boundaries (q65) replace the sort. */
+    * distribution is SQL-standard in both engines (the oracle IS the
+    * ntile SQL), and the order carries a unique (orderkey, linenumber)
+    * tiebreak so every row's bucket is identical cross-engine despite
+    * duplicate prices.
+    *
+    * Round 9 RETIRED this row's original ntile-window plan (the q137
+    * precedent): ntile partitioned by the 3-value returnflag, capping
+    * parallelism at 3 tasks whose per-task sorts grew super-linearly
+    * (sf3 measured 4.3× for 3× data). The row now runs the SAME
+    * closed-form range-exchange plan as q89b (Shared.equidepthHistogram);
+    * the retired plan is pinned as EquidepthSpec's counterexample, where
+    * its row-identity to this plan — and its few-task sort shape — stay
+    * proven, not remembered. */
   private val q89 = Q(
     "q89_equidepth_histogram",
-    (s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("bucket", ntile(8).over(w))
-        .groupBy(col("l_returnflag"), col("bucket"))
-        .agg(count(lit(1)).as("n"),
-          r2(min(col("l_extendedprice"))).as("lo"),
-          r2(max(col("l_extendedprice"))).as("hi"))
-    },
+    (s, d) => equidepthHistogram(s, d),
     Some("""
       WITH b AS (
         SELECT l_returnflag, l_extendedprice,
@@ -1337,7 +1337,13 @@ private[queries] object CatalogAnalytics {
     * to (type, day) rows — the map-side combine absorbs the 100 TB — and
     * shuffle 2 reduces days to one row per type; nothing downstream of
     * the first combine is data-sized. Degenerate groups (a single
-    * distinct day: den = 0) emit zeros rather than ANSI-dividing. */
+    * distinct day: den = 0) emit zeros rather than ANSI-dividing.
+    * Scale boundary (the q217/q218/q220 rule): r²'s denominator n·syy
+    * with syy = Σy² of daily counts stays an exact BIGINT only while
+    * days·(events/day)² < 2^63 — ~1e6 events/day over thousands of days
+    * approaches the limit; at true corpus scale syy graduates to a
+    * double sum (r² is already a double at emit, so the graduation
+    * costs one ULP-order difference, not a semantics change). */
   private val q201 = Q(
     "q201_ols_trend",
     (s, d) => {
@@ -1493,6 +1499,13 @@ private[queries] object CatalogAnalytics {
       val obs = Tables.orders(s, d)
         .select(substring(floor(col("o_totalprice")).cast("long")
           .cast("string"), 1, 1).cast("int").as("digit"))
+        // Benford's domain is first digits 1–9: a value in [0,1) yields
+        // digit 0 and a negative yields '-' → NULL. Both must be excluded
+        // from n as well as from the 9-row join, or expected_micro = n·e
+        // silently over-counts and every chi² term skews. TPC-H totals
+        // are always ≥900 so the fixture never hits this; the filter is
+        // the general-financial-column contract, not a fixture need.
+        .filter(col("digit").between(1, 9))
         .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
       val total = obs.agg(sum(col("n_obs")).as("n"))
       broadcast(benford)
@@ -1515,10 +1528,10 @@ private[queries] object CatalogAnalytics {
         (1, CAST(301030 AS BIGINT)), (2, 176091), (3, 124939), (4, 96910),
         (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
       obs AS (
-        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
-            AS VARCHAR), 1, 1) AS INT) AS digit,
-          CAST(count(*) AS BIGINT) AS n_obs
-        FROM orders GROUP BY 1),
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        FROM (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+            AS VARCHAR), 1, 1) AS INT) AS digit FROM orders)
+        WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
       tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
       SELECT b.digit, b.e_micro,
         COALESCE(o.n_obs, CAST(0 AS BIGINT)) AS n_obs,

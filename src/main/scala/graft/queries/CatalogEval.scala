@@ -508,7 +508,11 @@ private[queries] object CatalogEval {
   private val q164 = Q(
     "q164_semdedup",
     (s, d) => graft.ops.SemDedup.semDedup(Tables.embeddings(s, d), tau = 0.40),
-    Some(graft.ops.SemDedup.oracleSql(tau = 0.40)))
+    Some(graft.ops.SemDedup.oracleSql(tau = 0.40)),
+    // the frozen k=8 artifact keeps this row's hash stable but holds cell
+    // count FIXED as the corpus grows (within-cell pairs grow
+    // quadratically); production runs the k∝n artifact — q164b
+    scalePath = false, scaleTwin = Some("q164b_semdedup_scaled"))
 
   /** SemDeDup with the SCALED cell artifact — the cells-∝-n dial in the
     * catalog, not just prose: same algorithm and twin machinery as q164,

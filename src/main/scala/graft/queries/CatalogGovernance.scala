@@ -535,37 +535,16 @@ private[queries] object CatalogGovernance {
     * then recovers ntile's exact remainder-first bucket assignment by
     * CLOSED-FORM integer arithmetic from (per-group index, group size):
     * first n%8 buckets get ⌈n/8⌉ rows, the rest ⌊n/8⌋, assigned in
-    * order. Row-identical to q89 by construction — the oracle is the
-    * SAME ntile SQL — so the scalable plan is proven, not argued. The
-    * group-offset window runs over a 3-row aggregate (bounded). */
+    * order. Row-identical to q89's retired ntile plan by construction —
+    * the oracle is the SAME ntile SQL — so the scalable plan is proven,
+    * not argued. The group-offset window runs over a 3-row aggregate
+    * (bounded). Since round 9 this IS also q89's plan
+    * (Shared.equidepthHistogram — the weak ntile form is retired to
+    * EquidepthSpec's counterexample pin); the row stays because the
+    * driver record tracks both names. */
   private val q89b = Q(
     "q89b_equidepth_scalable",
-    (s, d) => {
-      import graft.ops.Corpus
-      val base = Tables.lineitem(s, d).select(
-        col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"))
-      val idxed = Corpus.globalIndex(base,
-        Seq(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber")),
-        numPartitions = 16, indexName = "gidx")
-      val offs = base.groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("grp_n"))
-        .withColumn("off", coalesce(
-          sum(col("grp_n")).over(Window.orderBy(col("l_returnflag"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      idxed.join(broadcast(offs), Seq("l_returnflag"))
-        .withColumn("idx", col("gidx") - col("off"))
-        .withColumn("bucket", expr("""
-          CAST(CASE WHEN idx < (grp_n % 8) * (grp_n DIV 8 + 1)
-            THEN idx DIV (grp_n DIV 8 + 1)
-            ELSE (grp_n % 8) + (idx - (grp_n % 8) * (grp_n DIV 8 + 1)) DIV (grp_n DIV 8)
-          END + 1 AS INT)"""))
-        .groupBy(col("l_returnflag"), col("bucket"))
-        .agg(count(lit(1)).as("n"),
-          r2(min(col("l_extendedprice"))).as("lo"),
-          r2(max(col("l_extendedprice"))).as("hi"))
-    },
+    (s, d) => equidepthHistogram(s, d),
     Some("""
       WITH b AS (
         SELECT l_returnflag, l_extendedprice,
@@ -951,7 +930,7 @@ private[queries] object CatalogGovernance {
         .groupBy(col("tok")).agg(
           sum(when(col("is_en"), 1L).otherwise(0L)).as("np"),
           sum(when(col("is_en"), 0L).otherwise(1L)).as("nn"))
-      val scal = scal1.crossJoin(nwc.agg(count(lit(1)).as("v")))
+      val scal = scal1.crossJoin(broadcast(nwc.agg(count(lit(1)).as("v"))))
       val weights = nwc.crossJoin(broadcast(scal)).select(col("tok"),
         (micro(log((col("np") + lit(1.0)) / (col("n_pos_tok") + col("v")))) -
          micro(log((col("nn") + lit(1.0)) / (col("n_neg_tok") + col("v")))))

@@ -408,7 +408,10 @@ private[queries] object CatalogNorthStar {
 
   /** Distinct aggregation (exact): distinct orders/parts per return flag.
     * (approx_count_distinct exists but its HLL sketch differs from
-    * DuckDB's, so the oracle-checked form is exact.) */
+    * DuckDB's, so the oracle-checked form is exact.) Pedagogical row:
+    * multi-column countDistinct compiles to the row-replicating Expand —
+    * the scaleTwin q31b carries the re-aggregation plan (and q41 the
+    * sketch form when even distinct sets are too big to shuffle). */
   private val q31 = Q(
     "q31_distinct_agg",
     (s, d) =>
@@ -423,7 +426,8 @@ private[queries] object CatalogNorthStar {
         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         count(*) AS n_rows
-      FROM lineitem GROUP BY 1"""))
+      FROM lineitem GROUP BY 1"""),
+    scalePath = false, scaleTwin = Some("q31b_distinct_reagg"))
 
   /** q31 without the Expand: multi-column count_distinct compiles to an
     * Expand that replicates EVERY input row once per distinct column (3×
@@ -484,7 +488,12 @@ private[queries] object CatalogNorthStar {
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
         floor((list_dot_product(a.v, b.v)/(a.nrm*b.nrm))*10000 + 0.5)/10000 AS cosine
       FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.45"""))
+      WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.45"""),
+    // the 10-value label block is a fixture stand-in: in-block pairs grow
+    // quadratically with the corpus (documented in BASELINE.md's sf1
+    // probe); the production blocking key is a learned cell whose count
+    // scales with n — q164b's configuration
+    scalePath = false, scaleTwin = Some("q164b_semdedup_scaled"))
 
   /** As-of join (Core.asOfJoin — union + one keyed window, no range
     * explosion): each purchase event picks up the value of the user's most

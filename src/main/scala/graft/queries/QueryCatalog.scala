@@ -43,11 +43,23 @@ object QueryCatalog {
     all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
 }
 
-/** One catalog entry: the Spark query and its optional DuckDB twin. */
+/** One catalog entry: the Spark query and its optional DuckDB twin.
+  *
+  * `scalePath`/`scaleTwin` make the catalog's deliberate
+  * canonical-vs-pedagogical pairs MECHANICAL rather than prose:
+  * `scalePath = false` marks a row whose plan (or frozen fixture
+  * artifact) is kept for oracle anchoring / teaching value but is NOT
+  * the configuration you'd run at 100 TB — and `scaleTwin` then names
+  * the catalog row that is. Every scaleTwin must resolve to an existing
+  * scalePath=true row (pinned in CatalogMetadataSpec); the pair list is
+  * surfaced in COVERAGE.md. Rows default to scalePath=true: a row with
+  * no annotation IS its own production form. */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    scalePath: Boolean = true,
+    scaleTwin: Option[String] = None)
 
 /** Helpers shared across the family files. */
 private[queries] object Shared {
@@ -93,5 +105,48 @@ private[queries] object Shared {
     a.join(b, col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), jac.as("jac"))
       .filter(col("jac") >= 0.5)
+  }
+
+  /** The ONE equi-depth histogram plan, shared by q89 and q89b (round 9
+    * retired q89's separate ntile-window plan — its window partitioned by
+    * the THREE-value returnflag, so parallelism capped at 3 tasks and each
+    * task's sort grew super-linearly; the sf3 probe measured 4.3× for 3×
+    * data. The retired plan survives as EquidepthSpec's pinned
+    * counterexample, proven row-identical to this form there).
+    *
+    * Exact ntile(8) semantics WITHOUT the few-task ceiling: a RANGE
+    * exchange distributes the total order across many partitions
+    * (Corpus.globalIndex — per-partition sorts + zipWithIndex offsets),
+    * then ntile's remainder-first bucket assignment is recovered in
+    * CLOSED FORM from (per-group index, group size): the first n%8
+    * buckets get ⌈n/8⌉ rows, the rest ⌊n/8⌋, in order. The group-offset
+    * window runs over the 3-row group-count aggregate (bounded by key
+    * cardinality, PlanAuditSpec-allowlisted). */
+  private[queries] def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Corpus
+    val base = Tables.lineitem(s, d).select(
+      col("l_returnflag"), col("l_extendedprice"),
+      col("l_orderkey"), col("l_linenumber"))
+    val idxed = Corpus.globalIndex(base,
+      Seq(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber")),
+      numPartitions = 16, indexName = "gidx")
+    val offs = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("grp_n"))
+      .withColumn("off", coalesce(
+        sum(col("grp_n")).over(Window.orderBy(col("l_returnflag"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    idxed.join(broadcast(offs), Seq("l_returnflag"))
+      .withColumn("idx", col("gidx") - col("off"))
+      .withColumn("bucket", expr("""
+        CAST(CASE WHEN idx < (grp_n % 8) * (grp_n DIV 8 + 1)
+          THEN idx DIV (grp_n DIV 8 + 1)
+          ELSE (grp_n % 8) + (idx - (grp_n % 8) * (grp_n DIV 8 + 1)) DIV (grp_n DIV 8)
+        END + 1 AS INT)"""))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        r2(min(col("l_extendedprice"))).as("lo"),
+        r2(max(col("l_extendedprice"))).as("hi"))
   }
 }

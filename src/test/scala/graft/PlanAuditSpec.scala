@@ -26,8 +26,11 @@ class PlanAuditSpec extends SparkSpec {
       "q131_pareto_frontier" -> 1,
       "q154_sketch_wau" -> 1,
       "q74_vocab_coverage" -> 1,
-      // q89b: the group-offset running sum runs over the 3-row
-      // per-returnflag count aggregate (bounded by the key cardinality)
+      // q89/q89b: the group-offset running sum runs over the 3-row
+      // per-returnflag count aggregate (bounded by the key cardinality).
+      // q89 joined the allowlist in round 9 when its ntile plan was
+      // retired and it was re-pointed at q89b's closed-form plan.
+      "q89_equidepth_histogram" -> 1,
       "q89b_equidepth_scalable" -> 1,
       // q191: block-offset running sum over the n/65536-row block-sum
       // aggregate (the second level of the two-level prefix scan —
