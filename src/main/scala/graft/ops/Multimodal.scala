@@ -130,6 +130,136 @@ object Multimodal {
     * stub: bandBits=16 is exact-hash blocking, bandBits=8 tolerates
     * flips confined to one byte. A real decode's 64-bin feature gives 4
     * bands of 16 bits. */
+  // ---------------------------------------------------------------------
+  // REAL codec path (round 9): PNG via javax.imageio — pure JVM, no native
+  // deps. The stub path above stays for the original q28/q151 rows; this
+  // path runs an actual encode→decode round trip so the mapPartitions
+  // codec boundary carries a real codec, not a fake.
+  //
+  // The image CONTENT is a deterministic closed-form function of doc_id
+  // (synthGray below) — that formula, not the decoder, is what the DuckDB
+  // oracle evaluates, so a green row proves the decoded pixels equal
+  // ground truth without the oracle ever parsing a PNG (the q122/q170
+  // parser-vs-truth discipline applied to a binary codec).
+  // ---------------------------------------------------------------------
+
+  /** Ground-truth synthesis formula, shared verbatim by the Spark encode
+    * path and the DuckDB oracle SQL (CatalogNorthStar q227/q228):
+    *   cluster = doc_id % 128   (planted near-dup family)
+    *   shift   = doc_id % 5    (within-family perturbation)
+    *   width   = 16 + cluster % 9,  height = 16 + cluster % 7
+    *   gray(x, y) = (cluster·37 + x·7 + y·13) % 240 + shift  ∈ [0, 244]
+    * A uniform intensity shift leaves the block-vs-global mean comparison
+    * invariant (both sides gain shift·npix), so family members share the
+    * EXACT 64-bit aHash — planted recall is a theorem, not luck. The
+    * 128-family modulus is a FIXTURE dial (density of planted dups); the
+    * operator's scale mechanism is the 2^16-bucket band join below. */
+  def synthDims(docId: Long): (Int, Int, Int, Int) = {
+    val cl = (docId % 128).toInt
+    (cl, (docId % 5).toInt, 16 + cl % 9, 16 + cl % 7)
+  }
+  def synthGray(cluster: Int, shift: Int, x: Int, y: Int): Int =
+    (cluster * 37 + x * 7 + y * 13) % 240 + shift
+
+  case class PngRecord(doc_id: Long, png: Array[Byte])
+
+  case class PngStats(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_pix: Long,
+      hist: Array[Long], // 16-bin gray histogram (g/16), exact counts
+      bands: Array[Long]) // 64-bit block aHash as 4×16-bit bands (lo→hi)
+
+  /** Render + PNG-ENCODE the synthetic image per doc: a real ImageIO
+    * write of a TYPE_BYTE_GRAY raster (lossless, deterministic bytes for
+    * a given JVM). mapPartitions is the codec boundary: encoder state and
+    * the in-memory buffer live once per partition, payloads never touch
+    * the driver. */
+  def encodePng(docs: DataFrame): Dataset[PngRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache on executors
+      it.map { id =>
+        val (cl, sh, w, h) = synthDims(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, synthGray(cl, sh, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream(w * h + 128)
+        require(javax.imageio.ImageIO.write(img, "png", out),
+          s"no PNG writer available for doc $id")
+        PngRecord(id, out.toByteArray)
+      }
+    }
+  }
+
+  /** REAL decode: ImageIO.read the PNG bytes back to a raster and compute
+    * integer-exact stats from the DECODED samples — dims, the 16-bin gray
+    * histogram, and the 8×8 block aHash. All arithmetic is exact Long:
+    * bit (j·8+i) is set iff blockSum·totalPix > totalSum·blockPix (cross-
+    * multiplied block-mean vs global-mean — no division, no float), with
+    * pixel→block binning i = x·8/w, j = y·8/h. The 64 bits emit as four
+    * 16-bit band keys (lo→hi) so the oracle never needs a signed-bit-63
+    * shift and the near-dup join gets its banding keys for free. A
+    * corrupt/undecodable payload FAILS the task (null from ImageIO.read)
+    * rather than emitting zeros that would near-dup-match every other
+    * broken record — the perceptualHash rule. */
+  def decodePngStats(pngs: Dataset[PngRecord]): Dataset[PngStats] = {
+    import pngs.sparkSession.implicits._
+    pngs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.png))
+        require(img != null, s"undecodable PNG payload for doc ${rec.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val hist = new Array[Long](16)
+        val bSum = new Array[Long](64)
+        val bPix = new Array[Long](64)
+        var tSum = 0L
+        var y = 0
+        while (y < h) {
+          val j = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val g = raster.getSample(x, y, 0)
+            val b = j * 8 + x * 8 / w
+            hist(g / 16) += 1
+            bSum(b) += g
+            bPix(b) += 1
+            tSum += g
+            x += 1
+          }
+          y += 1
+        }
+        val nPix = w.toLong * h
+        val bands = new Array[Long](4)
+        var b = 0
+        while (b < 64) {
+          if (bSum(b) * nPix > tSum * bPix(b))
+            bands(b / 16) |= 1L << (b % 16)
+          b += 1
+        }
+        PngStats(rec.doc_id, w, h, nPix, hist, bands)
+      }
+    }
+  }
+
+  /** documents → synth PNG → real decode → stats, as one DataFrame (the
+    * q227 body; also the q228 input). */
+  def pngPipeline(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodePngStats(encodePng(docs)).toDF()
+
   def nearDupPairs(hashed: DataFrame, featureDim: Int = 16, maxL1: Double = 0.1,
       bandBits: Int = 16): DataFrame = {
     require(featureDim >= 1 && featureDim <= 64, s"featureDim must be in [1,64], got $featureDim")

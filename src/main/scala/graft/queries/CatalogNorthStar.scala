@@ -332,6 +332,145 @@ private[queries] object CatalogNorthStar {
         hex(substr(text, 1, 8)::BLOB) AS head8_hex
       FROM documents"""))
 
+  /** REAL image decode, oracle-checked end to end (round 9 — the q151
+    * stub's graduation): per doc a deterministic grayscale image is
+    * rendered from the closed-form `Multimodal.synthGray` formula,
+    * PNG-ENCODED with javax.imageio, then PNG-DECODED back inside the
+    * mapPartitions codec boundary, and the emitted stats — dims, exact
+    * 16-bin gray histogram, 8×8 block aHash as four 16-bit bands — are
+    * computed from the DECODED raster samples. The DuckDB twin recomputes
+    * every stat from the FORMULA (expanded via range() grids): the oracle
+    * never parses a PNG, so a green row proves the whole codec round trip
+    * recovers ground-truth pixels exactly (PNG is lossless; the
+    * q122/q170 parser-vs-truth discipline applied to a binary codec).
+    * All hash arithmetic is exact integer cross-multiplication
+    * (blockSum·totalPix > totalSum·blockPix) — no float mean, no signed
+    * bit-63 shift (the hash emits as 4 bands). Scale: pure map over the
+    * corpus; codec state per partition; payloads never hit the driver. */
+  private val q227 = Q(
+    "q227_png_decode",
+    (s, d) => {
+      val st = graft.ops.Multimodal.pngPipeline(s,
+        spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id"))
+      st.select(col("doc_id"), col("width"), col("height"), col("n_pix"),
+        array_join(transform(col("hist"), x => x.cast("string")), "|").as("hist"),
+        element_at(col("bands"), 1).as("band0"),
+        element_at(col("bands"), 2).as("band1"),
+        element_at(col("bands"), 3).as("band2"),
+        element_at(col("bands"), 4).as("band3"))
+    },
+    Some(s"""
+      WITH $pngStatsCtes
+      SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        CAST(d.w * d.h AS BIGINT) AS n_pix, hist.hist,
+        bands.band0, bands.band1, bands.band2, bands.band3
+      FROM dims d JOIN hist USING (doc_id) JOIN bands USING (doc_id)"""))
+
+  /** Perceptual near-dup over REAL decoded pixels (q151's banded shape on
+    * the q227 codec path): candidates share one 16-bit band of the
+    * 64-bit block aHash AND the exact dims, verified by integer L1 over
+    * the decoded 16-bin histograms (l1·2 ≤ n_pix). The synthesis formula
+    * plants families (doc_id % 128) whose members differ by a UNIFORM
+    * intensity shift — which provably leaves every block-vs-global
+    * comparison invariant (both sides gain shift·npix), so family members
+    * share the exact hash and planted recall is structural, not
+    * empirical (pinned in MultimodalSpec). The family modulus is a
+    * fixture-density dial; the operator's scale mechanism is the banded
+    * join itself — 2^16 buckets per band, worst-case Θ(n²/2^16)
+    * candidates before the L1 verify, exactly the SimHash/q151 banding
+    * economics. The oracle recomputes hash + histograms from the formula
+    * and replays the same band join + L1 — no codec trust. */
+  private val q228 = Q(
+    "q228_png_neardup",
+    (s, d) => {
+      val st = graft.ops.Multimodal.pngPipeline(s,
+        spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id"))
+      def side(tag: String) = st
+        .select(col("doc_id").as(s"id_$tag"), col("width"), col("height"),
+          col("n_pix").as(s"np_$tag"), col("hist").as(s"h_$tag"),
+          posexplode(col("bands")))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "key")
+      val l1 = aggregate(
+        zip_with(col("h_a"), col("h_b"), (x, y) => abs(x - y)),
+        lit(0L), (acc, x) => acc + x)
+      side("a").join(side("b"), Seq("band", "key", "width", "height"))
+        .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b") // several shared bands, one pair
+        .withColumn("l1", l1)
+        .filter(col("l1") * 2 <= col("np_a"))
+        .select(col("id_a"), col("id_b"), col("l1"))
+    },
+    Some(s"""
+      WITH $pngStatsCtes,
+      hg AS (
+        SELECT d.doc_id, r.range AS bin, coalesce(hb.c, 0) AS c
+        FROM dims d CROSS JOIN range(0, 16) r
+        LEFT JOIN hb ON hb.doc_id = d.doc_id AND hb.bin = r.range),
+      bandrows AS (
+        SELECT doc_id, w, h, b.band, CASE b.band
+          WHEN 0 THEN band0 WHEN 1 THEN band1
+          WHEN 2 THEN band2 ELSE band3 END AS key
+        FROM bands JOIN dims USING (doc_id)
+        CROSS JOIN (SELECT range AS band FROM range(0, 4)) b),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.w, a.h
+        FROM bandrows a JOIN bandrows b
+          ON a.band = b.band AND a.key = b.key
+          AND a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id),
+      pairl1 AS (
+        SELECT c.id_a, c.id_b, c.w, c.h,
+          CAST(sum(abs(ha.c - hbb.c)) AS BIGINT) AS l1
+        FROM cand c
+        JOIN hg ha ON ha.doc_id = c.id_a
+        JOIN hg hbb ON hbb.doc_id = c.id_b AND hbb.bin = ha.bin
+        GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b, l1 FROM pairl1 WHERE l1 * 2 <= w * h"""))
+
+  /** The q227/q228 ground-truth CTE stack: the `Multimodal.synthGray`
+    * formula expanded to pixels via bounded range() grids (max dims
+    * 24×22), then histogram / block-sum / band arithmetic — all exact
+    * integers, evaluated by DuckDB with no image machinery. */
+  private lazy val pngStatsCtes: String = """dims AS (
+        SELECT doc_id, doc_id % 128 AS cl, doc_id % 5 AS sh,
+          16 + (doc_id % 128) % 9 AS w, 16 + (doc_id % 128) % 7 AS h
+        FROM documents),
+      px AS (
+        SELECT d.doc_id, d.w, d.h, x.range AS x, y.range AS y,
+          (d.cl * 37 + x.range * 7 + y.range * 13) % 240 + d.sh AS g
+        FROM dims d CROSS JOIN range(0, 24) x CROSS JOIN range(0, 22) y
+        WHERE x.range < d.w AND y.range < d.h),
+      hb AS (SELECT doc_id, g // 16 AS bin, count(*) AS c FROM px GROUP BY 1, 2),
+      hist AS (
+        SELECT d.doc_id,
+          array_to_string(array_agg(CAST(coalesce(hb.c, 0) AS VARCHAR)
+            ORDER BY r.range), '|') AS hist
+        FROM dims d CROSS JOIN range(0, 16) r
+        LEFT JOIN hb ON hb.doc_id = d.doc_id AND hb.bin = r.range
+        GROUP BY 1),
+      blk AS (
+        SELECT doc_id, (y * 8) // h * 8 + (x * 8) // w AS bit,
+          CAST(sum(g) AS BIGINT) AS bsum, count(*) AS bpix
+        FROM px GROUP BY 1, 2),
+      tot AS (
+        SELECT doc_id, CAST(sum(g) AS BIGINT) AS tsum, count(*) AS tpix
+        FROM px GROUP BY 1),
+      bands AS (
+        SELECT b.doc_id,
+          CAST(sum(CASE WHEN bit // 16 = 0
+            AND b.bsum * t.tpix > t.tsum * b.bpix
+            THEN 1 << (bit % 16) ELSE 0 END) AS BIGINT) AS band0,
+          CAST(sum(CASE WHEN bit // 16 = 1
+            AND b.bsum * t.tpix > t.tsum * b.bpix
+            THEN 1 << (bit % 16) ELSE 0 END) AS BIGINT) AS band1,
+          CAST(sum(CASE WHEN bit // 16 = 2
+            AND b.bsum * t.tpix > t.tsum * b.bpix
+            THEN 1 << (bit % 16) ELSE 0 END) AS BIGINT) AS band2,
+          CAST(sum(CASE WHEN bit // 16 = 3
+            AND b.bsum * t.tpix > t.tsum * b.bpix
+            THEN 1 << (bit % 16) ELSE 0 END) AS BIGINT) AS band3
+        FROM blk b JOIN tot t USING (doc_id) GROUP BY 1)"""
+
   /** J6 — the multi-source attractiveness gold join (README.md:84-85,107):
     * master dim LEFT-joins three independently-aggregated score sources
     * (orders via customer, lineitem revenue via supplier, events "trend"
@@ -940,5 +1079,5 @@ private[queries] object CatalogNorthStar {
   private[queries] val all: Seq[Q] = Seq(
     q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q31b, q32, q33,
-    q34, q35, q36, q200, q210, q224)
+    q34, q35, q36, q200, q210, q224, q227, q228)
 }
