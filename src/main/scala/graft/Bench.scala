@@ -27,6 +27,85 @@ object Bench {
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** SPARK_GRAFT_FORK=true: per-query FORKED-JVM sweep. Motivation
+    * (round 8): an in-JVM 230-query sweep measures sweep-context, not the
+    * plan — codegen/broadcast-cache pressure from the preceding ~200
+    * compiled plans inflated individual entries 2.5–5× in committed
+    * artifacts (q46/q164b), and the GC-settle flag cannot clear it
+    * because it isn't heap. Each query here runs in a FRESH child JVM
+    * (same classpath/JVM flags/env, SPARK_GRAFT_ONLY=<query>), which is
+    * BY CONSTRUCTION the isolated-median methodology the per-query
+    * numbers in BASELINE.md were always quoted with — so a fork-mode
+    * artifact needs no isolated-re-measurement footnotes, ever. Each
+    * child still does its own table + codegen warm-up pass, so JVM cold
+    * start stays untimed. Cost: ~10–15 s session startup per query —
+    * a sweep takes ~1 h instead of ~3 min; use it for COMMITTED
+    * artifacts, not iteration. Requires a real `java -cp` launch (under
+    * sbt's layered classloader java.class.path lacks the project
+    * classes, so fork mode refuses to start rather than fork broken
+    * children). */
+  private def forkedSweep(names: Seq[String], sfDir: String): Unit = {
+    val cp = System.getProperty("java.class.path")
+    require(cp.split(java.io.File.pathSeparator).exists(_.contains("classes")),
+      "fork mode needs a direct `java -cp target/scala-2.13/classes:...` launch; " +
+        s"current classpath has no project classes: $cp")
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    names.zipWithIndex.foreach { case (name, i) =>
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp"); cmd.add(cp); cmd.add("graft.Bench")
+      val pb = new ProcessBuilder(cmd)
+      pb.environment.put("SPARK_GRAFT_ONLY", name)
+      pb.environment.remove("SPARK_GRAFT_FORK")
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      // stdout → file, so a hung child can't deadlock us on a full pipe
+      // and waitFor's timeout stays the only liveness dependency
+      val outFile = java.io.File.createTempFile(s"bench-fork-$name-", ".json")
+      outFile.deleteOnExit()
+      pb.redirectOutput(outFile)
+      val t0 = System.nanoTime()
+      val proc = pb.start()
+      // bound a hung child (a query 10× slower than the slowest known one
+      // is a hang, not a measurement) without leaving orphans
+      val finished = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) { proc.destroyForcibly(); proc.waitFor() }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val stdout = new String(
+        java.nio.file.Files.readAllBytes(outFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      outFile.delete()
+      val line = stdout.linesIterator.toSeq.lastOption.getOrElse("")
+      val time = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.Ee+-]+)").r
+        .findFirstMatchIn(line).map(_.group(1).toDouble)
+      time match {
+        case Some(t) if t >= 0 && finished && proc.exitValue == 0 =>
+          out(name) = t
+          System.err.println(
+            f"[bench-fork] ${i + 1}/${names.size} $name: $t%.3f s (child wall $wall%.0f s)")
+        case _ =>
+          val why =
+            if (!finished) "child timed out after 30 min"
+            else s"child exit ${proc.exitValue}, last line: ${line.take(160)}"
+          errors(name) = why
+          out(name) = -1.0
+          System.err.println(s"[bench-fork] ${i + 1}/${names.size} $name FAILED: $why")
+      }
+    }
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\p{Cntrl}]", " ") + "\""
+    val qs = out.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = out.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"forked","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,6 +124,10 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }).filter { case (n, _) => !skip(n) }
+    if (sys.env.get("SPARK_GRAFT_FORK").contains("true")) {
+      forkedSweep(selected.keys.toSeq.sorted, sfDir)
+      return
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+/** Streaming-pillar benchmark (round 9): every streaming operator was
+  * spec-green but had NO scale numbers — the only pillar with zero bench
+  * evidence. This main replays the events fixture as a REAL file-source
+  * stream (the bronze-landing shape `Events.readEventStream` serves): the
+  * table is split into `Chunks` event-id-range parquet files (event_id is
+  * monotone with ts, so chunks arrive in event-time order, like a landing
+  * directory fed by an upstream producer), and each pipeline consumes them
+  * one file per micro-batch under `Trigger.AvailableNow`.
+  *
+  * Measured per pipeline, from `StreamingQueryProgress` (the engine's own
+  * instrumentation — no bespoke counters):
+  *  - rows/sec  = Σ numInputRows / wall seconds of the query run;
+  *  - batches   = number of non-empty micro-batches;
+  *  - state_rows_max / state_bytes_max = max over batches of the state
+  *    operator's numRowsTotal / memoryUsedBytes — the executor-memory
+  *    number that decides whether a watermark/TTL policy actually bounds
+  *    state at 100 TB (the figures BASELINE.md quotes at two SFs).
+  *
+  * Pipelines: sessionizeEventTime (flatMapGroupsWithState + event-time
+  * timeout), dedupDeliveries (dropDuplicatesWithinWatermark),
+  * tumblingCounts (watermarked window aggregate), upsertSink
+  * (foreachBatch latest-wins parquet target). Output: ONE JSON line.
+  */
+object StreamBench {
+  private val Chunks = 20
+
+  private class ProgressTap extends StreamingQueryListener {
+    case class P(rows: Long, stateRows: Long, stateBytes: Long)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[P]()
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val (sr, sb) = p.stateOperators.foldLeft((0L, 0L)) { (acc, so) =>
+        (acc._1 + so.numRowsTotal, acc._2 + so.memoryUsedBytes)
+      }
+      if (p.numInputRows > 0 || sr > 0)
+        batches.add(P(p.numInputRows, sr, sb))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val work = java.nio.file.Files.createTempDirectory("streambench").toFile
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // Landing directory: the events table as Chunks time-ordered files
+    // (range partition on the monotone event_id → part-00000 is the
+    // earliest slice, so the file stream replays event time forward and
+    // watermarks advance batch over batch, exercising state EVICTION, not
+    // just growth).
+    val landing = new java.io.File(work, "landing").getPath
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.repartitionByRange(Chunks, col("event_id"))
+      .write.mode("overwrite").parquet(landing)
+    val nRows = spark.read.parquet(landing).count()
+
+    val tap = new ProgressTap
+    spark.streams.addListener(tap)
+
+    def stream() = graft.streaming.Events.readEventStream(
+      spark, landing, Map("maxFilesPerTrigger" -> "1"))
+    def evStream() = stream()
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[graft.streaming.Events.Ev]
+
+    def run(name: String)(start: (String, String) => org.apache.spark.sql.streaming.StreamingQuery): (String, String) = {
+      tap.batches.clear()
+      val ckpt = new java.io.File(work, s"ckpt_$name").getPath
+      val target = new java.io.File(work, s"target_$name").getPath
+      val t0 = System.nanoTime()
+      val q = start(ckpt, target)
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener bus is async: poll until the batch count settles
+      var prev = -1; var spins = 0
+      while (spins < 40 && tap.batches.size != prev) {
+        prev = tap.batches.size; Thread.sleep(50); spins += 1
+      }
+      import scala.jdk.CollectionConverters._
+      val ps = tap.batches.asScala.toSeq
+      val rows = ps.map(_.rows).sum
+      val json =
+        s"""{"rows":$rows,"wall_s":${math.round(wall * 1000) / 1000.0},""" +
+        s""""rows_per_s":${math.round(rows / wall)},"batches":${ps.size},""" +
+        s""""state_rows_max":${(0L +: ps.map(_.stateRows)).max},""" +
+        s""""state_bytes_max":${(0L +: ps.map(_.stateBytes)).max}}"""
+      System.err.println(s"[streambench] $name: $json")
+      name -> json
+    }
+
+    val results = Seq(
+      run("sessionize_event_time") { (ckpt, _) =>
+        graft.streaming.Events.sessionizeEventTime(evStream(), gapMs = 3600000L)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .format("noop").start()
+      },
+      run("dedup_deliveries") { (ckpt, _) =>
+        graft.streaming.Events.dedupDeliveries(stream())
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .format("noop").start()
+      },
+      run("tumbling_counts") { (ckpt, _) =>
+        graft.streaming.Events.tumblingCounts(stream(), "1 hour")
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .format("noop").start()
+      },
+      // upsertSink's body (applyUpsertBatch) with an explicit
+      // AvailableNow trigger so the run terminates — same machinery,
+      // bench-controllable lifecycle. "State" here is the parquet
+      // target, not a state store, so state_* report 0.
+      run("upsert_sink") { (ckpt, target) =>
+        stream().writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.streaming.Events.applyUpsertBatch(
+              batch, id, target, Seq("user_id"), Seq("ts", "event_id"))
+          }
+          .start()
+      })
+
+    spark.streams.removeListener(tap)
+    val body = results.map { case (k, v) => s"\"$k\":$v" }.mkString(",")
+    println(s"""{"metric":"stream","unit":"rows_per_s","input_rows":$nRows,"chunks":$Chunks,$body,"sf":"$sfDir"}""")
+    spark.stop()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(work)
+  }
+}

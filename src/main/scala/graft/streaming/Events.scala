@@ -33,7 +33,9 @@ object Events {
     * README.md:80-83). Same ns→µs timestamp handling as the batch reader
     * (`Tables.events`); explicit schema (ts as long nanos) because
     * streaming sources cannot infer. */
-  def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  def readEventStream(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A file stream needs an explicit schema; take it from the files
@@ -55,7 +57,11 @@ object Events {
           StructField("event_type", StringType),
           StructField("value", DoubleType),
           StructField("props", StringType))))
-    val stream = spark.readStream.schema(fileSchema).parquet(dir)
+    // sourceOptions: file-source knobs (e.g. maxFilesPerTrigger=1 to
+    // replay a landing dir one file per micro-batch — StreamBench's
+    // throughput/state-size methodology)
+    val stream = spark.readStream.schema(fileSchema)
+      .options(sourceOptions).parquet(dir)
     fileSchema("ts").dataType match {
       case LongType =>
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
