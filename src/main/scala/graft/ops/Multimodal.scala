@@ -260,6 +260,198 @@ object Multimodal {
   def pngPipeline(spark: SparkSession, docs: DataFrame): DataFrame =
     decodePngStats(encodePng(docs)).toDF()
 
+  // ---------------------------------------------------------------------
+  // REAL audio codec: WAV (RIFF/PCM) via javax.sound.sampled — the same
+  // formula-oracle discipline as the PNG path, on the second modality.
+  // ---------------------------------------------------------------------
+
+  /** Ground-truth audio formula, shared with the q229 oracle SQL:
+    *   n_samples = 2000 + doc_id % 1000          (16-bit mono PCM, 8 kHz)
+    *   sample(i) = ((doc_id % 97)·31 + i·17) % 20001 − 10000  ∈ [−10000, 10000]
+    */
+  def synthWavLen(docId: Long): Int = 2000 + (docId % 1000).toInt
+  def synthSample(docId: Long, i: Int): Int =
+    (((docId % 97) * 31 + i.toLong * 17) % 20001).toInt - 10000
+
+  case class WavRecord(doc_id: Long, wav: Array[Byte])
+
+  case class WavStats(
+      doc_id: Long,
+      n_samples: Long,
+      peak: Long, // max |s|
+      sum_abs: Long, // Σ|s| (exact L1 energy)
+      energy: Long, // Σ s² (exact; ≤ 3000·10^8 ≪ 2^63)
+      zero_crossings: Long) // # of strict sign changes (s_{i-1}·s_i < 0)
+
+  /** Render + WAV-ENCODE the synthetic PCM per doc: a real
+    * AudioSystem.write of a signed 16-bit little-endian mono stream
+    * (RIFF/WAVE is a lossless PCM container, deterministic bytes). Same
+    * mapPartitions codec-boundary contract as [[encodePng]]. */
+  def encodeWav(docs: DataFrame): Dataset[WavRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+      it.map { id =>
+        val n = synthWavLen(id)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = synthSample(id, i)
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream(pcm.length + 64)
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        WavRecord(id, out.toByteArray)
+      }
+    }
+  }
+
+  /** REAL decode: AudioSystem parses the RIFF container back to the PCM
+    * stream; stats are exact integers over the DECODED samples (peak, L1,
+    * energy, strict zero crossings). The header is VALIDATED, not assumed
+    * — an unexpected format fails the task rather than mis-decoding, and
+    * a corrupt payload throws (the perceptualHash rule: broken media must
+    * fail loudly, never alias to silence). */
+  def decodeWavStats(wavs: Dataset[WavRecord]): Dataset[WavStats] = {
+    import wavs.sparkSession.implicits._
+    wavs.mapPartitions { it =>
+      it.map { rec =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(rec.wav))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian && fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"doc ${rec.doc_id}: unexpected WAV format $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var peak = 0L; var sumAbs = 0L; var energy = 0L; var zc = 0L
+        var prev = 0
+        var i = 0
+        while (i < n) {
+          // sign-extended little-endian int16
+          val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i).toInt & 0xff)
+          val a = math.abs(s).toLong
+          if (a > peak) peak = a
+          sumAbs += a
+          energy += s.toLong * s
+          if (i > 0 && prev.toLong * s < 0) zc += 1
+          prev = s
+          i += 1
+        }
+        WavStats(rec.doc_id, n.toLong, peak, sumAbs, energy, zc)
+      }
+    }
+  }
+
+  /** documents → synth WAV → real decode → stats (the q229 body). */
+  def wavPipeline(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeWavStats(encodeWav(docs)).toDF()
+
+  // ---------------------------------------------------------------------
+  // REAL video-shaped path: a length-prefixed container of PNG FRAMES +
+  // strided frame sampling with actual per-frame decode — the third
+  // modality. Real video containers are box/atom structures; the
+  // length-prefix container keeps the essential shape (you cannot reach
+  // frame k without walking the prefix structure) while every frame is a
+  // genuine PNG the codec must decode.
+  // ---------------------------------------------------------------------
+
+  /** Ground-truth video formula (q230 oracle SQL mirrors it):
+    *   n_frames = 4 + doc_id % 5,   each frame 16×8 gray
+    *   g(f, x, y) = (doc_id·13 + f·29 + x·7 + y·3) % 251
+    */
+  def synthFrameCount(docId: Long): Int = 4 + (docId % 5).toInt
+  def synthFrameGray(docId: Long, f: Int, x: Int, y: Int): Int =
+    ((docId * 13 + f * 29 + x * 7 + y * 3) % 251).toInt
+  val FrameW = 16
+  val FrameH = 8
+
+  case class VideoRecord(doc_id: Long, container: Array[Byte], n_frames: Int)
+
+  case class FrameStats(doc_id: Long, n_frames: Int, frame_idx: Int, frame_sum: Long)
+
+  /** Build the container: [int32 BE length][PNG bytes] per frame. */
+  def encodeVideo(docs: DataFrame): Dataset[VideoRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val nf = synthFrameCount(id)
+        val out = new java.io.ByteArrayOutputStream(nf * (FrameW * FrameH + 128))
+        val dos = new java.io.DataOutputStream(out)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(
+            FrameW, FrameH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < FrameH) {
+            var x = 0
+            while (x < FrameW) {
+              raster.setSample(x, y, 0, synthFrameGray(id, f, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val frame = new java.io.ByteArrayOutputStream(FrameW * FrameH + 128)
+          require(javax.imageio.ImageIO.write(img, "png", frame),
+            s"no PNG writer for doc $id frame $f")
+          dos.writeInt(frame.size())
+          frame.writeTo(dos)
+          f += 1
+        }
+        VideoRecord(id, out.toByteArray, nf)
+      }
+    }
+  }
+
+  /** Strided frame sampling with REAL decode: walk the length-prefixed
+    * container, decode every `stride`-th frame with ImageIO, and emit the
+    * frame's exact intensity sum. Skipped frames are never decoded — only
+    * SKIPPED OVER via their length prefix, which is the point of frame
+    * sampling (decode cost ∝ sampled frames, container walk ∝ frames). */
+  def sampleFrames(videos: Dataset[VideoRecord], stride: Int = 2): Dataset[FrameStats] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import videos.sparkSession.implicits._
+    videos.flatMap { rec =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(rec.container))
+      (0 until rec.n_frames).flatMap { f =>
+        val len = in.readInt()
+        if (f % stride != 0) {
+          in.skipNBytes(len.toLong) // sampling: skip, don't decode
+          None
+        } else {
+          val buf = in.readNBytes(len)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(buf))
+          require(img != null, s"undecodable frame $f for doc ${rec.doc_id}")
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          Some(FrameStats(rec.doc_id, rec.n_frames, f, sum))
+        }
+      }
+    }
+  }
+
+  /** documents → synth video container → strided real decode (q230 body). */
+  def videoPipeline(spark: SparkSession, docs: DataFrame, stride: Int = 2): DataFrame =
+    sampleFrames(encodeVideo(docs), stride).toDF()
+
   def nearDupPairs(hashed: DataFrame, featureDim: Int = 16, maxL1: Double = 0.1,
       bandBits: Int = 16): DataFrame = {
     require(featureDim >= 1 && featureDim <= 64, s"featureDim must be in [1,64], got $featureDim")

@@ -379,7 +379,11 @@ private[queries] object CatalogNorthStar {
     * join itself — 2^16 buckets per band, worst-case Θ(n²/2^16)
     * candidates before the L1 verify, exactly the SimHash/q151 banding
     * economics. The oracle recomputes hash + histograms from the formula
-    * and replays the same band join + L1 — no codec trust. */
+    * and replays the same band join + L1 — no codec trust. Plan note:
+    * the catalog row recomputes the decode on both join sides to stay
+    * self-contained; a production near-dup pass materializes the stats
+    * table ONCE (the q137b/q182 persisted-artifact pattern) and
+    * self-joins that, so the codec runs n times, not 2n. */
   private val q228 = Q(
     "q228_png_neardup",
     (s, d) => {
@@ -426,6 +430,71 @@ private[queries] object CatalogNorthStar {
         JOIN hg hbb ON hbb.doc_id = c.id_b AND hbb.bin = ha.bin
         GROUP BY 1, 2, 3, 4)
       SELECT id_a, id_b, l1 FROM pairl1 WHERE l1 * 2 <= w * h"""))
+
+  /** REAL audio decode, oracle-checked end to end — the q227 discipline
+    * on the SECOND modality: per doc a deterministic 16-bit mono PCM
+    * signal is rendered from the closed-form `Multimodal.synthSample`
+    * formula, WAV-ENCODED with javax.sound.sampled (RIFF/PCM is a
+    * lossless container), then DECODED back inside the mapPartitions
+    * codec boundary; the emitted stats — sample count, peak, L1 sum,
+    * energy Σs², strict zero crossings — are exact integers over the
+    * DECODED samples. The DuckDB twin expands the formula through a
+    * range() grid and a lag window: the oracle never parses a RIFF
+    * header, so a green row proves the audio round trip recovers the
+    * waveform bit-exactly. Pure map over the corpus, codec state per
+    * partition. */
+  private val q229 = Q(
+    "q229_wav_decode",
+    (s, d) => graft.ops.Multimodal.wavPipeline(s,
+      spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")),
+    Some("""
+      WITH n AS (SELECT doc_id, 2000 + doc_id % 1000 AS n FROM documents),
+      smp AS (
+        SELECT n.doc_id, n.n, i.range AS i,
+          ((n.doc_id % 97) * 31 + i.range * 17) % 20001 - 10000 AS s
+        FROM n CROSS JOIN range(0, 3000) i WHERE i.range < n.n),
+      lagd AS (
+        SELECT doc_id, n, s,
+          lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+        FROM smp)
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+        CAST(max(abs(s)) AS BIGINT) AS peak,
+        CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        CAST(sum(s * s) AS BIGINT) AS energy,
+        CAST(sum(CASE WHEN ps IS NOT NULL AND ps * s < 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM lagd GROUP BY 1"""))
+
+  /** REAL frame sampling over a video-shaped container — the third
+    * modality on the q227 discipline: per doc a length-prefixed container
+    * of genuine PNG FRAMES (16×8, pixel formula `Multimodal.synthFrameGray`)
+    * is built, then every 2nd frame is ACTUALLY DECODED (skipped frames
+    * are skipped via their length prefix, never decoded — decode cost ∝
+    * sampled frames, the point of sampling) and its exact intensity sum
+    * emitted. The DuckDB twin expands the formula over (frame, x, y)
+    * range grids with the same stride filter: the oracle never walks the
+    * container, so a green row proves both the container framing and the
+    * per-frame codec recover ground truth. Pure flatMap over the corpus,
+    * ≤ ⌈8/2⌉ rows out per doc. */
+  private val q230 = Q(
+    "q230_video_frames",
+    (s, d) => graft.ops.Multimodal.videoPipeline(s,
+      spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")),
+    Some("""
+      WITH nf AS (
+        SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS n_frames FROM documents),
+      fr AS (
+        SELECT doc_id, n_frames, f.range AS frame_idx
+        FROM nf CROSS JOIN range(0, 8) f
+        WHERE f.range < n_frames AND f.range % 2 = 0),
+      px AS (
+        SELECT fr.doc_id, fr.n_frames, fr.frame_idx,
+          (fr.doc_id * 13 + fr.frame_idx * 29 + x.range * 7 + y.range * 3) % 251
+            AS g
+        FROM fr CROSS JOIN range(0, 16) x CROSS JOIN range(0, 8) y)
+      SELECT doc_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
+        CAST(sum(g) AS BIGINT) AS frame_sum
+      FROM px GROUP BY 1, 2, 3"""))
 
   /** The q227/q228 ground-truth CTE stack: the `Multimodal.synthGray`
     * formula expanded to pixels via bounded range() grids (max dims
@@ -1079,5 +1148,5 @@ private[queries] object CatalogNorthStar {
   private[queries] val all: Seq[Q] = Seq(
     q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q31b, q32, q33,
-    q34, q35, q36, q200, q210, q224, q227, q228)
+    q34, q35, q36, q200, q210, q224, q227, q228, q229, q230)
 }

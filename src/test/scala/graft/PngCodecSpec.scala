@@ -49,6 +49,50 @@ class PngCodecSpec extends SparkSpec {
     }
   }
 
+  test("WAV encode is deterministic and decode recovers the exact waveform") {
+    val recs = Multimodal.encodeWav(docs.limit(64)).collect()
+    val again = Multimodal.encodeWav(docs.limit(64)).collect()
+      .map(r => r.doc_id -> r.wav.toSeq).toMap
+    recs.foreach { rec =>
+      assert(rec.wav.toSeq == again(rec.doc_id),
+        s"doc ${rec.doc_id}: WAV bytes differ between runs")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(rec.wav))
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      assert(n == Multimodal.synthWavLen(rec.doc_id),
+        s"doc ${rec.doc_id}: $n samples decoded")
+      for (i <- 0 until n) {
+        val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i).toInt & 0xff)
+        assert(s == Multimodal.synthSample(rec.doc_id, i),
+          s"doc ${rec.doc_id}: sample $i decoded != ground truth")
+      }
+    }
+  }
+
+  test("video container: stride-1 decode equals formula for every frame; stride-2 samples exactly the even frames") {
+    import Multimodal.{synthFrameCount, synthFrameGray, FrameW, FrameH}
+    val vids = Multimodal.encodeVideo(docs.limit(32))
+    val all = Multimodal.sampleFrames(vids, stride = 1).collect()
+    all.foreach { fs =>
+      val truth = (for (y <- 0 until FrameH; x <- 0 until FrameW)
+        yield synthFrameGray(fs.doc_id, fs.frame_idx, x, y).toLong).sum
+      assert(fs.frame_sum == truth,
+        s"doc ${fs.doc_id} frame ${fs.frame_idx}: decoded sum != truth")
+    }
+    val byDoc = all.groupBy(_.doc_id)
+    byDoc.foreach { case (id, fss) =>
+      assert(fss.length == synthFrameCount(id), s"doc $id: frame count")
+    }
+    val sampled = Multimodal.sampleFrames(Multimodal.encodeVideo(docs.limit(32)), stride = 2)
+      .collect().groupBy(_.doc_id)
+    sampled.foreach { case (id, fss) =>
+      assert(fss.map(_.frame_idx).sorted.toSeq ==
+        (0 until synthFrameCount(id) by 2).toSeq,
+        s"doc $id: sampled frame indices")
+    }
+  }
+
   test("uniform-shift invariance: same-family docs share the exact hash; q228 recovers every planted pair") {
     import spark.implicits._
     val stats = Multimodal.decodePngStats(Multimodal.encodePng(docs)).collect()
