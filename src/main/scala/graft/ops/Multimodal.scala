@@ -145,21 +145,31 @@ object Multimodal {
 
   /** Ground-truth synthesis formula, shared verbatim by the Spark encode
     * path and the DuckDB oracle SQL (CatalogNorthStar q227/q228):
-    *   cluster = doc_id % 128   (planted near-dup family)
-    *   shift   = doc_id % 5    (within-family perturbation)
-    *   width   = 16 + cluster % 9,  height = 16 + cluster % 7
-    *   gray(x, y) = (cluster·37 + x·7 + y·13) % 240 + shift  ∈ [0, 244]
-    * A uniform intensity shift leaves the block-vs-global mean comparison
-    * invariant (both sides gain shift·npix), so family members share the
-    * EXACT 64-bit aHash — planted recall is a theorem, not luck. The
-    * 128-family modulus is a FIXTURE dial (density of planted dups); the
-    * operator's scale mechanism is the 2^16-bucket band join below. */
+    *   family = doc_id / 16   (planted near-dup family, BOUNDED at ≤16
+    *                           members — so families grow ∝ corpus and
+    *                           planted pairs stay LINEAR in n; the first
+    *                           cut used doc_id % 128, whose family SIZE
+    *                           grew with the corpus and made the true
+    *                           pair count quadratic — q228 measured 77×
+    *                           for 10× data at sf1, Θ(output)-honest but
+    *                           a fixture bug, fixed here)
+    *   shift   = doc_id % 5   (within-family perturbation)
+    *   width   = 16 + family % 9,  height = 16 + family % 7
+    *   gray(x, y) = (family·37 + x·(7 + family%5) + y·(13 + family%11))
+    *                  % 240 + shift  ∈ [0, 244]
+    * The per-family GRADIENTS (not just the offset) vary, so distinct
+    * families produce distinct patterns (an offset-only formula has just
+    * 240 patterns per dim class — large corpora would alias families
+    * into accidental all-pairs hash matches). A uniform intensity shift
+    * leaves the block-vs-global mean comparison invariant (both sides
+    * gain shift·npix), so family members share the EXACT 64-bit aHash —
+    * planted recall is a theorem, not luck. */
   def synthDims(docId: Long): (Int, Int, Int, Int) = {
-    val cl = (docId % 128).toInt
-    (cl, (docId % 5).toInt, 16 + cl % 9, 16 + cl % 7)
+    val fam = (docId / 16).toInt
+    (fam, (docId % 5).toInt, 16 + fam % 9, 16 + fam % 7)
   }
   def synthGray(cluster: Int, shift: Int, x: Int, y: Int): Int =
-    (cluster * 37 + x * 7 + y * 13) % 240 + shift
+    (cluster * 37 + x * (7 + cluster % 5) + y * (13 + cluster % 11)) % 240 + shift
 
   case class PngRecord(doc_id: Long, png: Array[Byte])
 

@@ -370,12 +370,16 @@ private[queries] object CatalogNorthStar {
     * the q227 codec path): candidates share one 16-bit band of the
     * 64-bit block aHash AND the exact dims, verified by integer L1 over
     * the decoded 16-bin histograms (l1·2 ≤ n_pix). The synthesis formula
-    * plants families (doc_id % 128) whose members differ by a UNIFORM
+    * plants families (16-doc blocks, doc_id / 16 — BOUNDED size, so
+    * families grow with the corpus and the true pair count is LINEAR
+    * in n; the first-cut doc_id % 128 dial grew family SIZE with the
+    * corpus instead and measured 77x for 10x data at sf1 — caught by
+    * the sweep, fixed at Multimodal.synthDims) whose members differ by a UNIFORM
     * intensity shift — which provably leaves every block-vs-global
     * comparison invariant (both sides gain shift·npix), so family members
     * share the exact hash and planted recall is structural, not
-    * empirical (pinned in MultimodalSpec). The family modulus is a
-    * fixture-density dial; the operator's scale mechanism is the banded
+    * empirical (pinned in PngCodecSpec). The operator's scale
+    * mechanism is the banded
     * join itself — 2^16 buckets per band, worst-case Θ(n²/2^16)
     * candidates before the L1 verify, exactly the SimHash/q151 banding
     * economics. The oracle recomputes hash + histograms from the formula
@@ -501,12 +505,13 @@ private[queries] object CatalogNorthStar {
     * 24×22), then histogram / block-sum / band arithmetic — all exact
     * integers, evaluated by DuckDB with no image machinery. */
   private lazy val pngStatsCtes: String = """dims AS (
-        SELECT doc_id, doc_id % 128 AS cl, doc_id % 5 AS sh,
-          16 + (doc_id % 128) % 9 AS w, 16 + (doc_id % 128) % 7 AS h
+        SELECT doc_id, doc_id // 16 AS cl, doc_id % 5 AS sh,
+          16 + (doc_id // 16) % 9 AS w, 16 + (doc_id // 16) % 7 AS h
         FROM documents),
       px AS (
         SELECT d.doc_id, d.w, d.h, x.range AS x, y.range AS y,
-          (d.cl * 37 + x.range * 7 + y.range * 13) % 240 + d.sh AS g
+          (d.cl * 37 + x.range * (7 + d.cl % 5) + y.range * (13 + d.cl % 11))
+            % 240 + d.sh AS g
         FROM dims d CROSS JOIN range(0, 24) x CROSS JOIN range(0, 22) y
         WHERE x.range < d.w AND y.range < d.h),
       hb AS (SELECT doc_id, g // 16 AS bin, count(*) AS c FROM px GROUP BY 1, 2),

@@ -97,7 +97,7 @@ class PngCodecSpec extends SparkSpec {
     import spark.implicits._
     val stats = Multimodal.decodePngStats(Multimodal.encodePng(docs)).collect()
     // the theorem: bands are a function of the family alone
-    stats.groupBy(s => s.doc_id % 128).foreach { case (fam, ss) =>
+    stats.groupBy(s => s.doc_id / 16).foreach { case (fam, ss) =>
       val distinct = ss.map(_.bands.toSeq).distinct
       assert(distinct.size == 1,
         s"family $fam: ${distinct.size} distinct hashes — shift invariance broken")
@@ -105,7 +105,7 @@ class PngCodecSpec extends SparkSpec {
     // recall: every within-family pair survives the band join + L1 verify
     val planted = (for {
       a <- stats; b <- stats
-      if a.doc_id < b.doc_id && a.doc_id % 128 == b.doc_id % 128
+      if a.doc_id < b.doc_id && a.doc_id / 16 == b.doc_id / 16
     } yield (a.doc_id, b.doc_id)).toSet
     val got = graft.queries.QueryCatalog.queries("q228_png_neardup")(spark, sf())
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
