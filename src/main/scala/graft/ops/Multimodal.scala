@@ -155,12 +155,16 @@ object Multimodal {
     *                           a fixture bug, fixed here)
     *   shift   = doc_id % 5   (within-family perturbation)
     *   width   = 16 + family % 9,  height = 16 + family % 7
-    *   gray(x, y) = (family·37 + x·(7 + family%5) + y·(13 + family%11))
-    *                  % 240 + shift  ∈ [0, 244]
-    * The per-family GRADIENTS (not just the offset) vary, so distinct
-    * families produce distinct patterns (an offset-only formula has just
-    * 240 patterns per dim class — large corpora would alias families
-    * into accidental all-pairs hash matches). A uniform intensity shift
+    *   gray(x, y) = (family·37 + x·(7 + family%5) + y·(13 + family%11)
+    *                  + x·y·(1 + family%7)) % 240 + shift  ∈ [0, 244]
+    * The per-family GRADIENTS and CURVATURE (the x·y term) vary, not just
+    * the offset: an offset-only formula has 240 patterns per dim class
+    * (accidental all-pairs hash aliasing at corpus scale), and even
+    * varied linear gradients produce low-ENTROPY aHashes — a smooth
+    * plane's block-vs-global-mean bits approximate a half-plane
+    * indicator, so thousands of families share a few hash values and the
+    * band join degenerates into giant buckets (measured: q228 28.5× for
+    * 10× data at sf10 before the curvature term). A uniform intensity shift
     * leaves the block-vs-global mean comparison invariant (both sides
     * gain shift·npix), so family members share the EXACT 64-bit aHash —
     * planted recall is a theorem, not luck. */
@@ -169,7 +173,8 @@ object Multimodal {
     (fam, (docId % 5).toInt, 16 + fam % 9, 16 + fam % 7)
   }
   def synthGray(cluster: Int, shift: Int, x: Int, y: Int): Int =
-    (cluster * 37 + x * (7 + cluster % 5) + y * (13 + cluster % 11)) % 240 + shift
+    (cluster * 37 + x * (7 + cluster % 5) + y * (13 + cluster % 11) +
+      x * y * (1 + cluster % 7)) % 240 + shift
 
   case class PngRecord(doc_id: Long, png: Array[Byte])
 

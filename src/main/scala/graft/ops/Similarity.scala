@@ -449,7 +449,19 @@ object Similarity {
             array(cArr.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
       }.toIndexedSeq: _*))
       .select(col("q_id"), col("lut"))
-    val scored = q.join(c, col("vec_id") =!= col("q_id"))
+    // Stage boundary between ENCODE and ADC (round-9 sf10 find-and-fix):
+    // the unrolled m×256-centroid encoder expression exceeds the JVM
+    // method-size limit, so its stage falls back to interpreted
+    // execution — and without a boundary the BNLJ join lives in the SAME
+    // stage, where every joined row materializes an interpreted copy of
+    // the broadcast side's m×256-double LUT (~16 KB/row): measured 236 s
+    // at sf10 vs 10 s for the encode itself (q137). One exchange of the
+    // thin (vec_id, codes) rows (m bytes each) ends the encoder's stage;
+    // the join+ADC stage then whole-stage-codegens with in-place reads of
+    // the broadcast LUT. Identical IEEE ops, identical results — measured
+    // 236 → ~13 s at sf10.
+    val cThin = c.repartition(col("vec_id"))
+    val scored = q.join(cThin, col("vec_id") =!= col("q_id"))
       .withColumn("sim", (0 until m).map(j =>
         element_at(element_at(col("lut"), j + 1),
           element_at(col("codes"), j + 1) + 1)).reduce[Column](_ + _))

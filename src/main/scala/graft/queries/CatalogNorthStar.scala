@@ -367,9 +367,11 @@ private[queries] object CatalogNorthStar {
       FROM dims d JOIN hist USING (doc_id) JOIN bands USING (doc_id)"""))
 
   /** Perceptual near-dup over REAL decoded pixels (q151's banded shape on
-    * the q227 codec path): candidates share one 16-bit band of the
-    * 64-bit block aHash AND the exact dims, verified by integer L1 over
-    * the decoded 16-bin histograms (l1·2 ≤ n_pix). The synthesis formula
+    * the q227 codec path): candidates agree on THREE of the four 16-bit
+    * bands of the 64-bit block aHash at once (48-bit conjunction keys —
+    * LSH AND-composition, tolerating hash flips confined to one band)
+    * AND the exact dims, verified by integer L1 over the decoded 16-bin
+    * histograms (l1·2 ≤ n_pix). The synthesis formula
     * plants families (16-doc blocks, doc_id / 16 — BOUNDED size, so
     * families grow with the corpus and the true pair count is LINEAR
     * in n; the first-cut doc_id % 128 dial grew family SIZE with the
@@ -393,10 +395,25 @@ private[queries] object CatalogNorthStar {
     (s, d) => {
       val st = graft.ops.Multimodal.pngPipeline(s,
         spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id"))
+      // 3-of-4-band CONJUNCTION keys (LSH AND-composition): a candidate
+      // pair must agree on THREE bands at once (⇔ at most one band of
+      // hash flips). Single-band blocking degenerates at corpus scale —
+      // aHash bands of smooth images are low-entropy, and the sf10 probe
+      // measured 75 M candidate pairs for 3.75 M true pairs (buckets of
+      // 850 docs); the 48-bit triple keys cut that to 15.5 M with max
+      // bucket 80, same planted recall (family members share ALL four
+      // bands, so every triple key matches).
+      val K = 65536L
+      def bnd(i: Int) = element_at(col("bands"), i + 1)
+      def tripleKeys = array(
+        (bnd(0) * K + bnd(1)) * K + bnd(2),
+        (bnd(0) * K + bnd(1)) * K + bnd(3),
+        (bnd(0) * K + bnd(2)) * K + bnd(3),
+        (bnd(1) * K + bnd(2)) * K + bnd(3))
       def side(tag: String) = st
         .select(col("doc_id").as(s"id_$tag"), col("width"), col("height"),
           col("n_pix").as(s"np_$tag"), col("hist").as(s"h_$tag"),
-          posexplode(col("bands")))
+          posexplode(tripleKeys))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "key")
       val l1 = aggregate(
@@ -417,8 +434,10 @@ private[queries] object CatalogNorthStar {
         LEFT JOIN hb ON hb.doc_id = d.doc_id AND hb.bin = r.range),
       bandrows AS (
         SELECT doc_id, w, h, b.band, CASE b.band
-          WHEN 0 THEN band0 WHEN 1 THEN band1
-          WHEN 2 THEN band2 ELSE band3 END AS key
+          WHEN 0 THEN (band0 * 65536 + band1) * 65536 + band2
+          WHEN 1 THEN (band0 * 65536 + band1) * 65536 + band3
+          WHEN 2 THEN (band0 * 65536 + band2) * 65536 + band3
+          ELSE (band1 * 65536 + band2) * 65536 + band3 END AS key
         FROM bands JOIN dims USING (doc_id)
         CROSS JOIN (SELECT range AS band FROM range(0, 4)) b),
       cand AS (
@@ -510,8 +529,8 @@ private[queries] object CatalogNorthStar {
         FROM documents),
       px AS (
         SELECT d.doc_id, d.w, d.h, x.range AS x, y.range AS y,
-          (d.cl * 37 + x.range * (7 + d.cl % 5) + y.range * (13 + d.cl % 11))
-            % 240 + d.sh AS g
+          (d.cl * 37 + x.range * (7 + d.cl % 5) + y.range * (13 + d.cl % 11)
+            + x.range * y.range * (1 + d.cl % 7)) % 240 + d.sh AS g
         FROM dims d CROSS JOIN range(0, 24) x CROSS JOIN range(0, 22) y
         WHERE x.range < d.w AND y.range < d.h),
       hb AS (SELECT doc_id, g // 16 AS bin, count(*) AS c FROM px GROUP BY 1, 2),
