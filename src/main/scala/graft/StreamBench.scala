@@ -30,8 +30,14 @@ import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
 object StreamBench {
   private val Chunks = 20
 
+  /** Progress entries are keyed by QUERY ID and filtered to the active
+    * query in run(): the listener bus is async, so with one shared tap a
+    * straggler progress event from the PREVIOUS pipeline could arrive
+    * after a naive clear() and inflate the next pipeline's rows/batches/
+    * state_max (round-9 advice). Id-keying makes cross-pipeline
+    * contamination structurally impossible; no clear() is needed. */
   private class ProgressTap extends StreamingQueryListener {
-    case class P(rows: Long, stateRows: Long, stateBytes: Long)
+    case class P(id: java.util.UUID, rows: Long, stateRows: Long, stateBytes: Long)
     val batches = new java.util.concurrent.ConcurrentLinkedQueue[P]()
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -41,7 +47,7 @@ object StreamBench {
         (acc._1 + so.numRowsTotal, acc._2 + so.memoryUsedBytes)
       }
       if (p.numInputRows > 0 || sr > 0)
-        batches.add(P(p.numInputRows, sr, sb))
+        batches.add(P(p.id, p.numInputRows, sr, sb))
     }
   }
 
@@ -79,7 +85,6 @@ object StreamBench {
       .as[graft.streaming.Events.Ev]
 
     def run(name: String)(start: (String, String) => org.apache.spark.sql.streaming.StreamingQuery): (String, String) = {
-      tap.batches.clear()
       val ckpt = new java.io.File(work, s"ckpt_$name").getPath
       val target = new java.io.File(work, s"target_$name").getPath
       val t0 = System.nanoTime()
@@ -92,7 +97,9 @@ object StreamBench {
         prev = tap.batches.size; Thread.sleep(50); spins += 1
       }
       import scala.jdk.CollectionConverters._
-      val ps = tap.batches.asScala.toSeq
+      // only THIS query's events (id-keyed tap): stragglers from a prior
+      // pipeline can't contaminate the window
+      val ps = tap.batches.asScala.toSeq.filter(_.id == q.id)
       val rows = ps.map(_.rows).sum
       val json =
         s"""{"rows":$rows,"wall_s":${math.round(wall * 1000) / 1000.0},""" +

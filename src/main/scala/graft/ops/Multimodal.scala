@@ -168,13 +168,20 @@ object Multimodal {
     * leaves the block-vs-global mean comparison invariant (both sides
     * gain shift·npix), so family members share the EXACT 64-bit aHash —
     * planted recall is a theorem, not luck. */
-  def synthDims(docId: Long): (Int, Int, Int, Int) = {
-    val fam = (docId / 16).toInt
-    (fam, (docId % 5).toInt, 16 + fam % 9, 16 + fam % 7)
+  def synthDims(docId: Long): (Long, Int, Int, Int) = {
+    // fam stays a Long: (docId / 16).toInt would silently WRAP for
+    // doc_id ≥ 2^35 while the DuckDB twin's BIGINT arithmetic would not —
+    // the two engines would diverge rather than fail. The require pins
+    // the domain where fam·37 (the largest product below) is still exact
+    // in both engines' 64-bit arithmetic.
+    require(docId >= 0 && docId < (1L << 55),
+      s"synthDims: doc_id $docId outside the exact-BIGINT contract [0, 2^55)")
+    val fam = docId / 16
+    (fam, (docId % 5).toInt, 16 + (fam % 9).toInt, 16 + (fam % 7).toInt)
   }
-  def synthGray(cluster: Int, shift: Int, x: Int, y: Int): Int =
-    (cluster * 37 + x * (7 + cluster % 5) + y * (13 + cluster % 11) +
-      x * y * (1 + cluster % 7)) % 240 + shift
+  def synthGray(cluster: Long, shift: Int, x: Int, y: Int): Int =
+    ((cluster * 37 + x * (7 + cluster % 5) + y * (13 + cluster % 11) +
+      x * y * (1 + cluster % 7)) % 240 + shift).toInt
 
   case class PngRecord(doc_id: Long, png: Array[Byte])
 
