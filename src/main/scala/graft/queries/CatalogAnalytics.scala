@@ -792,11 +792,13 @@ private[queries] object CatalogAnalytics {
     * Round 9 RETIRED this row's original ntile-window plan (the q137
     * precedent): ntile partitioned by the 3-value returnflag, capping
     * parallelism at 3 tasks whose per-task sorts grew super-linearly
-    * (sf3 measured 4.3× for 3× data). The row now runs the SAME
-    * closed-form range-exchange plan as q89b (Shared.equidepthHistogram);
-    * the retired plan is pinned as EquidepthSpec's counterexample, where
-    * its row-identity to this plan — and its few-task sort shape — stay
-    * proven, not remembered. */
+    * (sf3 measured 4.3× for 3× data). Round 10 replaced the interim
+    * range-exchange + zipWithIndex plan too (its RDD round-trip broke
+    * codegen — the worst in-bar decade slope at 10.9×): the row now runs
+    * the SAME counting-sort value-domain plan as q89b
+    * (Shared.equidepthHistogram); both prior plans are pinned as
+    * EquidepthSpec counterexamples, where their row-identity to this
+    * plan — and their scale defects — stay proven, not remembered. */
   private val q89 = Q(
     "q89_equidepth_histogram",
     (s, d) => equidepthHistogram(s, d),

@@ -529,19 +529,19 @@ private[queries] object CatalogGovernance {
   /** q89's exact equi-depth histogram WITHOUT the 3-task ceiling: the
     * sf3 probe measured q89 at 4.3× for 3× data because ntile's window
     * partitions by the 3-value returnflag — parallelism caps at 3 and
-    * each task sorts n/3 rows. This form distributes the same total
-    * order across a RANGE exchange (Corpus.globalIndex: many partitions,
-    * each sorted locally, zipWithIndex offsets — no single-task sort),
-    * then recovers ntile's exact remainder-first bucket assignment by
-    * CLOSED-FORM integer arithmetic from (per-group index, group size):
-    * first n%8 buckets get ⌈n/8⌉ rows, the rest ⌊n/8⌋, assigned in
-    * order. Row-identical to q89's retired ntile plan by construction —
-    * the oracle is the SAME ntile SQL — so the scalable plan is proven,
-    * not argued. The group-offset window runs over a 3-row aggregate
-    * (bounded). Since round 9 this IS also q89's plan
-    * (Shared.equidepthHistogram — the weak ntile form is retired to
-    * EquidepthSpec's counterexample pin); the row stays because the
-    * driver record tracks both names. */
+    * each task sorts n/3 rows. Since round 10 the shared plan
+    * (Shared.equidepthHistogram) is a COUNTING SORT over the value
+    * domain: one map-side-combined hash aggregate to the (flag, price)
+    * histogram, a static coarse grid + two bounded windows recover each
+    * distinct value's exact global rank, and ntile's remainder-first
+    * buckets fall out of closed-form overlap arithmetic — no RDD, no
+    * zipWithIndex, whole-stage codegen end to end (the round-9
+    * range-exchange + zipWithIndex form this replaces measured 10.9× at
+    * the sf10 decade, its count-pass job being the residual; it is
+    * pinned row-identical in EquidepthSpec). Row-identical to the
+    * retired ntile plan by construction — the oracle is the SAME ntile
+    * SQL — so the scalable plan is proven, not argued. The row stays
+    * because the driver record tracks both names. */
   private val q89b = Q(
     "q89b_equidepth_scalable",
     (s, d) => equidepthHistogram(s, d),

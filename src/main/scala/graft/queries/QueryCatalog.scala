@@ -107,46 +107,137 @@ private[queries] object Shared {
       .filter(col("jac") >= 0.5)
   }
 
-  /** The ONE equi-depth histogram plan, shared by q89 and q89b (round 9
-    * retired q89's separate ntile-window plan — its window partitioned by
-    * the THREE-value returnflag, so parallelism capped at 3 tasks and each
-    * task's sort grew super-linearly; the sf3 probe measured 4.3× for 3×
-    * data. The retired plan survives as EquidepthSpec's pinned
-    * counterexample, proven row-identical to this form there).
+  /** The ONE equi-depth histogram plan, shared by q89 and q89b.
     *
-    * Exact ntile(8) semantics WITHOUT the few-task ceiling: a RANGE
-    * exchange distributes the total order across many partitions
-    * (Corpus.globalIndex — per-partition sorts + zipWithIndex offsets),
-    * then ntile's remainder-first bucket assignment is recovered in
-    * CLOSED FORM from (per-group index, group size): the first n%8
-    * buckets get ⌈n/8⌉ rows, the rest ⌊n/8⌋, in order. The group-offset
-    * window runs over the 3-row group-count aggregate (bounded by key
-    * cardinality, PlanAuditSpec-allowlisted). */
+    * Round 10 replaced the range-exchange + `zipWithIndex` form (itself
+    * the round-9 replacement for the retired 3-task ntile window): the
+    * RDD round-trip broke whole-stage codegen and its count-pass job was
+    * the worst in-bar decade slope (10.9× at sf10). This form is the
+    * textbook distributed EXACT-QUANTILE counting sort, built on one
+    * observation: equi-depth output is 8 rows per flag, and each row is
+    * (closed-form count, price at rank bucketStart, price at rank
+    * bucketEnd−1) — i.e. SIXTEEN ORDER STATISTICS per flag, because
+    * bucket contents are contiguous in value order so min/max price per
+    * bucket are the boundary ranks' values. So the corpus is NEVER
+    * shuffled, aggregated to its value domain, or globally indexed:
+    *
+    *  1. pass 1 — per-flag (pmin, pmax, grp_n): 3-group streaming
+    *     aggregate over a 2-column scan, broadcast;
+    *  2. pass 2 — per-cell counts on a 4096-cell affine grid
+    *     (floor((p−pmin)/(pmax−pmin)·G), monotone in p so cells are
+    *     contiguous rank runs): ≤3·G-group streaming aggregate; a window
+    *     over that BOUNDED aggregate yields each cell's cumulative rank
+    *     offset;
+    *  3. ntile(8)'s remainder-first geometry gives each bucket's
+    *     boundary RANKS in closed form from grp_n alone; a tiny
+    *     broadcast hash join (equi on flag + containment filter) maps
+    *     each of the ≤48 boundary ranks to its grid cell;
+    *  4. pass 3 — resolve values ONLY inside boundary cells: a
+    *     broadcast semi-join keeps ~48/(3·G) of the corpus, a small
+    *     aggregate + per-cell window ranks the surviving distinct
+    *     values, and each boundary rank selects its value.
+    *
+    * Every shuffle in the plan carries ≤3·G rows; the corpus appears
+    * only as three column-pruned scans with map-side-combined
+    * aggregates (pass 1 and 2 collapse to 3 / 12k groups map-side, pass
+    * 3 filters to ~0.4% before its aggregate). Three scans, not two, is
+    * the price of a data-adaptive grid — a static (e.g. log-scale) grid
+    * would merge passes 1+2 but assumes a positive, known-shaped domain.
+    *
+    * Output is IDENTICAL to per-row ntile (EquidepthSpec pins the
+    * three-way row identity): ties on price are contiguous in any
+    * ntile order keyed (flag, price, tiebreak…), so bucket counts and
+    * per-bucket price extrema never depend on the tiebreak columns. */
   private[queries] def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.ops.Corpus
-    val base = Tables.lineitem(s, d).select(
-      col("l_returnflag"), col("l_extendedprice"),
-      col("l_orderkey"), col("l_linenumber"))
-    val idxed = Corpus.globalIndex(base,
-      Seq(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber")),
-      numPartitions = 16, indexName = "gidx")
-    val offs = base.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("grp_n"))
-      .withColumn("off", coalesce(
-        sum(col("grp_n")).over(Window.orderBy(col("l_returnflag"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    idxed.join(broadcast(offs), Seq("l_returnflag"))
-      .withColumn("idx", col("gidx") - col("off"))
-      .withColumn("bucket", expr("""
-        CAST(CASE WHEN idx < (grp_n % 8) * (grp_n DIV 8 + 1)
-          THEN idx DIV (grp_n DIV 8 + 1)
-          ELSE (grp_n % 8) + (idx - (grp_n % 8) * (grp_n DIV 8 + 1)) DIV (grp_n DIV 8)
-        END + 1 AS INT)"""))
+    val G = 4096
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    // grid cell: monotone in price (floor of an increasing affine map),
+    // so per-flag value order = (cell, price-within-cell) order. The
+    // degenerate one-value flag (pmax = pmin) maps to cell 0; the double
+    // division is otherwise by a strictly positive span (ANSI-safe).
+    def rbOf(price: Column): Column =
+      when(col("pmax") === col("pmin"), lit(0)).otherwise(
+        least(lit(G - 1),
+          floor((price - col("pmin"))
+            / (col("pmax") - col("pmin")) * G).cast("int")))
+    // pass 1: per-flag bounds + total (3 rows, broadcast)
+    val stats = base.groupBy(col("l_returnflag")).agg(
+      min(col("l_extendedprice")).as("pmin"),
+      max(col("l_extendedprice")).as("pmax"),
+      count(lit(1)).as("grp_n"))
+    // pass 2: per-cell counts (≤3·G rows) + cumulative rank offsets.
+    // The window runs over the bounded cell aggregate, never the corpus.
+    // The per-flag bounds ride along (constant per flag, min() picks
+    // them deterministically) so every downstream consumer derives from
+    // THIS frame. CACHED: Catalyst re-executes a shared subtree once per
+    // consumer (measured here: 8 corpus scans without the cache, 3
+    // with), and this frame is bounded by the grid — ≤3·G tiny rows at
+    // any corpus size — so the cache is scale-safe by construction.
+    val wGrid = Window.partitionBy(col("l_returnflag")).orderBy(col("rb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = base.join(broadcast(stats), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), rbOf(col("l_extendedprice")).as("rb"))
+      .agg(count(lit(1)).as("rb_n"),
+        min(col("pmin")).as("pmin"), min(col("pmax")).as("pmax"))
+      .withColumn("rb_off", coalesce(sum(col("rb_n")).over(wGrid), lit(0L)))
+      .cache()
+    val flagStats = cells.groupBy(col("l_returnflag")).agg(
+      sum(col("rb_n")).as("grp_n"),
+      min(col("pmin")).as("pmin"), min(col("pmax")).as("pmax"))
+    // remainder-first ntile(8) geometry from grp_n alone: bucket b
+    // (1-based) holds ranks [pos_lo, pos_hi] with the first grp_n%8
+    // buckets one rank larger. grp_n < 8 emits only the grp_n non-empty
+    // buckets (ntile semantics) and never evaluates the ⌊⌋-size branch.
+    val positions = flagStats
+      .withColumn("bucket",
+        explode(sequence(lit(1), least(lit(8L), col("grp_n")).cast("int"))))
+      .withColumn("bsize", expr(
+        "IF(bucket - 1 < grp_n % 8, grp_n DIV 8 + 1, grp_n DIV 8)"))
+      .withColumn("pos_lo", expr("""
+        CASE WHEN (bucket - 1) <= (grp_n % 8)
+          THEN (bucket - 1) * (grp_n DIV 8 + 1)
+          ELSE (grp_n % 8) * (grp_n DIV 8 + 1)
+            + ((bucket - 1) - (grp_n % 8)) * (grp_n DIV 8)
+        END"""))
+      .withColumn("pos_hi", col("pos_lo") + col("bsize") - 1)
+      .select(col("l_returnflag"), col("bucket"), col("bsize"),
+        explode(array(
+          struct(lit("lo").as("which"), col("pos_lo").as("pos")),
+          struct(lit("hi").as("which"), col("pos_hi").as("pos")))).as("p"))
+      .select(col("l_returnflag"), col("bucket"), col("bsize"),
+        col("p.which").as("which"), col("p.pos").as("pos"))
+    // locate each boundary rank's grid cell: equi join on flag with a
+    // containment filter — both sides bounded (≤3·G × ≤48)
+    val posCells = cells.join(broadcast(positions), Seq("l_returnflag"))
+      .filter(col("rb_off") <= col("pos") &&
+        col("pos") < col("rb_off") + col("rb_n"))
+      .select(col("l_returnflag"), col("rb"), col("rb_off"), col("bucket"),
+        col("bsize"), col("which"), col("pos"))
+    val needed = posCells.select(col("l_returnflag"), col("rb")).distinct()
+    // pass 3: rank distinct values inside boundary cells only (the
+    // semi-join keeps ~48/(3·G) of the corpus before the aggregate).
+    // Bounds come from the cached cells (via flagStats), not a fresh
+    // stats scan.
+    val wCell = Window.partitionBy(col("l_returnflag"), col("rb"))
+      .orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vals = base.join(
+        broadcast(flagStats.select(col("l_returnflag"), col("pmin"), col("pmax"))),
+        Seq("l_returnflag"))
+      .withColumn("rb", rbOf(col("l_extendedprice")))
+      .join(broadcast(needed), Seq("l_returnflag", "rb"), "left_semi")
+      .groupBy(col("l_returnflag"), col("rb"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("in_off", coalesce(sum(col("cnt")).over(wCell), lit(0L)))
+    // value at rank pos within its cell: in_off ≤ pos−rb_off < in_off+cnt
+    posCells.join(vals, Seq("l_returnflag", "rb"))
+      .filter(col("in_off") <= col("pos") - col("rb_off") &&
+        col("pos") - col("rb_off") < col("in_off") + col("cnt"))
       .groupBy(col("l_returnflag"), col("bucket"))
-      .agg(count(lit(1)).as("n"),
-        r2(min(col("l_extendedprice"))).as("lo"),
-        r2(max(col("l_extendedprice"))).as("hi"))
+      .agg(max(col("bsize")).as("n"),
+        r2(min(when(col("which") === "lo", col("l_extendedprice")))).as("lo"),
+        r2(max(when(col("which") === "hi", col("l_extendedprice")))).as("hi"))
   }
 }

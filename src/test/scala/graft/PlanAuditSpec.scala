@@ -18,20 +18,15 @@ class PlanAuditSpec extends SparkSpec {
     //   q154_sketch_wau: the trailing merge window sees one sketch row per
     //     DAY (tiny mergeable state at any sf);
     //   q74_vocab_coverage: sort+limit prunes to the top-40 vocab rows
-    //     before the rank window (40 rows at any corpus size);
-    //   q89b_equidepth_scalable: offset window over the 3-row group-count
-    //     aggregate.
+    //     before the rank window (40 rows at any corpus size).
+    // (q89/q89b left the list in round 10: the counting-sort plan's
+    // windows are partitioned by flag / (flag, cell) over the bounded
+    // grid aggregate, so no partition-less WindowExec remains.)
     val allowedGlobalWindows = Map(
       "q125_rrf_fusion" -> 2,
       "q131_pareto_frontier" -> 1,
       "q154_sketch_wau" -> 1,
       "q74_vocab_coverage" -> 1,
-      // q89/q89b: the group-offset running sum runs over the 3-row
-      // per-returnflag count aggregate (bounded by the key cardinality).
-      // q89 joined the allowlist in round 9 when its ntile plan was
-      // retired and it was re-pointed at q89b's closed-form plan.
-      "q89_equidepth_histogram" -> 1,
-      "q89b_equidepth_scalable" -> 1,
       // q191: block-offset running sum over the n/65536-row block-sum
       // aggregate (the second level of the two-level prefix scan —
       // 100 TB ≈ 10^5 block rows in one task, never doc rows)
