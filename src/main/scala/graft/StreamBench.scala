@@ -132,6 +132,29 @@ object StreamBench {
           .trigger(Trigger.AvailableNow())
           .format("noop").start()
       },
+      // Stream-stream interval join (round-10 ask: the one stateful
+      // operator family that was spec-only in the bench): clicks joined
+      // to same-user purchases within [0, +30 min] — the attribution
+      // shape. BOTH legs are independent file streams over the same
+      // landing dir; both carry watermarks, so the symmetric-hash join
+      // buffers each side only until the other side's watermark passes
+      // ts + interval. state_rows/bytes report BOTH sides' buffered rows
+      // combined (Spark exposes the join as one state operator) — the
+      // number that must stay bounded by watermark delay + interval
+      // width, never by history.
+      run("interval_join") { (ckpt, _) =>
+        val clicks = stream().filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = stream().filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        graft.streaming.Events.intervalJoinStreams(
+          clicks, purchases, key = "user_id",
+          wmDelay = "2 hours", before = "0 minutes", after = "30 minutes")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .format("noop").start()
+      },
       // upsertSink's body (applyUpsertBatch) with an explicit
       // AvailableNow trigger so the run terminates — same machinery,
       // bench-controllable lifecycle. "State" here is the parquet
