@@ -100,3 +100,81 @@ object VectorNorm {
   def vec_norm(v: Column): Column =
     org.apache.spark.sql.functions.call_function("vec_norm", v)
 }
+
+/** Nearest-centroid cell id over a FROZEN centroid matrix, as one fused
+  * codegen'd kernel: cell = argmin_i (‖c_i‖² − 2·nv·c_i), ties to the
+  * lowest index — bit-identical to the `min(struct(d, cell))` broadcast-
+  * join argmin and to the unrolled-expression `SemDedup.cellOf` (same
+  * ‖c‖² host-side left-fold, same left-to-right dot, same strict-less
+  * first-wins tie rule; SemDedupScaleSpec pins the three-way identity).
+  *
+  * Why it exists (round 10): at k=640 the broadcast-join argmin fans
+  * every vector out to k scored rows before a corpus-sized aggregate —
+  * measured 31 s for 60 k vectors at sf3, with the fan-out re-executed
+  * per consumer of the assignment. This kernel is a plain per-row
+  * expression: the k·dim matrix rides the plan as ONE reference object
+  * (k=640·dim=64 ≈ 330 KB — broadcast-literal territory), the loop
+  * stays inside whole-stage codegen, and no shuffle or fan-out exists
+  * at all. At index-serving k (tens of thousands of cells) the matrix
+  * is a few tens of MB — still a per-executor constant, the same cost
+  * class as a broadcast dimension table.
+  *
+  * Null semantics: null in → null out (UnaryExpression default). NaN
+  * distances never win (strict `<` against a running best), matching
+  * the struct-min rule on the fixture domain where NaN cannot occur. */
+case class VectorArgminCell(child: Expression,
+    cents: Array[Array[Double]], c2: Array[Double]) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "vec_argmin_cell"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorArgminCell.argmin(a.asInstanceOf[ArrayData], cents, c2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val c2Ref = ctx.addReferenceObj("c2", c2, "double[]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorArgminCell.argmin($a, $centsRef, $c2Ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VectorArgminCell =
+    copy(child = newChild)
+}
+
+object VectorArgminCell {
+  /** Shared by interpreted eval and generated code. */
+  def argmin(a: ArrayData, cents: Array[Array[Double]], c2: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val n = math.min(a.numElements(), c.length)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += a.getDouble(j) * c(j); j += 1 }
+      val d = c2(i) - 2.0 * dot
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Column API. The centroid matrix is expression STATE, not a child
+    * column, so the registry entry is created per matrix (named by k +
+    * content hash; the builder closure captures the arrays) — same
+    * createIfAbsent idempotence as every other graft function. ‖c‖² is
+    * folded HERE, host-side, left-to-right — the single shared fold
+    * every argmin form uses. */
+  def vec_argmin_cell(spark: SparkSession, nv: Column,
+      cents: Array[Array[Double]]): Column = {
+    val c2 = cents.map(_.map(x => x * x).sum)
+    val name = "vec_argmin_cell_" + cents.length + "_" +
+      java.lang.Integer.toHexString(
+        java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]]))
+    DistinctSketch.createIfAbsent(spark, name,
+      exprs => VectorArgminCell(exprs.head, cents, c2))
+    org.apache.spark.sql.functions.call_function(name, nv)
+  }
+}

@@ -60,20 +60,24 @@ object SemDedup {
   def semDedup(embeddings: DataFrame, tau: Double): DataFrame =
     semDedup(embeddings, tau, CentroidArtifact.centers)
 
-  /** Cell assignment as a BROADCAST-JOIN ARGMIN — the large-k form of
-    * [[cellOf]]: centroids become a k-row broadcast dim table (k as DATA,
-    * not unrolled code), each vector fans out to k scored rows through
-    * the codegen'd `vec_dot`, and `min(struct(d, cell))` takes the same
-    * (lowest d, then lowest cell) argmin the expression form and the twin
-    * use. Identical math term order → identical IEEE doubles → identical
-    * cells (pinned in SemDedupScaleSpec). Why it exists: unrolling k
-    * centroids into one expression stops codegen-compiling as k grows
-    * (measured at k=64/sf1: the self-join's broadcast build re-evaluated
-    * the interpreted expression single-threaded, 20 s for 20k vectors vs
-    * 1.6 s this way), and at production k (tens of thousands of cells for
-    * cells ∝ n) only the data form survives at all. Cost: one extra
-    * map-side-combined shuffle of n rows for the argmin. */
-  private def assignByJoin(embeddings: DataFrame,
+  /** Cell assignment as a BROADCAST-JOIN ARGMIN — the round-8 large-k
+    * form of [[cellOf]]: centroids become a k-row broadcast dim table,
+    * each vector fans out to k scored rows through the codegen'd
+    * `vec_dot`, and `min(struct(d, cell))` takes the same (lowest d,
+    * then lowest cell) argmin the expression form and the twin use.
+    *
+    * SUPERSEDED in round 10 by the fused [[graft.functions.VectorArgminCell]]
+    * kernel ([[assignByKernel]]): the fan-out multiplies every vector by
+    * k BEFORE a corpus-sized aggregate shuffle, and that whole chain
+    * re-executes per consumer of the assignment — at k=640/sf3 the
+    * assignment alone measured 31 s for 60 k vectors where the kernel
+    * form runs the same argmin as a per-row expression inside
+    * whole-stage codegen with no fan-out and no shuffle. Kept
+    * private[graft] as SemDedupScaleSpec's identity counterexample: the
+    * three argmin forms (unrolled expression, join, kernel) are pinned
+    * bit-identical there, so the strategy switch can never change a
+    * cell. */
+  private[graft] def assignByJoin(embeddings: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
@@ -94,9 +98,42 @@ object SemDedup {
   }
 
   /** Unrolled expressions codegen fine up to ~this many centroids; past
-    * it, [[assignByJoin]]'s data form wins (and is the only shape that
+    * it, [[assignByKernel]]'s fused loop wins (and is the only shape that
     * scales to production cell counts). */
   private val ExprPathMaxK = 16
+
+  /** Large-k cell assignment via the fused
+    * [[graft.functions.VectorArgminCell]] kernel: one per-row expression
+    * whose generated loop scans the frozen centroid matrix (a single
+    * plan reference object), so assignment is map-only — no fan-out, no
+    * shuffle, and re-deriving it per consumer costs one scan, not a
+    * corpus-sized aggregate. Bit-identical to [[cellOf]] and
+    * [[assignByJoin]] (SemDedupScaleSpec). */
+  private def assignByKernel(embeddings: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val s = embeddings.sparkSession
+    embeddings
+      .select(col("vec_id"), Similarity.unitNorm(
+        Similarity.asDouble(col("embedding"))).as("nv"))
+      .withColumn("cell",
+        graft.functions.VectorArgminCell.vec_argmin_cell(s, col("nv"), cents))
+  }
+
+  /** Cell assignment only — (vec_id, cell). The index-build serving step,
+    * and the measurement surface for the cells-∝-n dial (SemDedupScaleSpec
+    * computes per-cell histograms through this for any k, including the
+    * k=640 decade artifact where the unrolled-expression form no longer
+    * compiles). Same k-based strategy switch as [[semDedup]], so the
+    * cells measured are exactly the cells the dedup runs with. */
+  def assignCells(embeddings: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    graft.plans.GraftExtensions.install(embeddings.sparkSession)
+    if (cents.length > ExprPathMaxK)
+      assignByKernel(embeddings, cents).select(col("vec_id"), col("cell"))
+    else embeddings.select(col("vec_id"),
+      cellOf(Similarity.unitNorm(
+        Similarity.asDouble(col("embedding"))), cents).as("cell"))
+  }
 
   /** [[semDedup]] against an explicit centroid set (the cells-∝-n scale
     * dial; see [[cellOf]]). */
@@ -104,7 +141,7 @@ object SemDedup {
       cents: Array[Array[Double]]): DataFrame = {
     graft.plans.GraftExtensions.install(embeddings.sparkSession)
     val e =
-      if (cents.length > ExprPathMaxK) assignByJoin(embeddings, cents)
+      if (cents.length > ExprPathMaxK) assignByKernel(embeddings, cents)
       else embeddings
         .select(col("vec_id"), Similarity.unitNorm(
           Similarity.asDouble(col("embedding"))).as("nv"))
