@@ -193,6 +193,58 @@ object Multimodal {
       hist: Array[Long], // 16-bin gray histogram (g/16), exact counts
       bands: Array[Long]) // 64-bit block aHash as 4×16-bit bands (lo→hi)
 
+  // ---------------------------------------------------------------------
+  // Per-partition codec providers (round 10). The ImageIO.read/write and
+  // AudioSystem.* STATIC entry points consult a synchronized provider
+  // registry (IIORegistry / JDK13Services) on EVERY call — a JVM-global
+  // lock that serializes concurrent codec tasks. Measured at sf10
+  // (500 k docs): spreading q230 from 5 scan partitions to 32 made it
+  // 2.1× SLOWER (29.5 → 62.9 s) because 32 threads fought the registry
+  // lock. These helpers resolve the provider ONCE per partition (the
+  // codec boundary mapPartitions already establishes) and reuse the
+  // instance — writers/readers are single-threaded by contract, which a
+  // partition iterator satisfies. After the hoist the codec loop holds
+  // no shared lock at all.
+  // ---------------------------------------------------------------------
+
+  private def pngWriter(): javax.imageio.ImageWriter = {
+    javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache on executors
+    val ws = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+    require(ws.hasNext, "no PNG writer available")
+    ws.next()
+  }
+
+  private def pngReader(): javax.imageio.ImageReader = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val rs = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+    require(rs.hasNext, "no PNG reader available")
+    rs.next()
+  }
+
+  private def writePng(writer: javax.imageio.ImageWriter,
+      img: java.awt.image.BufferedImage,
+      out: java.io.ByteArrayOutputStream): Unit = {
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.close() // flush to `out` AND release the cache segments
+  }
+
+  private def readPng(reader: javax.imageio.ImageReader, bytes: Array[Byte],
+      what: => String): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    reader.setInput(iis)
+    // loud failure on a corrupt payload (the perceptualHash rule), with
+    // the record named — reader.read throws rather than returning null
+    try reader.read(0)
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"undecodable PNG payload for $what", e)
+    }
+    finally iis.close()
+  }
+
   /** Render + PNG-ENCODE the synthetic image per doc: a real ImageIO
     * write of a TYPE_BYTE_GRAY raster (lossless, deterministic bytes for
     * a given JVM). mapPartitions is the codec boundary: encoder state and
@@ -201,7 +253,7 @@ object Multimodal {
   def encodePng(docs: DataFrame): Dataset[PngRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache on executors
+      val writer = pngWriter()
       it.map { id =>
         val (cl, sh, w, h) = synthDims(id)
         val img = new java.awt.image.BufferedImage(
@@ -217,8 +269,7 @@ object Multimodal {
           y += 1
         }
         val out = new java.io.ByteArrayOutputStream(w * h + 128)
-        require(javax.imageio.ImageIO.write(img, "png", out),
-          s"no PNG writer available for doc $id")
+        writePng(writer, img, out)
         PngRecord(id, out.toByteArray)
       }
     }
@@ -238,11 +289,9 @@ object Multimodal {
   def decodePngStats(pngs: Dataset[PngRecord]): Dataset[PngStats] = {
     import pngs.sparkSession.implicits._
     pngs.mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
+      val reader = pngReader()
       it.map { rec =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(rec.png))
-        require(img != null, s"undecodable PNG payload for doc ${rec.doc_id}")
+        val img = readPng(reader, rec.png, s"doc ${rec.doc_id}")
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
         val hist = new Array[Long](16)
@@ -309,11 +358,37 @@ object Multimodal {
     * AudioSystem.write of a signed 16-bit little-endian mono stream
     * (RIFF/WAVE is a lossless PCM container, deterministic bytes). Same
     * mapPartitions codec-boundary contract as [[encodePng]]. */
+  /** The WAVE container writer, resolved ONCE per partition through the
+    * public SPI (`javax.sound.sampled.spi.AudioFileWriter`) instead of
+    * the `AudioSystem.write` static — which funnels every call through
+    * the JVM-global synchronized provider cache (JDK13Services) and
+    * serializes concurrent codec tasks (the q229 sf10 outlier: 28× at
+    * the decade before the hoist). Same provider, same bytes. */
+  private def wavWriter(): javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
+  }
+
+  /** All audio readers, resolved once per partition (same SPI hoist);
+    * the WAV one is discovered on the first record and tried first from
+    * then on. */
+  private def wavReaders(): Array[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val rs = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toArray
+    require(rs.nonEmpty, "no AudioFileReader providers")
+    rs
+  }
+
   def encodeWav(docs: DataFrame): Dataset[WavRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       val fmt = new javax.sound.sampled.AudioFormat(
         8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+      val writer = wavWriter()
       it.map { id =>
         val n = synthWavLen(id)
         val pcm = new Array[Byte](n * 2)
@@ -327,8 +402,7 @@ object Multimodal {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
         val out = new java.io.ByteArrayOutputStream(pcm.length + 64)
-        javax.sound.sampled.AudioSystem.write(
-          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
         WavRecord(id, out.toByteArray)
       }
     }
@@ -343,9 +417,28 @@ object Multimodal {
   def decodeWavStats(wavs: Dataset[WavRecord]): Dataset[WavStats] = {
     import wavs.sparkSession.implicits._
     wavs.mapPartitions { it =>
+      val readers = wavReaders()
+      // sticky provider: the reader that decoded the last record is tried
+      // first (they all throw UnsupportedAudioFileException on foreign
+      // containers — exception churn per record would be its own tax)
+      var sticky = 0
+      def open(bytes: Array[Byte], what: => String): javax.sound.sampled.AudioInputStream = {
+        var i = 0
+        while (i < readers.length) {
+          val idx = (sticky + i) % readers.length
+          try {
+            val ais = readers(idx).getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            sticky = idx
+            return ais
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => i += 1
+          }
+        }
+        throw new IllegalArgumentException(s"undecodable WAV payload for $what")
+      }
       it.map { rec =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(rec.wav))
+        val ais = open(rec.wav, s"doc ${rec.doc_id}")
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           !fmt.isBigEndian && fmt.getEncoding ==
@@ -403,7 +496,7 @@ object Multimodal {
   def encodeVideo(docs: DataFrame): Dataset[VideoRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
+      val writer = pngWriter()
       it.map { id =>
         val nf = synthFrameCount(id)
         val out = new java.io.ByteArrayOutputStream(nf * (FrameW * FrameH + 128))
@@ -423,8 +516,7 @@ object Multimodal {
             y += 1
           }
           val frame = new java.io.ByteArrayOutputStream(FrameW * FrameH + 128)
-          require(javax.imageio.ImageIO.write(img, "png", frame),
-            s"no PNG writer for doc $id frame $f")
+          writePng(writer, img, frame)
           dos.writeInt(frame.size())
           frame.writeTo(dos)
           f += 1
@@ -442,20 +534,19 @@ object Multimodal {
   def sampleFrames(videos: Dataset[VideoRecord], stride: Int = 2): Dataset[FrameStats] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     import videos.sparkSession.implicits._
-    videos.flatMap { rec =>
-      javax.imageio.ImageIO.setUseCache(false)
-      val in = new java.io.DataInputStream(
-        new java.io.ByteArrayInputStream(rec.container))
-      (0 until rec.n_frames).flatMap { f =>
-        val len = in.readInt()
-        if (f % stride != 0) {
-          in.skipNBytes(len.toLong) // sampling: skip, don't decode
-          None
-        } else {
-          val buf = in.readNBytes(len)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(buf))
-          require(img != null, s"undecodable frame $f for doc ${rec.doc_id}")
+    videos.mapPartitions { recs =>
+      val reader = pngReader()
+      recs.flatMap { rec =>
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(rec.container))
+        (0 until rec.n_frames).flatMap { f =>
+          val len = in.readInt()
+          if (f % stride != 0) {
+            in.skipNBytes(len.toLong) // sampling: skip, don't decode
+            None
+          } else {
+            val buf = in.readNBytes(len)
+            val img = readPng(reader, buf, s"doc ${rec.doc_id} frame $f")
           val raster = img.getRaster
           var sum = 0L
           var y = 0
@@ -465,6 +556,7 @@ object Multimodal {
             y += 1
           }
           Some(FrameStats(rec.doc_id, rec.n_frames, f, sum))
+          }
         }
       }
     }

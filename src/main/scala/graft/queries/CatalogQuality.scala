@@ -819,19 +819,23 @@ private[queries] object CatalogQuality {
     * p05/p95 interpolated percentiles, then average the clipped CENTS (the
     * q69 rule — a BIGINT sum divided once, never a float accumulation).
     * The winsorized mean is the outlier-resistant center a curation layer
-    * reports next to the raw mean; the two-pass shape (percentiles, then
-    * clipped agg with the 25-row bounds broadcast) is the 100 TB form —
-    * swap `percentile` for the mergeable `percentile_approx` there.
-    * Clip bounds are themselves floored to cents BEFORE clipping so both
-    * engines clip on identical integers. */
+    * reports next to the raw mean; the bounds come from
+    * `Shared.exactPercentiles` (q89/q114's counting-sort order
+    * statistics — round 10 retired the `percentile` ObjectHashAggregate
+    * here after the sf10 probe read 12.6×; the mergeable
+    * `percentile_approx` remains the approximate swap), then one clipped
+    * aggregate with the 5-row bounds broadcast. Clip bounds are
+    * themselves floored to cents BEFORE clipping so both engines clip on
+    * identical integers. */
   private val q148 = Q(
     "q148_winsorized_mean",
     (s, d) => {
       val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
       val o = Tables.orders(s, d).select(col("o_orderpriority"), cents.as("cents"))
-      val bounds = o.groupBy(col("o_orderpriority")).agg(
-        floor(percentile(col("cents"), lit(0.05))).cast("long").as("lo"),
-        floor(percentile(col("cents"), lit(0.95))).cast("long").as("hi"))
+      val bounds = exactPercentiles(o, "o_orderpriority", "cents", Seq(0.05, 0.95))
+        .groupBy(col("o_orderpriority")).agg(
+          floor(max(when(col("p") === 0.05, col("val")))).cast("long").as("lo"),
+          floor(max(when(col("p") === 0.95, col("val")))).cast("long").as("hi"))
       o.join(broadcast(bounds), "o_orderpriority")
         .select(col("o_orderpriority"),
           least(greatest(col("cents"), col("lo")), col("hi")).as("w"))

@@ -515,25 +515,36 @@ private[queries] object CatalogSqlSurface {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))
 
-  /** Exact interpolated percentiles (quartiles) per group — Spark's exact
-    * `percentile` vs DuckDB's `quantile_cont`, both lower+(higher-lower)×f
-    * over a sorted group. BIT-exact by construction at p∈{.25,.5,.75}: the
-    * fraction is a dyadic rational, (higher-lower)×f and the final add are
-    * exact IEEE ops on integer cents ≪ 2^50, so op-order cannot matter —
-    * the one percentile family that needs NO rounding belt. The groupwise
-    * sort is the cost; the KLL sketch (q65) is the 100 TB swap. */
+  /** Exact interpolated percentiles (quartiles) per group — the oracle is
+    * DuckDB's `quantile_cont`, lower+(higher-lower)×f over the sorted
+    * group. BIT-exact by construction at p∈{.25,.5,.75}: the fraction is
+    * a dyadic rational, (higher-lower)×f and the final add are exact IEEE
+    * ops on integer cents ≪ 2^50, so op-order cannot matter — the one
+    * percentile family that needs NO rounding belt.
+    *
+    * Round 10 replaced Spark's exact `percentile` aggregate: it buffers a
+    * value→count map PER GROUP PER PARTITION (ObjectHashAggregate, no
+    * codegen) and merges those maps into 5 single-task reducers — over
+    * the near-unique cents domain the sf10 decade probe measured it at
+    * 27× (74 s). A quartile is just an order statistic, so the plan now
+    * asks [[Shared.valueAtRanks]] (q89's counting-sort machinery) for the
+    * floor/ceil ranks of (n−1)·p per group and interpolates — identical
+    * lower+(higher−lower)×frac arithmetic, corpus never shuffled. frac=0
+    * keeps vlo exactly (x + (y−x)·0 ≡ x in IEEE), so the pos_hi =
+    * min(pos_lo+1, n−1) form needs no tie-casing. The KLL sketch (q65)
+    * remains the approximate swap when even three scans are too many. */
   private val q114 = Q(
     "q114_percentile_exact",
     (s, d) => {
-      Tables.orders(s, d)
+      val base = Tables.orders(s, d)
         .select(col("o_orderpriority"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      exactPercentiles(base, "o_orderpriority", "cents", Seq(0.25, 0.5, 0.75))
         .groupBy(col("o_orderpriority"))
-        .agg(
-          count(lit(1)).as("n"),
-          expr("percentile(cents, 0.25)").as("p25"),
-          expr("percentile(cents, 0.5)").as("p50"),
-          expr("percentile(cents, 0.75)").as("p75"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("p") === 0.25, col("val"))).as("p25"),
+          max(when(col("p") === 0.5, col("val"))).as("p50"),
+          max(when(col("p") === 0.75, col("val"))).as("p75"))
     },
     Some("""
       SELECT o_orderpriority, count(*) AS n,

@@ -112,132 +112,176 @@ private[queries] object Shared {
     * Round 10 replaced the range-exchange + `zipWithIndex` form (itself
     * the round-9 replacement for the retired 3-task ntile window): the
     * RDD round-trip broke whole-stage codegen and its count-pass job was
-    * the worst in-bar decade slope (10.9× at sf10). This form is the
-    * textbook distributed EXACT-QUANTILE counting sort, built on one
-    * observation: equi-depth output is 8 rows per flag, and each row is
-    * (closed-form count, price at rank bucketStart, price at rank
-    * bucketEnd−1) — i.e. SIXTEEN ORDER STATISTICS per flag, because
-    * bucket contents are contiguous in value order so min/max price per
-    * bucket are the boundary ranks' values. So the corpus is NEVER
-    * shuffled, aggregated to its value domain, or globally indexed:
-    *
-    *  1. pass 1 — per-flag (pmin, pmax, grp_n): 3-group streaming
-    *     aggregate over a 2-column scan, broadcast;
-    *  2. pass 2 — per-cell counts on a 4096-cell affine grid
-    *     (floor((p−pmin)/(pmax−pmin)·G), monotone in p so cells are
-    *     contiguous rank runs): ≤3·G-group streaming aggregate; a window
-    *     over that BOUNDED aggregate yields each cell's cumulative rank
-    *     offset;
-    *  3. ntile(8)'s remainder-first geometry gives each bucket's
-    *     boundary RANKS in closed form from grp_n alone; a tiny
-    *     broadcast hash join (equi on flag + containment filter) maps
-    *     each of the ≤48 boundary ranks to its grid cell;
-    *  4. pass 3 — resolve values ONLY inside boundary cells: a
-    *     broadcast semi-join keeps ~48/(3·G) of the corpus, a small
-    *     aggregate + per-cell window ranks the surviving distinct
-    *     values, and each boundary rank selects its value.
-    *
-    * Every shuffle in the plan carries ≤3·G rows; the corpus appears
-    * only as three column-pruned scans with map-side-combined
-    * aggregates (pass 1 and 2 collapse to 3 / 12k groups map-side, pass
-    * 3 filters to ~0.4% before its aggregate). Three scans, not two, is
-    * the price of a data-adaptive grid — a static (e.g. log-scale) grid
-    * would merge passes 1+2 but assumes a positive, known-shaped domain.
+    * the worst in-bar decade slope (10.9× at sf10). The key observation:
+    * equi-depth output is 8 rows per flag, and each row is (closed-form
+    * count, price at rank bucketStart, price at rank bucketEnd−1) —
+    * SIXTEEN ORDER STATISTICS per flag, because bucket contents are
+    * contiguous in value order so min/max price per bucket are the
+    * boundary ranks' values. Those ranks resolve through
+    * [[valueAtRanks]]'s counting-sort machinery (see its doc for the
+    * three-pass shape); measured 10.9× → 5.2× at the sf10 decade.
     *
     * Output is IDENTICAL to per-row ntile (EquidepthSpec pins the
     * three-way row identity): ties on price are contiguous in any
     * ntile order keyed (flag, price, tiebreak…), so bucket counts and
     * per-bucket price extrema never depend on the tiebreak columns. */
   private[queries] def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val G = 4096
-    val base = Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_extendedprice"))
-    // grid cell: monotone in price (floor of an increasing affine map),
-    // so per-flag value order = (cell, price-within-cell) order. The
-    // degenerate one-value flag (pmax = pmin) maps to cell 0; the double
-    // division is otherwise by a strictly positive span (ANSI-safe).
-    def rbOf(price: Column): Column =
-      when(col("pmax") === col("pmin"), lit(0)).otherwise(
-        least(lit(G - 1),
-          floor((price - col("pmin"))
-            / (col("pmax") - col("pmin")) * G).cast("int")))
-    // pass 1: per-flag bounds + total (3 rows, broadcast)
-    val stats = base.groupBy(col("l_returnflag")).agg(
-      min(col("l_extendedprice")).as("pmin"),
-      max(col("l_extendedprice")).as("pmax"),
-      count(lit(1)).as("grp_n"))
-    // pass 2: per-cell counts (≤3·G rows) + cumulative rank offsets.
-    // The window runs over the bounded cell aggregate, never the corpus.
-    // The per-flag bounds ride along (constant per flag, min() picks
-    // them deterministically) so every downstream consumer derives from
-    // THIS frame. CACHED: Catalyst re-executes a shared subtree once per
-    // consumer (measured here: 8 corpus scans without the cache, 3
-    // with), and this frame is bounded by the grid — ≤3·G tiny rows at
-    // any corpus size — so the cache is scale-safe by construction.
-    val wGrid = Window.partitionBy(col("l_returnflag")).orderBy(col("rb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cells = base.join(broadcast(stats), Seq("l_returnflag"))
-      .groupBy(col("l_returnflag"), rbOf(col("l_extendedprice")).as("rb"))
-      .agg(count(lit(1)).as("rb_n"),
-        min(col("pmin")).as("pmin"), min(col("pmax")).as("pmax"))
-      .withColumn("rb_off", coalesce(sum(col("rb_n")).over(wGrid), lit(0L)))
-      .cache()
-    val flagStats = cells.groupBy(col("l_returnflag")).agg(
-      sum(col("rb_n")).as("grp_n"),
-      min(col("pmin")).as("pmin"), min(col("pmax")).as("pmax"))
-    // remainder-first ntile(8) geometry from grp_n alone: bucket b
-    // (1-based) holds ranks [pos_lo, pos_hi] with the first grp_n%8
-    // buckets one rank larger. grp_n < 8 emits only the grp_n non-empty
-    // buckets (ntile semantics) and never evaluates the ⌊⌋-size branch.
-    val positions = flagStats
-      .withColumn("bucket",
-        explode(sequence(lit(1), least(lit(8L), col("grp_n")).cast("int"))))
-      .withColumn("bsize", expr(
-        "IF(bucket - 1 < grp_n % 8, grp_n DIV 8 + 1, grp_n DIV 8)"))
-      .withColumn("pos_lo", expr("""
-        CASE WHEN (bucket - 1) <= (grp_n % 8)
-          THEN (bucket - 1) * (grp_n DIV 8 + 1)
-          ELSE (grp_n % 8) * (grp_n DIV 8 + 1)
-            + ((bucket - 1) - (grp_n % 8)) * (grp_n DIV 8)
-        END"""))
-      .withColumn("pos_hi", col("pos_lo") + col("bsize") - 1)
-      .select(col("l_returnflag"), col("bucket"), col("bsize"),
-        explode(array(
-          struct(lit("lo").as("which"), col("pos_lo").as("pos")),
-          struct(lit("hi").as("which"), col("pos_hi").as("pos")))).as("p"))
-      .select(col("l_returnflag"), col("bucket"), col("bsize"),
-        col("p.which").as("which"), col("p.pos").as("pos"))
-    // locate each boundary rank's grid cell: equi join on flag with a
-    // containment filter — both sides bounded (≤3·G × ≤48)
-    val posCells = cells.join(broadcast(positions), Seq("l_returnflag"))
-      .filter(col("rb_off") <= col("pos") &&
-        col("pos") < col("rb_off") + col("rb_n"))
-      .select(col("l_returnflag"), col("rb"), col("rb_off"), col("bucket"),
-        col("bsize"), col("which"), col("pos"))
-    val needed = posCells.select(col("l_returnflag"), col("rb")).distinct()
-    // pass 3: rank distinct values inside boundary cells only (the
-    // semi-join keeps ~48/(3·G) of the corpus before the aggregate).
-    // Bounds come from the cached cells (via flagStats), not a fresh
-    // stats scan.
-    val wCell = Window.partitionBy(col("l_returnflag"), col("rb"))
-      .orderBy(col("l_extendedprice"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val vals = base.join(
-        broadcast(flagStats.select(col("l_returnflag"), col("pmin"), col("pmax"))),
-        Seq("l_returnflag"))
-      .withColumn("rb", rbOf(col("l_extendedprice")))
-      .join(broadcast(needed), Seq("l_returnflag", "rb"), "left_semi")
-      .groupBy(col("l_returnflag"), col("rb"), col("l_extendedprice"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("in_off", coalesce(sum(col("cnt")).over(wCell), lit(0L)))
-    // value at rank pos within its cell: in_off ≤ pos−rb_off < in_off+cnt
-    posCells.join(vals, Seq("l_returnflag", "rb"))
-      .filter(col("in_off") <= col("pos") - col("rb_off") &&
-        col("pos") - col("rb_off") < col("in_off") + col("cnt"))
+    val resolved = valueAtRanks(
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice",
+      // remainder-first ntile(8) geometry from grp_n alone: bucket b
+      // (1-based) holds ranks [pos_lo, pos_hi] with the first grp_n%8
+      // buckets one rank larger. grp_n < 8 emits only the grp_n
+      // non-empty buckets (ntile semantics) and never evaluates the
+      // ⌊⌋-size branch.
+      grpStats => grpStats
+        .withColumn("bucket",
+          explode(sequence(lit(1), least(lit(8L), col("grp_n")).cast("int"))))
+        .withColumn("bsize", expr(
+          "IF(bucket - 1 < grp_n % 8, grp_n DIV 8 + 1, grp_n DIV 8)"))
+        .withColumn("pos_lo", expr("""
+          CASE WHEN (bucket - 1) <= (grp_n % 8)
+            THEN (bucket - 1) * (grp_n DIV 8 + 1)
+            ELSE (grp_n % 8) * (grp_n DIV 8 + 1)
+              + ((bucket - 1) - (grp_n % 8)) * (grp_n DIV 8)
+          END"""))
+        .withColumn("pos_hi", col("pos_lo") + col("bsize") - 1)
+        .select(col("l_returnflag"), col("bucket"), col("bsize"),
+          explode(array(
+            struct(lit("lo").as("which"), col("pos_lo").as("pos")),
+            struct(lit("hi").as("which"), col("pos_hi").as("pos")))).as("p"))
+        .select(col("l_returnflag"), col("bucket"), col("bsize"),
+          col("p.which").as("which"), col("p.pos").as("pos")))
+    resolved
       .groupBy(col("l_returnflag"), col("bucket"))
       .agg(max(col("bsize")).as("n"),
         r2(min(when(col("which") === "lo", col("l_extendedprice")))).as("lo"),
         r2(max(when(col("which") === "hi", col("l_extendedprice")))).as("hi"))
+  }
+
+  /** Exact interpolated percentiles per group through [[valueAtRanks]] —
+    * one row per group × requested percentile: (g, p, n, val). Matches
+    * Spark's exact `percentile` aggregate and DuckDB's `quantile_cont`
+    * BIT-exactly: the same (n−1)·p position, the same floor/ceil ranks,
+    * and the same lower + (higher−lower)·frac interpolation op order
+    * (frac = 0 reproduces the lower value exactly in IEEE, so pos_hi =
+    * min(pos_lo+1, n−1) needs no tie-casing). Replaces the `percentile`
+    * ObjectHashAggregate — which buffers a value→count map per group per
+    * partition and merges them in |groups| single tasks, measured 27× at
+    * the sf10 decade on q114 — with three streaming corpus scans. */
+  private[queries] def exactPercentiles(base: DataFrame, g: String,
+      v: String, ps: Seq[Double]): DataFrame = {
+    val resolved = valueAtRanks(base, g, v, grpStats => grpStats
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("rank_d", (col("grp_n") - 1).cast("double") * col("p"))
+      .withColumn("pos_lo", floor(col("rank_d")).cast("long"))
+      .withColumn("frac", col("rank_d") - col("pos_lo").cast("double"))
+      .select(col(g), col("p"), col("frac"), col("grp_n").as("n_rows"),
+        explode(array(
+          struct(lit("lo").as("which"), col("pos_lo").as("pos")),
+          struct(lit("hi").as("which"),
+            least(col("pos_lo") + 1, col("grp_n") - 1).as("pos")))).as("pp"))
+      .select(col(g), col("p"), col("frac"), col("n_rows"),
+        col("pp.which").as("which"), col("pp.pos").as("pos")))
+    resolved.groupBy(col(g), col("p"))
+      .agg(max(col("n_rows")).as("n"), min(col("frac")).as("frac"),
+        min(when(col("which") === "lo", col(v))).as("vlo"),
+        max(when(col("which") === "hi", col(v))).as("vhi"))
+      .select(col(g), col("p"), col("n"),
+        (col("vlo").cast("double") +
+          (col("vhi").cast("double") - col("vlo").cast("double")) * col("frac"))
+          .as("val"))
+  }
+
+  /** Exact per-group ORDER STATISTICS by counting sort — the shared
+    * three-pass machinery behind q89/q89b (equi-depth buckets) and q114
+    * (exact interpolated percentiles). Given a (group, value) corpus and
+    * a rank-request builder, returns each requested rank's exact value —
+    * without ever shuffling the corpus, aggregating it to its value
+    * domain, or globally indexing it:
+    *
+    *  1. pass 1 — per-group (vmin, vmax, grp_n): |groups|-row streaming
+    *     aggregate over a 2-column scan, broadcast;
+    *  2. pass 2 — per-cell counts on a 4096-cell affine grid
+    *     (floor((x−vmin)/(vmax−vmin)·G), monotone in x so cells are
+    *     contiguous rank runs): ≤|groups|·G-row streaming aggregate; a
+    *     window over that BOUNDED aggregate yields each cell's
+    *     cumulative rank offset. CACHED: Catalyst re-executes a shared
+    *     subtree once per consumer (measured on q89: 8 corpus scans
+    *     without the cache, 3 with), and the frame is grid-bounded at
+    *     any corpus size, so the cache is scale-safe by construction;
+    *  3. `mkPositions(grpStats)` turns the per-group stats (group, vmin,
+    *     vmax, grp_n) into the requested 0-based ranks — (group, pos,
+    *     any tag columns; `rb*`/`in_off`/`cnt`/`vmin`/`vmax` are
+    *     reserved) — closed-form and tiny (broadcast); an equi join on
+    *     group + containment filter maps each rank to its grid cell;
+    *  4. pass 3 — resolve values ONLY inside the cells holding a
+    *     requested rank: a broadcast semi-join keeps ~|ranks|/(|groups|·G)
+    *     of the corpus, a small aggregate + per-cell window ranks the
+    *     surviving distinct values, and each rank selects its value.
+    *
+    * Every shuffle carries ≤|groups|·G rows; the corpus appears only as
+    * three column-pruned scans with map-side-combined aggregates. Three
+    * scans, not two, is the price of a data-adaptive grid — a static
+    * (e.g. log-scale) grid would merge passes 1+2 but assumes a
+    * positive, known-shaped domain. Returns one row per positions row:
+    * the positions columns plus `v` = the value at that rank. */
+  private[queries] def valueAtRanks(
+      base0: DataFrame, g: String, v: String,
+      mkPositions: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val G = 4096
+    val base = base0.select(col(g), col(v))
+    // grid cell: monotone in the value (floor of an increasing affine
+    // map), so per-group value order = (cell, value-within-cell) order.
+    // A one-value group (vmax = vmin) maps to cell 0; the double
+    // division is otherwise by a strictly positive span (ANSI-safe).
+    def rbOf(value: Column): Column =
+      when(col("vmax") === col("vmin"), lit(0)).otherwise(
+        least(lit(G - 1),
+          floor((value - col("vmin"))
+            / (col("vmax") - col("vmin")) * G).cast("int")))
+    val stats = base.groupBy(col(g)).agg(
+      min(col(v)).as("vmin"), max(col(v)).as("vmax"),
+      count(lit(1)).as("grp_n"))
+    val wGrid = Window.partitionBy(col(g)).orderBy(col("rb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bounds ride along (constant per group, min() picks them
+    // deterministically) so every downstream consumer derives from the
+    // one cached bounded frame
+    val cells = base.join(broadcast(stats), Seq(g))
+      .groupBy(col(g), rbOf(col(v)).as("rb"))
+      .agg(count(lit(1)).as("rb_n"),
+        min(col("vmin")).as("vmin"), min(col("vmax")).as("vmax"))
+      .withColumn("rb_off", coalesce(sum(col("rb_n")).over(wGrid), lit(0L)))
+      .cache()
+    val grpStats = cells.groupBy(col(g)).agg(
+      sum(col("rb_n")).as("grp_n"),
+      min(col("vmin")).as("vmin"), min(col("vmax")).as("vmax"))
+    val positions = mkPositions(grpStats)
+    require(positions.columns.contains("pos"),
+      s"mkPositions must emit a 'pos' column, got ${positions.columns.mkString(", ")}")
+    // locate each requested rank's grid cell: equi join on group with a
+    // containment filter — both sides bounded
+    val posCells = cells.drop("vmin", "vmax")
+      .join(broadcast(positions), Seq(g))
+      .filter(col("rb_off") <= col("pos") &&
+        col("pos") < col("rb_off") + col("rb_n"))
+      .drop("rb_n")
+    val needed = posCells.select(col(g), col("rb")).distinct()
+    val wCell = Window.partitionBy(col(g), col("rb")).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vals = base.join(
+        broadcast(grpStats.select(col(g), col("vmin"), col("vmax"))), Seq(g))
+      .withColumn("rb", rbOf(col(v)))
+      .join(broadcast(needed), Seq(g, "rb"), "left_semi")
+      .groupBy(col(g), col("rb"), col(v))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("in_off", coalesce(sum(col("cnt")).over(wCell), lit(0L)))
+    // value at rank pos within its cell: in_off ≤ pos−rb_off < in_off+cnt
+    posCells.join(vals, Seq(g, "rb"))
+      .filter(col("in_off") <= col("pos") - col("rb_off") &&
+        col("pos") - col("rb_off") < col("in_off") + col("cnt"))
+      .drop("rb", "rb_off", "in_off", "cnt")
   }
 }

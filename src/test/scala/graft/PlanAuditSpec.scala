@@ -86,10 +86,9 @@ class PlanAuditSpec extends SparkSpec {
       "q140_mixture_weights" -> 1, "q146_triangle_count" -> 2,
       "q149_ks_drift" -> 3, "q150_psi_drift" -> 1, "q156_jsd_drift" -> 2,
       "q159_dataset_card" -> 1,
-      // q164b: the ×k centroid fan-out is a crossJoin of a broadcast
-      // 64-row dim table (assignByJoin's argmin); 3 = that join
-      // replicated across the self-join + dups-join lineage branches
-      "q164b_semdedup_scaled" -> 3,
+      // (q164b left the list in round 10: the vec_argmin_cell kernel
+      // replaced the broadcast-dim crossJoin fan-out, so no BNLJ remains
+      // in its plan)
       "q172_mutual_information" -> 1,
       // q187: DSIR's λ table derives from a crossJoin of the ≤256-row
       // bucket histogram with the 1-row corpus-totals broadcast
