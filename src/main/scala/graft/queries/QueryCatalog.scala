@@ -206,15 +206,27 @@ private[queries] object Shared {
     *     (floor((x−vmin)/(vmax−vmin)·G), monotone in x so cells are
     *     contiguous rank runs): ≤|groups|·G-row streaming aggregate; a
     *     window over that BOUNDED aggregate yields each cell's
-    *     cumulative rank offset. CACHED: Catalyst re-executes a shared
-    *     subtree once per consumer (measured on q89: 8 corpus scans
-    *     without the cache, 3 with), and the frame is grid-bounded at
-    *     any corpus size, so the cache is scale-safe by construction;
-    *  3. `mkPositions(grpStats)` turns the per-group stats (group, vmin,
-    *     vmax, grp_n) into the requested 0-based ranks — (group, pos,
-    *     any tag columns; `rb*`/`in_off`/`cnt`/`vmin`/`vmax` are
-    *     reserved) — closed-form and tiny (broadcast); an equi join on
-    *     group + containment filter maps each rank to its grid cell;
+    *     cumulative rank offset. The grid aggregate is shared across its
+    *     consumers via ReuseExchange, NOT `.cache()`: shuffle files
+    *     already materialize the bounded frame once, and the plan needs
+    *     exactly one canonical form of the aggregate for reuse to hold —
+    *     which is also why cells carries no vmin/vmax (column pruning
+    *     would specialize the aggregate per consumer and fork the scan).
+    *     A CacheManager entry here was round 10's plan-shape heisenbug:
+    *     entries are JVM-shared across sessions and an AQE-on session
+    *     registering first compiles the cached plan adaptively, hiding
+    *     its output partitioning from every later static consumer (+4
+    *     exchanges that appeared only when another suite built q89
+    *     first);
+    *  3. `mkPositions(grpStats)` turns the per-group (group, grp_n) —
+    *     derived from the reused grid aggregate, so it costs no extra
+    *     scan — into the requested 0-based ranks: (group, pos, any tag
+    *     columns; `rb*`/`in_off`/`cnt`/`vmin`/`vmax` are reserved),
+    *     closed-form and tiny (broadcast); a builder needing the value
+    *     bounds should join `broadcast(stats)` itself (the broadcast
+    *     reuses the cells-join copy IF all three columns stay live); an
+    *     equi join on group + containment filter maps each rank to its
+    *     grid cell;
     *  4. pass 3 — resolve values ONLY inside the cells holding a
     *     requested rank: a broadcast semi-join keeps ~|ranks|/(|groups|·G)
     *     of the corpus, a small aggregate + per-cell window ranks the
@@ -246,24 +258,29 @@ private[queries] object Shared {
       count(lit(1)).as("grp_n"))
     val wGrid = Window.partitionBy(col(g)).orderBy(col("rb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // bounds ride along (constant per group, min() picks them
-    // deterministically) so every downstream consumer derives from the
-    // one cached bounded frame
+    // cells carries ONLY (g, rb, rb_n, rb_off): aggregating the bounds
+    // through it would let column pruning specialize the aggregate per
+    // consumer (with/without min(vmin)/min(vmax)) into two canonically
+    // different subtrees, defeating ReuseExchange and re-scanning the
+    // corpus once per variant. With one canonical form, Catalyst's
+    // exchange reuse materializes the grid aggregate ONCE (shuffle files
+    // are the bounded frame's cache — no CacheManager entry, so the plan
+    // shape cannot depend on which session/conf first registered a cache)
     val cells = base.join(broadcast(stats), Seq(g))
       .groupBy(col(g), rbOf(col(v)).as("rb"))
-      .agg(count(lit(1)).as("rb_n"),
-        min(col("vmin")).as("vmin"), min(col("vmax")).as("vmax"))
+      .agg(count(lit(1)).as("rb_n"))
       .withColumn("rb_off", coalesce(sum(col("rb_n")).over(wGrid), lit(0L)))
-      .cache()
-    val grpStats = cells.groupBy(col(g)).agg(
-      sum(col("rb_n")).as("grp_n"),
-      min(col("vmin")).as("vmin"), min(col("vmax")).as("vmax"))
+    // grp_n re-derives from the REUSED cells exchange (bounded rows), not
+    // from stats: routing it through stats would hand the positions
+    // builder a count-only pruned copy of the stats aggregate — a
+    // canonically distinct subtree, i.e. a fourth corpus scan
+    val grpStats = cells.groupBy(col(g)).agg(sum(col("rb_n")).as("grp_n"))
     val positions = mkPositions(grpStats)
     require(positions.columns.contains("pos"),
       s"mkPositions must emit a 'pos' column, got ${positions.columns.mkString(", ")}")
     // locate each requested rank's grid cell: equi join on group with a
     // containment filter — both sides bounded
-    val posCells = cells.drop("vmin", "vmax")
+    val posCells = cells
       .join(broadcast(positions), Seq(g))
       .filter(col("rb_off") <= col("pos") &&
         col("pos") < col("rb_off") + col("rb_n"))
@@ -272,7 +289,7 @@ private[queries] object Shared {
     val wCell = Window.partitionBy(col(g), col("rb")).orderBy(col(v))
       .rowsBetween(Window.unboundedPreceding, -1)
     val vals = base.join(
-        broadcast(grpStats.select(col(g), col("vmin"), col("vmax"))), Seq(g))
+        broadcast(stats.select(col(g), col("vmin"), col("vmax"))), Seq(g))
       .withColumn("rb", rbOf(col(v)))
       .join(broadcast(needed), Seq(g, "rb"), "left_semi")
       .groupBy(col(g), col("rb"), col(v))

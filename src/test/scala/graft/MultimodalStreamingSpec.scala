@@ -173,17 +173,18 @@ class MultimodalStreamingSpec extends SparkSpec {
   }
 
   test("runningUserStats: transformWithState running totals converge to batch aggregates") {
-    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider —
+    // isolated SQLConf so the provider swap can't leak into (or be
+    // clobbered by) concurrently-running streaming suites
+    val s = isolated("spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
     def e(u: Long, t: String, v: Double) =
       Events.Ev(u, Timestamp.valueOf(t), "click", v)
     val batch1 = Seq(e(1, "2024-01-01 00:00:00", 1.0), e(2, "2024-01-01 00:01:00", 4.0))
     val batch2 = Seq(e(1, "2024-01-01 00:05:00", 2.0), e(1, "2024-01-01 00:04:00", 8.0))
     val stream = MemoryStream[Events.Ev]
-    // transformWithState requires the RocksDB state store provider
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    locally {
       val q = Events.runningUserStats(stream.toDS()).toDF().writeStream
         .format("memory").queryName("tws_out").outputMode("update")
         .start()
@@ -196,18 +197,13 @@ class MultimodalStreamingSpec extends SparkSpec {
       q.stop()
       // update mode emits one row per user per batch; the LAST (max
       // n_events — monotone) row per user is the converged state
-      val last = spark.sql("SELECT * FROM tws_out")
+      val last = s.sql("SELECT * FROM tws_out")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
         .groupBy(_._1).map { case (u, a) => u -> a.maxBy(_._2) }
       assert(last(1L) == ((1L, 3L, 11.0, Timestamp.valueOf("2024-01-01 00:05:00").getTime)))
       assert(last(2L) == ((2L, 1L, 4.0, Timestamp.valueOf("2024-01-01 00:01:00").getTime)))
       // and user 1 was emitted in BOTH batches (running, not final-only)
-      assert(spark.sql("SELECT count(*) FROM tws_out WHERE user_id = 1").head().getLong(0) == 2L)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+      assert(s.sql("SELECT count(*) FROM tws_out WHERE user_id = 1").head().getLong(0) == 2L)
     }
   }
 

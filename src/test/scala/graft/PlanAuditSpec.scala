@@ -153,10 +153,15 @@ class PlanAuditSpec extends SparkSpec {
       "q74_vocab_coverage" -> 1, "q82_rolling_dau" -> 1,
       "q88_calendar_spine" -> 1)
 
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val results = PlanAudit.sweep(spark, sf())
+    // Isolated-SQLConf session: the sweep must see the DEFAULT broadcast
+    // threshold and static (AQE-off) plans regardless of what any
+    // concurrently-running suite sets on the shared session — a sibling's
+    // momentary autoBroadcastJoinThreshold=-1 turns threshold-eligible
+    // broadcast joins into SMJ and fails the frozen budget by +2 shuffles
+    // per join (observed on q89/q89b).
+    val audit = isolated("spark.sql.adaptive.enabled" -> "false")
+    locally {
+      val results = PlanAudit.sweep(audit, sf())
       val errors = results.collect { case (n, c) if c.error.isDefined =>
         s"$n: ${c.error.get}" }
       assert(errors.isEmpty, s"plan build failed:\n${errors.mkString("\n")}")
@@ -213,6 +218,6 @@ class PlanAuditSpec extends SparkSpec {
       }
       assert(overBudget.isEmpty,
         s"Exchange count rose above the frozen budget: ${overBudget.mkString("; ")}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 }

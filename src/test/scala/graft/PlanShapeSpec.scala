@@ -111,17 +111,18 @@ class PlanShapeSpec extends SparkSpec {
   test("bucketed tables join and aggregate with zero shuffle exchanges") {
     import org.apache.spark.sql.functions._
     import graft.sources.Tables
-    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    // isolated SQLConf: forcing SMJ via a -1 broadcast threshold on the
+    // SHARED session races with every concurrently-planning suite
+    val s = isolated("spark.sql.autoBroadcastJoinThreshold" -> "-1")
     try {
-      val cust = Tables.customer(spark, sf()).select("c_custkey", "c_name", "c_nationkey")
-      val ords = Tables.orders(spark, sf()).select("o_custkey", "o_orderkey", "o_totalprice")
+      val cust = Tables.customer(s, sf()).select("c_custkey", "c_name", "c_nationkey")
+      val ords = Tables.orders(s, sf()).select("o_custkey", "o_orderkey", "o_totalprice")
       graft.sources.Bronze.writeBucketed(
         cust, "bk_customer", Seq("c_custkey"), 4, Seq("c_custkey"))
       graft.sources.Bronze.writeBucketed(
         ords, "bk_orders", Seq("o_custkey"), 4, Seq("o_custkey"))
-      val joined = spark.table("bk_customer").join(
-        spark.table("bk_orders"), col("c_custkey") === col("o_custkey"))
+      val joined = s.table("bk_customer").join(
+        s.table("bk_orders"), col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
       // collect() drives THIS Dataset's QueryExecution (count() would
       // build a different one), so the AQE-finalized plan is inspectable
@@ -138,9 +139,8 @@ class PlanShapeSpec extends SparkSpec {
       assert(n == cust.join(ords, col("c_custkey") === col("o_custkey"))
         .select("c_custkey").distinct().count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
-      spark.sql("DROP TABLE IF EXISTS bk_customer")
-      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      s.sql("DROP TABLE IF EXISTS bk_customer")
+      s.sql("DROP TABLE IF EXISTS bk_orders")
     }
   }
 
@@ -234,12 +234,13 @@ class PlanShapeSpec extends SparkSpec {
     val before = plan("q21_minhash_lsh")
     assert(!before.contains("REPARTITION_BY_COL"),
       s"fixture-only repartition leaked into the default plan:\n$before")
-    try {
-      spark.conf.set("graft.bench.singleFileFixture", "true")
-      val benched = plan("q21_minhash_lsh")
-      assert(benched.contains("REPARTITION_BY_COL"),
-        s"bench flag did not spread the single-file scan:\n$benched")
-    } finally spark.conf.unset("graft.bench.singleFileFixture")
+    // isolated SQLConf: the flag must not leak to suites planning q21
+    // concurrently (and their conf changes must not leak here)
+    val s = isolated("graft.bench.singleFileFixture" -> "true")
+    val benched = QueryCatalog.queries("q21_minhash_lsh")(s, sf())
+      .queryExecution.executedPlan.toString
+    assert(benched.contains("REPARTITION_BY_COL"),
+      s"bench flag did not spread the single-file scan:\n$benched")
   }
 
   test("parquet aggregate pushdown: count/min/max answered by footer stats (DSv2)") {
@@ -248,25 +249,20 @@ class PlanShapeSpec extends SparkSpec {
     // DSv2 + aggregatePushdown can, and the scan advertises it as
     // PushedAggregation. Values must match the v1 full-scan answer.
     import org.apache.spark.sql.functions.{count => cnt, max => mx, min => mn, col => c}
-    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
-    spark.conf.set("spark.sql.sources.useV1SourceList", "")
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    try {
-      val agg = spark.read.parquet(sf() + "/lineitem.parquet")
-        .agg(cnt("*").as("n"), mn(c("l_quantity")).as("lo"), mx(c("l_quantity")).as("hi"))
-      val p = agg.queryExecution.executedPlan.toString
-      assert(p.contains("PushedAggregation: [COUNT(*)"), s"aggregate not pushed:\n$p")
-      val Array(pushed) = agg.collect()
-      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
-      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
-      val Array(full) = spark.read.parquet(sf() + "/lineitem.parquet")
-        .agg(cnt("*").as("n"), mn(c("l_quantity")).as("lo"), mx(c("l_quantity")).as("hi"))
-        .collect()
-      assert(pushed == full, s"pushed $pushed != full-scan $full")
-    } finally {
-      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
-      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
-    }
+    // isolated SQLConf for the DSv2 + pushdown side; the full-scan
+    // reference runs on the untouched shared session
+    val s = isolated(
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val agg = s.read.parquet(sf() + "/lineitem.parquet")
+      .agg(cnt("*").as("n"), mn(c("l_quantity")).as("lo"), mx(c("l_quantity")).as("hi"))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregation: [COUNT(*)"), s"aggregate not pushed:\n$p")
+    val Array(pushed) = agg.collect()
+    val Array(full) = spark.read.parquet(sf() + "/lineitem.parquet")
+      .agg(cnt("*").as("n"), mn(c("l_quantity")).as("lo"), mx(c("l_quantity")).as("hi"))
+      .collect()
+    assert(pushed == full, s"pushed $pushed != full-scan $full")
   }
 
   test("runtime bloom-filter join injection prunes the probe side") {
@@ -278,36 +274,30 @@ class PlanShapeSpec extends SparkSpec {
     // the size gates so the fixture qualifies; the rewrite itself is
     // stock. Result must equal the unfiltered join.
     import org.apache.spark.sql.functions.{col => c}
-    def conf(k: String) = spark.conf.get(k)
-    val saved = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
-      .map(k => k -> conf(k))
-    def q = {
-      val li = spark.read.parquet(sf() + "/lineitem.parquet")
+    // isolated SQLConf for the bloom-injected side (the -1 broadcast
+    // threshold especially must not leak); plain reference on the shared
+    // session with default conf
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val li = s.read.parquet(sf() + "/lineitem.parquet")
         .select(c("l_orderkey"), c("l_quantity"))
-      val ord = spark.read.parquet(sf() + "/orders.parquet")
+      val ord = s.read.parquet(sf() + "/orders.parquet")
         .filter(c("o_orderpriority") === "1-URGENT")
         .select(c("o_orderkey"))
       li.join(ord, c("l_orderkey") === c("o_orderkey")).groupBy()
         .agg(org.apache.spark.sql.functions.sum(c("l_quantity")).as("s"))
     }
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      val df = q
-      val p = df.queryExecution.optimizedPlan.toString
-      assert(p.contains("might_contain") || p.contains("bloom_filter"),
-        s"no runtime bloom filter injected:\n$p")
-      val withFilter = df.collect()(0).getDouble(0)
-      saved.foreach { case (k, v) => spark.conf.set(k, v) }
-      val plain = q.collect()(0).getDouble(0)
-      assert(withFilter == plain, s"bloom-filtered $withFilter != plain $plain")
-    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    val s = isolated(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val df = q(s)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("might_contain") || p.contains("bloom_filter"),
+      s"no runtime bloom filter injected:\n$p")
+    val withFilter = df.collect()(0).getDouble(0)
+    val plain = q(spark).collect()(0).getDouble(0)
+    assert(withFilter == plain, s"bloom-filtered $withFilter != plain $plain")
   }
 
   test("queries and oracles are consistently keyed") {

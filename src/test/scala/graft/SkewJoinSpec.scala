@@ -23,7 +23,7 @@ class SkewJoinSpec extends SparkSpec {
   // 90% of fact rows carry the hot key; ~200B payload per row so byte
   // thresholds are meaningful at test scale (~9 MB fact).
   private val NFact = 40000
-  private lazy val fact = spark.range(NFact.toLong).select(
+  private def factOn(s: org.apache.spark.sql.SparkSession) = s.range(NFact.toLong).select(
     when(col("id") % 10 =!= 0, lit("hot"))
       .otherwise(concat(lit("cold"), (col("id") % 100).cast("string")))
       .as("key"),
@@ -34,8 +34,13 @@ class SkewJoinSpec extends SparkSpec {
     concat(sha2(col("id").cast("string"), 256),
       sha2(concat(col("id").cast("string"), lit("b")), 256),
       sha2(concat(col("id").cast("string"), lit("c")), 256)).as("payload"))
-  private lazy val dim = (Seq("hot") ++ (0 until 100).map("cold" + _))
-    .toDF("key").withColumn("dim_tag", length(col("key")))
+  private def dimOn(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    (Seq("hot") ++ (0 until 100).map("cold" + _))
+      .toDF("key").withColumn("dim_tag", length(col("key")))
+  }
+  private lazy val fact = factOn(spark)
+  private lazy val dim = dimOn(spark)
 
   /** Per-task shuffle-read bytes, grouped by stage. */
   private final class TaskMeter extends SparkListener {
@@ -54,34 +59,27 @@ class SkewJoinSpec extends SparkSpec {
   /** Runs the skewed join with the given confs, returns (rowCount,
     * (taskShuffleReads of the heaviest-read stage)). */
   private def runJoin(skewHandling: Boolean): (Long, List[Long]) = {
-    val saved = Seq(
-      "spark.sql.adaptive.enabled",
-      "spark.sql.adaptive.skewJoin.enabled",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.adaptive.coalescePartitions.enabled",
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold"
-    ).map(k => k ->
-      scala.util.Try(spark.conf.get(k)).toOption.flatMap(Option(_))).toMap
+    // isolated SQLConf: the skew thresholds and especially the -1
+    // broadcast threshold must not be visible to concurrently-planning
+    // suites (they turned PlanAuditSpec's broadcast joins into SMJ)
+    val s = isolated(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> skewHandling.toString,
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // force a sort-merge join: broadcast would hide the skew entirely
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    import s.implicits._
     val meter = new TaskMeter
     try {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewHandling)
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      // force a sort-merge join: broadcast would hide the skew entirely
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       spark.sparkContext.addSparkListener(meter)
       // the aggregate must CONSUME payload post-join: a bare count() lets
       // column pruning drop the 192-byte payload from the exchange and the
       // "skewed" partition shrinks to a few KB of repeated keys
-      val n = fact.join(dim, "key")
+      val n = factOn(s).join(dimOn(s), "key")
         .agg(sum(length(col("payload")))).as[Long].head() / 192L
       // listener bus is async; poll until the event stream drains
       val deadline = System.nanoTime() + 10_000_000_000L
@@ -93,13 +91,7 @@ class SkewJoinSpec extends SparkSpec {
       }
       val joinStage = meter.byStage.maxBy(_._2.sum)._2
       (n, joinStage)
-    } finally {
-      spark.sparkContext.removeSparkListener(meter)
-      saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None)    => spark.conf.unset(k)
-      }
-    }
+    } finally spark.sparkContext.removeSparkListener(meter)
   }
 
   private def maxOverMedian(reads: List[Long]): Double = {

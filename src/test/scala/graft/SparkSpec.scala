@@ -13,6 +13,21 @@ trait SparkSpec extends AnyFunSuite {
     * must search the whole chain. */
   def msgs(t: Throwable): Seq[String] =
     if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
+  /** Session with ISOLATED SQLConf (shared SparkContext/catalog) for any
+    * test that needs non-default conf — broadcast thresholds, AQE
+    * toggles, state-store providers. sbt runs suites in parallel inside
+    * the forked JVM, so a `spark.conf.set` on the SHARED session races
+    * with every concurrently-planning suite (a -1 broadcast threshold
+    * momentarily turns another suite's broadcast joins into SMJ/cartesian
+    * and fails its plan audit). Rule: never mutate `spark.conf` in a
+    * test; take an `isolated(...)` session instead — no restore needed,
+    * nothing leaks. */
+  def isolated(pairs: (String, String)*): SparkSession = {
+    val s = SparkSpec.session.newSession()
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
+    s
+  }
 }
 
 object SparkSpec {
