@@ -298,7 +298,9 @@ object Bench {
       val cwd = new java.io.File(".")
       val refFile = Option(cwd.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.matches("BENCH_r\\d+_full\\.json"))
-        .sortBy(_.getName).lastOption
+        // numeric round order, not lexicographic ("r100" sorts before
+        // "r99" as a string)
+        .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt).lastOption
       refFile.map { f =>
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
