@@ -65,14 +65,33 @@ object StreamBench {
     import spark.implicits._
 
     // Landing directory: the events table as Chunks time-ordered files
-    // (range partition on the monotone event_id → part-00000 is the
-    // earliest slice, so the file stream replays event time forward and
-    // watermarks advance batch over batch, exercising state EVICTION, not
-    // just growth).
+    // (range partition on ts → part-00000 is the earliest slice, so the
+    // file stream replays event time forward and watermarks advance
+    // batch over batch, exercising state EVICTION, not just growth).
+    // Round-11 fix: this was previously ranged on event_id, which is
+    // monotone with ts only in the driver fixtures — the tools/sf*
+    // generators assign ts by hash, so their chunks were random TIME
+    // samples and the replay ran in event-time disorder (watermark
+    // jumps, mass late-drops that a noop sink never surfaces).
     val landing = new java.io.File(work, "landing").getPath
     val ev = graft.sources.Tables.events(spark, sfDir)
-    ev.repartitionByRange(Chunks, col("event_id"))
+    ev.repartitionByRange(Chunks, col("ts"))
       .write.mode("overwrite").parquet(landing)
+    // The file source replays files in MODIFICATION-TIME order, and a
+    // single parquet write stamps every part file within the same
+    // millisecond — ties break arbitrarily, which scrambles the replay
+    // into event-time DISORDER and silently turns up to half the rows
+    // late (round-11 finding: a dedup pipeline's file sink received 45k
+    // of 100k rows, the rest watermark-dropped, invisible to a noop
+    // sink). Stamp part files with strictly increasing modtimes in name
+    // order (= event_id range order) so the landing replay is the
+    // in-order producer the header describes.
+    val t0Stamp = System.currentTimeMillis() - 3600000L
+    new java.io.File(landing).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0Stamp + i * 1000L), s"cannot stamp $f")
+      }
     val nRows = spark.read.parquet(landing).count()
 
     val tap = new ProgressTap
@@ -170,8 +189,106 @@ object StreamBench {
           .start()
       })
 
+    // ------------------------------------------------------------------
+    // Recovery probe (round 11): the numbers above are all clean
+    // AvailableNow passes — this measures the kill-and-restart path.
+    // The dedup pipeline consumes the first half of the landing chunks
+    // and stops; the crash window is simulated exactly (the checkpoint's
+    // last commit marker is deleted, leaving offsets/N without commits/N
+    // — the state a process death between sink commit and checkpoint
+    // commit leaves behind); the second half lands and the query
+    // restarts from the checkpoint, re-executing the uncommitted batch.
+    // Reported: restored_state_rows (the dedup state the checkpoint held
+    // at the kill, read back via the statestore source — what the
+    // restart must restore), dup/loss vs the batch ground truth (both
+    // must be 0: the file sink's metadata log absorbs the re-delivered
+    // batch, the state store resumes from its committed version), and
+    // the wall including both passes.
+    // ------------------------------------------------------------------
+    val recovery = {
+      val src = new java.io.File(work, "rec_landing"); src.mkdirs()
+      val out = new java.io.File(work, "rec_out").getPath
+      val ckpt = new java.io.File(work, "rec_ckpt")
+      val chunkFiles = new java.io.File(landing).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+      // copies get fresh modtimes: re-stamp in name order (sub-ms copies
+      // otherwise tie and the source replays them in arbitrary order)
+      def stage(files: Seq[java.io.File]): Unit = files.foreach { f =>
+        val dest = new java.io.File(src, f.getName)
+        java.nio.file.Files.copy(f.toPath, dest.toPath)
+        require(dest.setLastModified(f.lastModified), s"cannot stamp $dest")
+      }
+      // no-data housekeeping batches off for the recovery runs: a clean
+      // AvailableNow pass would otherwise append a watermark-advance
+      // batch a mid-run crash never plans — and its entry in the SINK's
+      // metadata log makes the sink discard the first real post-restart
+      // batch (same id, "already committed"). With it off, each pass
+      // ends at the last data batch: the frontier a crash leaves.
+      val recSession = spark.newSession()
+      recSession.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      def pass(): Unit = {
+        val q = graft.streaming.Events.dedupDeliveries(
+          graft.streaming.Events.readEventStream(
+            recSession, src.getPath, Map("maxFilesPerTrigger" -> "1")))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt.getPath)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val t0 = System.nanoTime()
+      stage(chunkFiles.take(Chunks / 2))
+      pass()
+      val restored = spark.read.format("statestore").load(ckpt.getPath).count()
+      // Open the crash window at the newest DATA batch (the engine
+      // re-executes exactly the one batch whose offsets entry has no
+      // commit): first remove AvailableNow's trailing no-data
+      // watermark-advance batch entirely (a mid-run crash never plans
+      // it — its offsets body repeats the previous batch's verbatim),
+      // then delete the data batch's commit but keep its offsets. The
+      // Hadoop checksum sidecars go too, or the re-executed batch's
+      // commit rename fails as if a concurrent query owned the log.
+      def numbered(sub: String) = new java.io.File(ckpt, sub).listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      def del(f: java.io.File): Unit = {
+        require(f.delete(), s"could not delete ${f.getPath}")
+        new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+        ()
+      }
+      def sourceOffsets(f: java.io.File): String = {
+        val s = scala.io.Source.fromFile(f)
+        try s.getLines().drop(2).mkString("\n") finally s.close()
+      }
+      var offs = numbered("offsets")
+      if (offs.length >= 2 &&
+          sourceOffsets(offs.last) == sourceOffsets(offs(offs.length - 2))) {
+        del(offs.last); del(numbered("commits").last)
+        offs = numbered("offsets")
+      }
+      val reexecFrom = offs.last.getName.toLong
+      del(new java.io.File(ckpt, s"commits/$reexecFrom"))
+      stage(chunkFiles.drop(Chunks / 2))
+      pass()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val got = spark.read.parquet(out)
+      val rowsOut = got.count()
+      val distinctOut = got.select("user_id", "event_id").distinct().count()
+      // ground truth from the landing table itself: dedupDeliveries only
+      // guarantees drops within the watermark delay, so the comparable
+      // batch count is what a clean single-pass run emits — which the
+      // dedup_deliveries pipeline above already measured as `rows` ==
+      // nRows for this fixture (event ids unique); dup/loss are measured
+      // against distinct (user_id, event_id) pairs
+      val expect = spark.read.parquet(landing)
+        .select("user_id", "event_id").distinct().count()
+      s"""{"restored_state_rows":$restored,"reexecuted_from_batch":$reexecFrom,""" +
+        s""""rows_out":$rowsOut,"dup":${rowsOut - distinctOut},"loss":${expect - distinctOut},""" +
+        s""""wall_s":${math.round(wall * 1000) / 1000.0}}"""
+    }
+    System.err.println(s"[streambench] recovery: $recovery")
+
     spark.streams.removeListener(tap)
-    val body = results.map { case (k, v) => s"\"$k\":$v" }.mkString(",")
+    val body = (results :+ ("recovery" -> recovery))
+      .map { case (k, v) => s"\"$k\":$v" }.mkString(",")
     println(s"""{"metric":"stream","unit":"rows_per_s","input_rows":$nRows,"chunks":$Chunks,$body,"sf":"$sfDir"}""")
     spark.stop()
     def rm(f: java.io.File): Unit = {

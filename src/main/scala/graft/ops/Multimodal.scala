@@ -207,7 +207,29 @@ object Multimodal {
   // no shared lock at all.
   // ---------------------------------------------------------------------
 
+  /** Test-visible ledger of provider resolutions, keyed by the
+    * `graft.codec.scope` Spark local property of the resolving task (so a
+    * spec observing its own jobs is immune to concurrent suites, whose
+    * tasks land under the `default` key). CodecSpiHoistSpec asserts the
+    * once-per-PARTITION invariant through this: every registry-consulting
+    * helper below counts itself, and a refactor that moves a resolution
+    * into the record loop turns a per-partition count into a per-record
+    * one. Production cost: one increment per partition, nothing per
+    * record. */
+  private[graft] val providerResolutions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  private def countResolution(): Unit = {
+    val scope = Option(org.apache.spark.TaskContext.get())
+      .flatMap(tc => Option(tc.getLocalProperty("graft.codec.scope")))
+      .getOrElse("default")
+    providerResolutions
+      .computeIfAbsent(scope, _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet()
+    ()
+  }
+
   private def pngWriter(): javax.imageio.ImageWriter = {
+    countResolution()
     javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache on executors
     val ws = javax.imageio.ImageIO.getImageWritersByFormatName("png")
     require(ws.hasNext, "no PNG writer available")
@@ -215,6 +237,7 @@ object Multimodal {
   }
 
   private def pngReader(): javax.imageio.ImageReader = {
+    countResolution()
     javax.imageio.ImageIO.setUseCache(false)
     val rs = javax.imageio.ImageIO.getImageReadersByFormatName("png")
     require(rs.hasNext, "no PNG reader available")
@@ -365,6 +388,7 @@ object Multimodal {
     * serializes concurrent codec tasks (the q229 sf10 outlier: 28× at
     * the decade before the hoist). Same provider, same bytes. */
   private def wavWriter(): javax.sound.sampled.spi.AudioFileWriter = {
+    countResolution()
     import scala.jdk.CollectionConverters._
     java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
@@ -376,6 +400,7 @@ object Multimodal {
     * the WAV one is discovered on the first record and tried first from
     * then on. */
   private def wavReaders(): Array[javax.sound.sampled.spi.AudioFileReader] = {
+    countResolution()
     import scala.jdk.CollectionConverters._
     val rs = java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toArray

@@ -223,10 +223,11 @@ private[queries] object Shared {
     *     scan — into the requested 0-based ranks: (group, pos, any tag
     *     columns; `rb*`/`in_off`/`cnt`/`vmin`/`vmax` are reserved),
     *     closed-form and tiny (broadcast); a builder needing the value
-    *     bounds should join `broadcast(stats)` itself (the broadcast
-    *     reuses the cells-join copy IF all three columns stay live); an
-    *     equi join on group + containment filter maps each rank to its
-    *     grid cell;
+    *     bounds should join `broadcast(stats)` itself (stats is exactly
+    *     (g, vmin, vmax), so every consumer references the same
+    *     broadcast subtree verbatim — reuse is syntactic, not a column-
+    *     pruning accident); an equi join on group + containment filter
+    *     maps each rank to its grid cell;
     *  4. pass 3 — resolve values ONLY inside the cells holding a
     *     requested rank: a broadcast semi-join keeps ~|ranks|/(|groups|·G)
     *     of the corpus, a small aggregate + per-cell window ranks the
@@ -253,9 +254,16 @@ private[queries] object Shared {
         least(lit(G - 1),
           floor((value - col("vmin"))
             / (col("vmax") - col("vmin")) * G).cast("int")))
+    // stats carries ONLY (g, vmin, vmax): grp_n is re-derived from the
+    // reused cells exchange below, so aggregating a count here would be
+    // dead weight — worse, the cells join and the vals join would then
+    // need pruning-dependent column sets to stay the SAME broadcast
+    // subtree, and this function exists precisely because canonical-form
+    // divergence forks the corpus scan. With the minimal aggregate both
+    // consumers reference `stats` verbatim and ReuseExchange holds by
+    // construction, not by optimizer accident.
     val stats = base.groupBy(col(g)).agg(
-      min(col(v)).as("vmin"), max(col(v)).as("vmax"),
-      count(lit(1)).as("grp_n"))
+      min(col(v)).as("vmin"), max(col(v)).as("vmax"))
     val wGrid = Window.partitionBy(col(g)).orderBy(col("rb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // cells carries ONLY (g, rb, rb_n, rb_off): aggregating the bounds
@@ -288,8 +296,7 @@ private[queries] object Shared {
     val needed = posCells.select(col(g), col("rb")).distinct()
     val wCell = Window.partitionBy(col(g), col("rb")).orderBy(col(v))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val vals = base.join(
-        broadcast(stats.select(col(g), col("vmin"), col("vmax"))), Seq(g))
+    val vals = base.join(broadcast(stats), Seq(g))
       .withColumn("rb", rbOf(col(v)))
       .join(broadcast(needed), Seq(g, "rb"), "left_semi")
       .groupBy(col(g), col("rb"), col(v))

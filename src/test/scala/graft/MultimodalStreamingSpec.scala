@@ -184,27 +184,28 @@ class MultimodalStreamingSpec extends SparkSpec {
     val batch1 = Seq(e(1, "2024-01-01 00:00:00", 1.0), e(2, "2024-01-01 00:01:00", 4.0))
     val batch2 = Seq(e(1, "2024-01-01 00:05:00", 2.0), e(1, "2024-01-01 00:04:00", 8.0))
     val stream = MemoryStream[Events.Ev]
-    locally {
-      val q = Events.runningUserStats(stream.toDS()).toDF().writeStream
-        .format("memory").queryName("tws_out").outputMode("update")
-        .start()
+    val q = Events.runningUserStats(stream.toDS()).toDF().writeStream
+      .format("memory").queryName("tws_out").outputMode("update")
+      .start()
+    // stop in a finally: if processAllAvailable throws, a still-running
+    // RocksDB-backed query would leak into subsequent streaming tests
+    try {
       // two explicit micro-batches so the running (not final-only)
       // emission is observable
       stream.addData(batch1: _*)
       q.processAllAvailable()
       stream.addData(batch2: _*)
       q.processAllAvailable()
-      q.stop()
-      // update mode emits one row per user per batch; the LAST (max
-      // n_events — monotone) row per user is the converged state
-      val last = s.sql("SELECT * FROM tws_out")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
-        .groupBy(_._1).map { case (u, a) => u -> a.maxBy(_._2) }
-      assert(last(1L) == ((1L, 3L, 11.0, Timestamp.valueOf("2024-01-01 00:05:00").getTime)))
-      assert(last(2L) == ((2L, 1L, 4.0, Timestamp.valueOf("2024-01-01 00:01:00").getTime)))
-      // and user 1 was emitted in BOTH batches (running, not final-only)
-      assert(s.sql("SELECT count(*) FROM tws_out WHERE user_id = 1").head().getLong(0) == 2L)
-    }
+    } finally q.stop()
+    // update mode emits one row per user per batch; the LAST (max
+    // n_events — monotone) row per user is the converged state
+    val last = s.sql("SELECT * FROM tws_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).map { case (u, a) => u -> a.maxBy(_._2) }
+    assert(last(1L) == ((1L, 3L, 11.0, Timestamp.valueOf("2024-01-01 00:05:00").getTime)))
+    assert(last(2L) == ((2L, 1L, 4.0, Timestamp.valueOf("2024-01-01 00:01:00").getTime)))
+    // and user 1 was emitted in BOTH batches (running, not final-only)
+    assert(s.sql("SELECT count(*) FROM tws_out WHERE user_id = 1").head().getLong(0) == 2L)
   }
 
   test("T2 file-source stream over the real events fixture matches batch") {

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
 /** Skew-path evidence for the join family (q108/q45/q133 shapes): a
@@ -42,18 +42,30 @@ class SkewJoinSpec extends SparkSpec {
   private lazy val fact = factOn(spark)
   private lazy val dim = dimOn(spark)
 
-  /** Per-task shuffle-read bytes, grouped by stage. */
-  private final class TaskMeter extends SparkListener {
+  /** Per-task shuffle-read bytes, grouped by stage — scoped to ONE job
+    * group. The listener rides the shared SparkContext, so under the
+    * parallel-suite regime a concurrent suite's heavy shuffle stage
+    * could otherwise win the maxBy below and flake the skew-ratio
+    * assertions; only stages belonging to jobs tagged with `group`
+    * (runJoin sets it via setJobGroup, a thread-local property, so
+    * other suites' jobs never carry it) are metered. */
+  private final class TaskMeter(group: String) extends SparkListener {
+    private val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val byStage = new scala.collection.concurrent.TrieMap[Int, List[Long]]()
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-      val br = Option(t.taskMetrics).map(_.shuffleReadMetrics.totalBytesRead)
-        .getOrElse(0L)
-      byStage.updateWith(t.stageId) {
-        case Some(l) => Some(br :: l)
-        case None    => Some(br :: Nil)
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      if (Option(j.properties)
+          .exists(p => p.getProperty("spark.jobGroup.id") == group))
+        j.stageIds.foreach(id => myStages.add(id))
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (myStages.contains(t.stageId)) {
+        val br = Option(t.taskMetrics).map(_.shuffleReadMetrics.totalBytesRead)
+          .getOrElse(0L)
+        byStage.updateWith(t.stageId) {
+          case Some(l) => Some(br :: l)
+          case None    => Some(br :: Nil)
+        }
+        ()
       }
-      ()
-    }
   }
 
   /** Runs the skewed join with the given confs, returns (rowCount,
@@ -73,9 +85,11 @@ class SkewJoinSpec extends SparkSpec {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
     import s.implicits._
-    val meter = new TaskMeter
+    val group = s"skewjoin-probe-$skewHandling"
+    val meter = new TaskMeter(group)
     try {
       spark.sparkContext.addSparkListener(meter)
+      s.sparkContext.setJobGroup(group, "SkewJoinSpec probe", false)
       // the aggregate must CONSUME payload post-join: a bare count() lets
       // column pruning drop the 192-byte payload from the exchange and the
       // "skewed" partition shrinks to a few KB of repeated keys
@@ -91,7 +105,10 @@ class SkewJoinSpec extends SparkSpec {
       }
       val joinStage = meter.byStage.maxBy(_._2.sum)._2
       (n, joinStage)
-    } finally spark.sparkContext.removeSparkListener(meter)
+    } finally {
+      s.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(meter)
+    }
   }
 
   private def maxOverMedian(reads: List[Long]): Double = {
