@@ -69,6 +69,21 @@ object Bench {
       .get(System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments
+    // Children inherit THIS JVM's args, so a parent launched without the
+    // JDK-17 --add-opens set (spark-submit and build.sbt inject it; a
+    // bare `java -cp` launch silently doesn't) would fork a whole sweep
+    // of degraded children: Spark's Platform/UTF8String reflective fast
+    // paths fall back to copies, costing up to 5× on text/codec-heavy
+    // queries (round-11 finding: q230 at sf10 read 321 s without the
+    // flags, 66 s with) while arithmetic-heavy plans barely move — a
+    // skew that poisons every ratio in the artifact without a single
+    // error. Refuse to start rather than measure the wrong JVM.
+    require(jvmArgs.toString.contains("java.base/java.lang=ALL-UNNAMED"),
+      "fork mode requires the JDK-17 --add-opens set (see build.sbt " +
+        "jdk17AddOpens); launch the parent with those flags so children " +
+        "inherit them — without them Spark's Unsafe fast paths degrade " +
+        "up to 5× on codec/text-heavy queries and the sweep measures " +
+        "the wrong JVM")
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     names.zipWithIndex.foreach { case (name, i) =>
