@@ -77,11 +77,25 @@ object Bench {
     // queries (round-11 finding: q230 at sf10 read 321 s without the
     // flags, 66 s with) while arithmetic-heavy plans barely move — a
     // skew that poisons every ratio in the artifact without a single
-    // error. Refuse to start rather than measure the wrong JVM.
-    require(jvmArgs.toString.contains("java.base/java.lang=ALL-UNNAMED"),
-      "fork mode requires the JDK-17 --add-opens set (see build.sbt " +
-        "jdk17AddOpens); launch the parent with those flags so children " +
-        "inherit them — without them Spark's Unsafe fast paths degrade " +
+    // error. Refuse to start rather than measure the wrong JVM. The gate
+    // checks EVERY module of the set, not one representative substring:
+    // a parent carrying only java.lang (e.g. a hand-typed launch) would
+    // pass a one-substring gate while children still degrade on the
+    // Unsafe/DirectByteBuffer paths java.nio and sun.nio.ch open up —
+    // reproducing exactly the silent skew this guard exists to prevent.
+    val requiredOpens = Seq(
+      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic",
+      "sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar")
+      .map(p => s"java.base/$p=ALL-UNNAMED")
+    val argsStr = jvmArgs.toString
+    val missingOpens = requiredOpens.filterNot(argsStr.contains)
+    require(missingOpens.isEmpty,
+      "fork mode requires the FULL JDK-17 --add-opens set (see build.sbt " +
+        "jdk17AddOpens / tools/run_fork.sh); the parent is missing: " +
+        missingOpens.mkString(", ") + " — children inherit this JVM's " +
+        "args, and without the full set Spark's Unsafe fast paths degrade " +
         "up to 5× on codec/text-heavy queries and the sweep measures " +
         "the wrong JVM")
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]

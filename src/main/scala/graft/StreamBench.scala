@@ -8,9 +8,10 @@ import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
   * spec-green but had NO scale numbers — the only pillar with zero bench
   * evidence. This main replays the events fixture as a REAL file-source
   * stream (the bronze-landing shape `Events.readEventStream` serves): the
-  * table is split into `Chunks` event-id-range parquet files (event_id is
-  * monotone with ts, so chunks arrive in event-time order, like a landing
-  * directory fed by an upstream producer), and each pipeline consumes them
+  * table is split into `Chunks` ts-range parquet files with strictly
+  * increasing modtimes (round-11 fix — see the landing-directory comments
+  * below), so chunks arrive in event-time order like a landing directory
+  * fed by an in-order upstream producer, and each pipeline consumes them
   * one file per micro-batch under `Trigger.AvailableNow`.
   *
   * Measured per pipeline, from `StreamingQueryProgress` (the engine's own
@@ -84,8 +85,8 @@ object StreamBench {
     // late (round-11 finding: a dedup pipeline's file sink received 45k
     // of 100k rows, the rest watermark-dropped, invisible to a noop
     // sink). Stamp part files with strictly increasing modtimes in name
-    // order (= event_id range order) so the landing replay is the
-    // in-order producer the header describes.
+    // order (= ts range order, per the repartitionByRange above) so the
+    // landing replay is the in-order producer the header describes.
     val t0Stamp = System.currentTimeMillis() - 3600000L
     new java.io.File(landing).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)

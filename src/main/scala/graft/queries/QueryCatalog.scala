@@ -200,8 +200,11 @@ private[queries] object Shared {
     * without ever shuffling the corpus, aggregating it to its value
     * domain, or globally indexing it:
     *
-    *  1. pass 1 — per-group (vmin, vmax, grp_n): |groups|-row streaming
-    *     aggregate over a 2-column scan, broadcast;
+    *  1. pass 1 — per-group (vmin, vmax): |groups|-row streaming
+    *     aggregate over a 2-column scan, broadcast (grp_n is NOT
+    *     aggregated here — step 3 derives it from the reused grid
+    *     aggregate, keeping this broadcast's column set identical for
+    *     every consumer);
     *  2. pass 2 — per-cell counts on a 4096-cell affine grid
     *     (floor((x−vmin)/(vmax−vmin)·G), monotone in x so cells are
     *     contiguous rank runs): ≤|groups|·G-row streaming aggregate; a

@@ -47,34 +47,53 @@ class CodecSpiHoistSpec extends SparkSpec {
   }
 
   private val P = 3
-  private def docs = spark.range(60).select(col("id").as("doc_id")).repartition(P)
+  private val Records = 60
+  private def docs =
+    spark.range(Records.toLong).select(col("id").as("doc_id")).repartition(P)
+
+  /** Per-partition hoist bound, tolerant of task re-execution. A clean
+    * local run resolves exactly 2·P times (one encoder + one decoder per
+    * partition, single fused stage); a retried or speculatively
+    * re-executed task legitimately re-resolves (+2 per extra attempt),
+    * which is a scheduler event, not an SPI-hoist regression — so allow
+    * up to `MaxTaskAttempts` attempts per task rather than flaking.
+    * The bound stays far below `Records`, so the regression this spec
+    * exists for (per-RECORD resolution, res ≈ records or 2·records)
+    * still fails loudly. */
+  private val MaxTaskAttempts = 4 // Spark's default spark.task.maxFailures
+  private def assertHoisted(res: Long, what: String): Unit = {
+    val clean = 2L * P
+    val bound = clean * MaxTaskAttempts
+    assert(bound < Records,
+      s"fixture invariant: retry bound $bound must stay below $Records records")
+    assert(res >= clean && res <= bound,
+      s"expected $clean provider resolutions for $P partitions in the $what " +
+        s"pipeline (up to $bound under task re-execution), got $res — a " +
+        "per-record resolution would reintroduce the JVM-global registry lock")
+  }
 
   test("png pipeline resolves codec providers once per partition, not per record") {
     val (n, res) = resolutions("spi-png") {
       Multimodal.decodePngStats(Multimodal.encodePng(docs)).count()
     }
-    assert(n == 60L)
-    assert(res == 2L * P, // one writer (encode) + one reader (decode) per partition
-      s"expected ${2 * P} provider resolutions for $P partitions, got $res — " +
-        "a per-record resolution would reintroduce the JVM-global registry lock")
+    assert(n == Records.toLong)
+    assertHoisted(res, "png")
   }
 
   test("wav pipeline resolves codec providers once per partition, not per record") {
     val (n, res) = resolutions("spi-wav") {
       Multimodal.decodeWavStats(Multimodal.encodeWav(docs)).count()
     }
-    assert(n == 60L)
-    assert(res == 2L * P,
-      s"expected ${2 * P} provider resolutions for $P partitions, got $res")
+    assert(n == Records.toLong)
+    assertHoisted(res, "wav")
   }
 
   test("video pipeline resolves codec providers once per partition, not per record") {
     val (n, res) = resolutions("spi-video") {
       Multimodal.sampleFrames(Multimodal.encodeVideo(docs)).count()
     }
-    assert(n > 60L) // ≥1 sampled frame per doc
-    assert(res == 2L * P,
-      s"expected ${2 * P} provider resolutions for $P partitions, got $res")
+    assert(n > Records.toLong) // ≥1 sampled frame per doc
+    assertHoisted(res, "video")
   }
 
   // ------------------------------------------------------------ structure

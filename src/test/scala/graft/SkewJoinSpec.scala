@@ -103,6 +103,14 @@ class SkewJoinSpec extends SparkSpec {
         last = cur; Thread.sleep(300)
         cur = meter.byStage.values.map(_.size).sum
       }
+      // diagnostic, not opaque: if the job-group filter matched nothing
+      // (a Spark rename of spark.jobGroup.id) or the drain heuristic
+      // exited before the first metered event, fail with the cause
+      // instead of an empty.maxBy
+      assert(meter.byStage.nonEmpty,
+        s"no stages metered for job group $group — either the " +
+          "spark.jobGroup.id property no longer reaches task events or " +
+          "the listener drain exited before the first event landed")
       val joinStage = meter.byStage.maxBy(_._2.sum)._2
       (n, joinStage)
     } finally {
