@@ -79,11 +79,12 @@ class StreamRecoverySpec extends SparkSpec {
   /** Write chunks [from, until) as single files into `landing`, named and
     * modstamped in chunk order so the file source replays them in event-
     * time order, one per micro-batch. */
-  private def stage(landing: java.io.File, from: Int, until: Int): Unit = {
+  private def stage(landing: java.io.File, from: Int, until: Int,
+      mkChunk: Int => DataFrame = chunkDf): Unit = {
     landing.mkdirs()
     (from until until).foreach { c =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_chunk").toFile
-      chunkDf(c).coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      mkChunk(c).coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
       val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
       val dest = new java.io.File(landing, f"chunk_$c%02d.parquet")
       java.nio.file.Files.move(part.toPath, dest.toPath)
@@ -209,6 +210,111 @@ class StreamRecoverySpec extends SparkSpec {
     val ctrl = outRows(p("out_ctrl")).size
     assert(ctrl == KillAfter * ChunkRows + 2,
       s"control should leak exactly the 2 straddle duplicates, got $ctrl")
+  }
+
+  // ------------------------------------------------------------------
+  // Sessionize recovery — flatMapGroupsWithState user state +
+  // EventTimeTimeout timers, the hardest restore path: a dedup restore
+  // only needs the seen-key set back, but a sessionize restore must
+  // bring back every OPEN interval's payload (start/end/n/total) AND
+  // the timer frontier, or sessions straddling the kill point emit
+  // split or double.
+  //
+  // Fixture: 10 users, events 1 s apart, user = ((e+2)/5) % 10 — each
+  // user owns runs of 5 consecutive seconds, 45 s apart. With a 30 s
+  // session gap every run is exactly one session, and the +2 shift
+  // makes run k=400 ({1998..2002}, user 0) STRADDLE the kill boundary
+  // at e=2000: its first two events arrive before the kill, the last
+  // three after the restart. Only a restored open-interval state can
+  // merge them into the one true session [1998 s, 2002 s] n=5 — a
+  // fresh checkpoint (control below) emits the truncated [2000 s,
+  // 2002 s] n=3 instead, proving the byte-identity assertion bites.
+  // ------------------------------------------------------------------
+  private val SessGapMs = 30000L
+
+  private def sessRow(e: Int) = (
+    e.toLong, new Timestamp(T0 + e * TsStepMs), ((e + 2) / 5 % 10).toLong,
+    "click", e * 1.0, "{}")
+
+  private def sessChunkDf(c: Int): DataFrame =
+    (c * ChunkRows until (c + 1) * ChunkRows).map(sessRow)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private def runSessionizePass(landing: String, out: String, ckpt: String): Unit = {
+    val q = Events.sessionizeEventTime(
+      Events.readEventStream(recSession, landing, Map("maxFilesPerTrigger" -> "1"))
+        .select($"user_id", $"ts", $"event_type", $"value").as[Events.Ev],
+      gapMs = SessGapMs)
+      .toDF()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(180000) finally q.stop()
+  }
+
+  /** The session(s) starting at event-second `startSec`, rendered as
+    * (user, end, n, total) strings. */
+  private def sessionsStartingAt(dir: String, startSec: Int): Seq[String] =
+    spark.read.parquet(dir)
+      .filter($"session_start" === new Timestamp(T0 + startSec * TsStepMs))
+      .select($"user_id", $"session_end", $"n_events", $"total_value")
+      .collect().map(_.toString).toSeq
+
+  test("sessionize (flatMapGroupsWithState + event-time timeout): kill after 10 of 20 chunks, restart — open-interval state and timers restore, sink identical to the uninterrupted run") {
+    val work = java.nio.file.Files.createTempDirectory("graft_recovery_sess").toFile
+    def p(n: String) = new java.io.File(work, n).getPath
+    def rows(dir: String): Seq[String] =
+      spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+
+    // uninterrupted twin: all 20 chunks, one clean pass
+    stage(new java.io.File(work, "src_full"), 0, NChunks, sessChunkDf)
+    runSessionizePass(p("src_full"), p("out_full"), p("ckpt_full"))
+    val fullRows = rows(p("out_full"))
+    assert(fullRows.nonEmpty, "uninterrupted sessionize run emitted nothing")
+    // the straddle session is emitted whole: user 0, [1998 s, 2002 s],
+    // n=5, total = 1998+…+2002 = 10000
+    val straddleEnd = new Timestamp(T0 + 2002 * TsStepMs)
+    assert(sessionsStartingAt(p("out_full"), 1998) ==
+      Seq(s"[0,$straddleEnd,5,10000.0]"),
+      "clean run must emit the straddle run as one 5-event session")
+
+    // interrupted run, phase 1: first 10 chunks only
+    val srcB = new java.io.File(work, "src_kill")
+    stage(srcB, 0, KillAfter, sessChunkDf)
+    runSessionizePass(srcB.getPath, p("out_kill"), p("ckpt_kill"))
+
+    // every user has intervals the watermark hasn't sealed at the kill —
+    // one SessList state row per user is what the restart must restore
+    val restored = spark.read.format("statestore").load(p("ckpt_kill")).count()
+    assert(restored == 10L,
+      s"expected one open-session state row per user (10), got $restored")
+
+    val reexec = simulateCrash(p("ckpt_kill"))
+    assert(reexec == KillAfter - 1L,
+      s"the re-delivered batch should be the last DATA batch, got $reexec")
+    stage(srcB, KillAfter, NChunks, sessChunkDf)
+    runSessionizePass(srcB.getPath, p("out_kill"), p("ckpt_kill"))
+    assert(new java.io.File(p("ckpt_kill") + s"/commits/$reexec").exists,
+      s"batch $reexec was not re-executed after the simulated crash")
+
+    // byte-identical recovery — including the straddle session, which
+    // only restored open-interval state can assemble whole
+    assert(rows(p("out_kill")) == fullRows,
+      "recovered sessionize sink diverged from the uninterrupted run")
+
+    // control (the assertion bites): a fresh checkpoint over only the
+    // second half has no memory of the open [1998 s, 1999 s] interval —
+    // the straddle session emerges truncated ([2000 s, 2002 s], n=3,
+    // total = 2000+2001+2002 = 6003), so the equality above was decided
+    // by restored state, not by replay
+    val srcC = new java.io.File(work, "src_ctrl")
+    stage(srcC, KillAfter, NChunks, sessChunkDf)
+    runSessionizePass(srcC.getPath, p("out_ctrl"), p("ckpt_ctrl"))
+    assert(sessionsStartingAt(p("out_ctrl"), 1998).isEmpty,
+      "control must not know about the pre-kill session start")
+    assert(sessionsStartingAt(p("out_ctrl"), 2000) ==
+      Seq(s"[0,$straddleEnd,3,6003.0]"),
+      "control should emit the straddle session truncated to its post-kill rows")
   }
 
   test("upsert sink: kill-and-restart re-delivers the uncommitted batch; the batchId guard makes it a no-op and the target matches the uninterrupted run") {
