@@ -206,48 +206,34 @@ object StreamBench {
     // batch, the state store resumes from its committed version), and
     // the wall including both passes.
     // ------------------------------------------------------------------
-    val recovery = {
-      val src = new java.io.File(work, "rec_landing"); src.mkdirs()
-      val out = new java.io.File(work, "rec_out").getPath
-      val ckpt = new java.io.File(work, "rec_ckpt")
-      val chunkFiles = new java.io.File(landing).listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
-      // copies get fresh modtimes: re-stamp in name order (sub-ms copies
-      // otherwise tie and the source replays them in arbitrary order)
-      def stage(files: Seq[java.io.File]): Unit = files.foreach { f =>
-        val dest = new java.io.File(src, f.getName)
+    // ---- shared recovery machinery (used by both probes below) ----
+    val chunkFiles = new java.io.File(landing).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+    // copies get fresh modtimes: re-stamp in name order (sub-ms copies
+    // otherwise tie and the source replays them in arbitrary order)
+    def stageInto(dir: java.io.File, files: Seq[java.io.File]): Unit =
+      files.foreach { f =>
+        val dest = new java.io.File(dir, f.getName)
         java.nio.file.Files.copy(f.toPath, dest.toPath)
         require(dest.setLastModified(f.lastModified), s"cannot stamp $dest")
       }
-      // no-data housekeeping batches off for the recovery runs: a clean
-      // AvailableNow pass would otherwise append a watermark-advance
-      // batch a mid-run crash never plans — and its entry in the SINK's
-      // metadata log makes the sink discard the first real post-restart
-      // batch (same id, "already committed"). With it off, each pass
-      // ends at the last data batch: the frontier a crash leaves.
-      val recSession = spark.newSession()
-      recSession.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      def pass(): Unit = {
-        val q = graft.streaming.Events.dedupDeliveries(
-          graft.streaming.Events.readEventStream(
-            recSession, src.getPath, Map("maxFilesPerTrigger" -> "1")))
-          .writeStream.format("parquet").option("path", out)
-          .option("checkpointLocation", ckpt.getPath)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      val t0 = System.nanoTime()
-      stage(chunkFiles.take(Chunks / 2))
-      pass()
-      val restored = spark.read.format("statestore").load(ckpt.getPath).count()
-      // Open the crash window at the newest DATA batch (the engine
-      // re-executes exactly the one batch whose offsets entry has no
-      // commit): first remove AvailableNow's trailing no-data
-      // watermark-advance batch entirely (a mid-run crash never plans
-      // it — its offsets body repeats the previous batch's verbatim),
-      // then delete the data batch's commit but keep its offsets. The
-      // Hadoop checksum sidecars go too, or the re-executed batch's
-      // commit rename fails as if a concurrent query owned the log.
+    // no-data housekeeping batches off for the recovery runs: a clean
+    // AvailableNow pass would otherwise append a watermark-advance
+    // batch a mid-run crash never plans — and its entry in the SINK's
+    // metadata log makes the sink discard the first real post-restart
+    // batch (same id, "already committed"). With it off, each pass
+    // ends at the last data batch: the frontier a crash leaves.
+    val recSession = spark.newSession()
+    recSession.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // Open the crash window at the newest DATA batch (the engine
+    // re-executes exactly the one batch whose offsets entry has no
+    // commit): first remove AvailableNow's trailing no-data
+    // watermark-advance batch entirely (a mid-run crash never plans
+    // it — its offsets body repeats the previous batch's verbatim),
+    // then delete the data batch's commit but keep its offsets. The
+    // Hadoop checksum sidecars go too, or the re-executed batch's
+    // commit rename fails as if a concurrent query owned the log.
+    def openCrashWindow(ckpt: java.io.File): Long = {
       def numbered(sub: String) = new java.io.File(ckpt, sub).listFiles()
         .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
       def del(f: java.io.File): Unit = {
@@ -267,7 +253,28 @@ object StreamBench {
       }
       val reexecFrom = offs.last.getName.toLong
       del(new java.io.File(ckpt, s"commits/$reexecFrom"))
-      stage(chunkFiles.drop(Chunks / 2))
+      reexecFrom
+    }
+
+    val recovery = {
+      val src = new java.io.File(work, "rec_landing"); src.mkdirs()
+      val out = new java.io.File(work, "rec_out").getPath
+      val ckpt = new java.io.File(work, "rec_ckpt")
+      def pass(): Unit = {
+        val q = graft.streaming.Events.dedupDeliveries(
+          graft.streaming.Events.readEventStream(
+            recSession, src.getPath, Map("maxFilesPerTrigger" -> "1")))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt.getPath)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val t0 = System.nanoTime()
+      stageInto(src, chunkFiles.take(Chunks / 2))
+      pass()
+      val restored = spark.read.format("statestore").load(ckpt.getPath).count()
+      val reexecFrom = openCrashWindow(ckpt)
+      stageInto(src, chunkFiles.drop(Chunks / 2))
       pass()
       val wall = (System.nanoTime() - t0) / 1e9
       val got = spark.read.parquet(out)
@@ -287,8 +294,66 @@ object StreamBench {
     }
     System.err.println(s"[streambench] recovery: $recovery")
 
+    // ------------------------------------------------------------------
+    // Sessionize recovery probe (round 12): the same kill-and-restart
+    // window, applied to the hardest state-restore path —
+    // flatMapGroupsWithState user state + EventTimeTimeout timers. A
+    // dedup restore only needs the seen-key set back; a sessionize
+    // restore must bring back every OPEN interval's payload (start/end/
+    // n/total) AND the timer frontier, or sessions straddling the kill
+    // point emit split or double. Verified against an uninterrupted twin
+    // run over the SAME chunk files with the SAME one-file-per-batch
+    // pacing (so state-sum floating-point order is identical and the
+    // comparison can demand bit-equality): mismatch_vs_clean counts rows
+    // differing in either direction (exceptAll both ways — distributed,
+    // no driver collect) and must be 0.
+    // ------------------------------------------------------------------
+    val recoverySessionize = {
+      val src = new java.io.File(work, "recs_landing"); src.mkdirs()
+      val out = new java.io.File(work, "recs_out").getPath
+      val ckpt = new java.io.File(work, "recs_ckpt")
+      val srcFull = new java.io.File(work, "recs_landing_full"); srcFull.mkdirs()
+      val outFull = new java.io.File(work, "recs_out_full").getPath
+      val ckptFull = new java.io.File(work, "recs_ckpt_full").getPath
+      def pass(srcPath: String, outPath: String, ckptPath: String): Unit = {
+        val q = graft.streaming.Events.sessionizeEventTime(
+          graft.streaming.Events.readEventStream(
+            recSession, srcPath, Map("maxFilesPerTrigger" -> "1"))
+            .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+            .as[graft.streaming.Events.Ev],
+          gapMs = 3600000L)
+          .toDF()
+          .writeStream.format("parquet").option("path", outPath)
+          .option("checkpointLocation", ckptPath)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val t0 = System.nanoTime()
+      stageInto(src, chunkFiles.take(Chunks / 2))
+      pass(src.getPath, out, ckpt.getPath)
+      // one state row per user with an interval the watermark hasn't
+      // sealed — the open-session payloads the restart must restore
+      val restored = spark.read.format("statestore").load(ckpt.getPath).count()
+      val reexecFrom = openCrashWindow(ckpt)
+      stageInto(src, chunkFiles.drop(Chunks / 2))
+      pass(src.getPath, out, ckpt.getPath)
+      // uninterrupted twin: same chunks, same pacing, fresh checkpoint
+      stageInto(srcFull, chunkFiles)
+      pass(srcFull.getPath, outFull, ckptFull)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val rec = spark.read.parquet(out)
+      val clean = spark.read.parquet(outFull)
+      val mismatch = rec.exceptAll(clean).count() + clean.exceptAll(rec).count()
+      s"""{"restored_state_rows":$restored,"reexecuted_from_batch":$reexecFrom,""" +
+        s""""sessions_out":${rec.count()},"clean_sessions":${clean.count()},""" +
+        s""""mismatch_vs_clean":$mismatch,""" +
+        s""""wall_s":${math.round(wall * 1000) / 1000.0}}"""
+    }
+    System.err.println(s"[streambench] recovery_sessionize: $recoverySessionize")
+
     spark.streams.removeListener(tap)
-    val body = (results :+ ("recovery" -> recovery))
+    val body = (results :+ ("recovery" -> recovery)
+      :+ ("recovery_sessionize" -> recoverySessionize))
       .map { case (k, v) => s"\"$k\":$v" }.mkString(",")
     println(s"""{"metric":"stream","unit":"rows_per_s","input_rows":$nRows,"chunks":$Chunks,$body,"sf":"$sfDir"}""")
     spark.stop()
