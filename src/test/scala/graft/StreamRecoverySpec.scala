@@ -110,7 +110,7 @@ class StreamRecoverySpec extends SparkSpec {
       .writeStream.format("parquet").option("path", out)
       .option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination(180000) finally q.stop()
+    try assert(q.awaitTermination(180000), "dedup pass timed out") finally q.stop()
   }
 
   /** Simulate the crash window at the newest DATA batch: offsets/N
@@ -249,7 +249,7 @@ class StreamRecoverySpec extends SparkSpec {
       .writeStream.format("parquet").option("path", out)
       .option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination(180000) finally q.stop()
+    try assert(q.awaitTermination(180000), "sessionize pass timed out") finally q.stop()
   }
 
   /** The session(s) starting at event-second `startSec`, rendered as
@@ -329,7 +329,7 @@ class StreamRecoverySpec extends SparkSpec {
           Events.applyUpsertBatch(batch, id, target, Seq("user_id"), Seq("ts", "event_id"))
         }
         .start()
-      try q.awaitTermination(180000) finally q.stop()
+      try assert(q.awaitTermination(180000), "upsert pass timed out") finally q.stop()
     }
     def targetRows(dir: String): Seq[String] =
       Events.readUpsertTarget(spark, dir)

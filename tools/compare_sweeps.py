@@ -10,7 +10,9 @@ sub-linear operator needs a named explanation in BASELINE.md).
 Exit code 1 if any compared entry exceeds the bar, so a sweep write-up
 cannot silently skip the root-causing step.
 """
+import argparse
 import json
+import statistics
 import sys
 
 
@@ -22,11 +24,13 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    bar = 12.0
-    for a in sys.argv[1:]:
-        if a.startswith("--bar"):
-            bar = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("new_json")
+    ap.add_argument("ref_json")
+    ap.add_argument("--bar", type=float, default=12.0)
+    ns = ap.parse_args()
+    bar = ns.bar
+    args = [ns.new_json, ns.ref_json]
     new_doc, new_q = load(args[0])
     ref_doc, ref_q = load(args[1])
     shared = sorted(set(new_q) & set(ref_q))
@@ -41,7 +45,7 @@ def main():
     if only_ref:
         print(f"only in ref ({len(only_ref)}): {', '.join(only_ref)}")
     vals = [r for r, _ in ratios]
-    med = vals[len(vals) // 2] if vals else 0
+    med = statistics.median(vals) if vals else 0
     print(f"\nshared={len(shared)}  ratio max={vals[0]:.2f} median={med:.2f} "
           f"min={vals[-1]:.2f}" if vals else "no shared queries")
     print(f"\ntop 15 by ratio (new_s / ref_s):")
