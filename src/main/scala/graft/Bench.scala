@@ -179,9 +179,18 @@ object Bench {
       forkedSweep(selected.keys.toSeq.sorted, sfDir)
       return
     }
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples shuffle-partition count
+    // from core count (default: = cpus, the standing convention every
+    // committed artifact used). Exists for partition-SIZING probes: the
+    // round-12 movement audit's only nonzero spill (q61 at sf10, ~2 GB in
+    // post-regime-switch SMJ sorts) has "more shuffle partitions" as its
+    // asserted fix, and demonstrating that must not also change query
+    // parallelism or the local[n] master the methodology is quoted under.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
