@@ -188,9 +188,26 @@ object Bench {
     // parallelism or the local[n] master the methodology is quoted under.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CONF: semicolon-separated key=value Spark confs for
+    // sizing probes. Exists because the q61 spill probe DISPROVED the
+    // bare shuffle-partition knob: with AQE coalescing on (the default,
+    // and the production posture), raising spark.sql.shuffle.partitions
+    // 32→128 left both the ~2 GB spill and the post-coalesce partition
+    // count unchanged — the knob that actually sizes reduce partitions
+    // under AQE is spark.sql.adaptive.advisoryPartitionSizeInBytes.
+    // Probes must be able to set THAT (and peers) without growing a
+    // bespoke env var per conf.
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").iterator
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entries must be key=value, got '$kv'")
+        kv.substring(0, i) -> kv.substring(i + 1)
+      }.toSeq
+    val spark = extraConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions))(
+      (b, kv) => b.config(kv._1, kv._2))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
