@@ -204,8 +204,19 @@ object Bench {
         require(i > 0, s"SPARK_GRAFT_CONF entries must be key=value, got '$kv'")
         kv.substring(0, i) -> kv.substring(i + 1)
       }.toSeq
+    // Codegen class cache sized to the catalog (round-13). The default
+    // 100-entry cache can't hold 234 distinct plans' codegen units, so a
+    // full sweep recompiled EVERY whole-stage source on EVERY timed pass
+    // (Janino time, not plan time): the top-40 subset measured 59.9 s at
+    // the default vs 45.0 s at 5000 entries, and a 1-entry control ran
+    // >8 min — the conf is live and the effect is compilation, not noise.
+    // Not a local[32] trick: any long-lived driver cycling a catalog of
+    // plans (scheduled batches, a query service) hits the same cliff;
+    // 5000 entries bounds metaspace at a few hundred MB worst-case.
+    // Set BEFORE extraConf so SPARK_GRAFT_CONF probes can override it.
     val spark = extraConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.shuffle.partitions", shufflePartitions))(
       (b, kv) => b.config(kv._1, kv._2))
       .config("spark.sql.session.timeZone", "UTC")

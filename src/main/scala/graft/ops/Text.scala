@@ -450,14 +450,18 @@ object Text {
     val c = winnowFingerprints(corpus, k, w, idCol, textCol)
     val refFps = winnowFingerprints(reference, k, w, idCol, textCol)
       .select(col("fp")).distinct()
-    val per = c.groupBy(col(idCol)).agg(count(lit(1)).as("n_fps"))
-    val hits = c.join(refFps, Seq("fp"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_matched"))
-    per.join(hits, Seq(idCol), "left")
+    // ONE pass over the corpus fingerprints (round-13): the former
+    // per-doc-count aggregate + semi-join-count pair evaluated the
+    // O(tokens·md5) fingerprint explode TWICE. A left join against the
+    // distinct reference set tags each fingerprint row (refFps is
+    // distinct, so the join never duplicates), and n_fps / n_matched
+    // fall out of a single aggregate: count(1) vs count(non-null tag).
+    c.join(refFps.withColumn("__hit", lit(1)), Seq("fp"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fps"), count(col("__hit")).as("n_matched"))
       .select(
-        col(idCol), col("n_fps"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        (coalesce(col("n_matched"), lit(0L)).cast("double") /
+        col(idCol), col("n_fps"), col("n_matched"),
+        (col("n_matched").cast("double") /
           col("n_fps").cast("double")).as("matched_frac"))
   }
 

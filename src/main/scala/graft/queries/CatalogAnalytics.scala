@@ -1245,22 +1245,39 @@ private[queries] object CatalogAnalytics {
     "q193_perplexity_buckets",
     (s, d) => {
       import graft.ops.Corpus
+      // toks is LET-BOUND in its own projection (round-13): inlining the
+      // filter(split(...)) into the explode's slice/size/zip_with sites
+      // re-tokenized every document ~5× per row (ARCHITECTURE §8) — the
+      // alias evaluates once and the generator sees an attribute.
       val toksc = filter(split(col("text"), " "), x => x =!= "")
-      val m = size(toksc) - 1
-      val prs = when(size(toksc) >= 2,
-        zip_with(slice(toksc, lit(1), m), slice(toksc, lit(2), m),
+      val m = size(col("toks")) - 1
+      val prs = when(size(col("toks")) >= 2,
+        zip_with(slice(col("toks"), lit(1), m), slice(col("toks"), lit(2), m),
           (a, b) => struct(a.as("w1"), b.as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
       val pairs = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("lang"), toksc.as("toks"))
         .select(col("doc_id"), col("lang"), explode(prs).as("pr"))
         .select(col("doc_id"), col("lang"), col("pr.w1"), col("pr.w2"))
+      // The model table is ONE pipeline over the c2 aggregate (round-13):
+      // c1 and v as separate groupBys were canonically distinct,
+      // column-pruned copies of the c2 subtree — each re-scanned and
+      // re-exploded the corpus (ReuseExchange cannot unify them). As
+      // windows over c2 they cost two vocab-sized exchanges and zero
+      // extra corpus passes: v = max(dense_rank over w2) per lang
+      // (c2 rows are distinct (lang,w1,w2), so dense_rank's ceiling IS
+      // countDistinct(w2)), c1 = sum(c2) per (lang,w1) — the lang
+      // exchange already clusters (lang,w1), so the c1 window adds only
+      // a sort. Same integers, same logp_micro.
       val c2 = pairs.groupBy(col("lang"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c2"))
-      val c1 = c2.groupBy(col("lang"), col("w1")).agg(sum(col("c2")).as("c1"))
-      val v = c2.groupBy(col("lang")).agg(countDistinct(col("w2")).as("v"))
+      val wLangByW2 = Window.partitionBy(col("lang")).orderBy(col("w2"))
+      val wLang = Window.partitionBy(col("lang"))
+      val wLangW1 = Window.partitionBy(col("lang"), col("w1"))
       val gramScore = c2
-        .join(c1, Seq("lang", "w1"))
-        .join(broadcast(v), Seq("lang"))
+        .withColumn("w2rank", dense_rank().over(wLangByW2))
+        .withColumn("v", max(col("w2rank")).over(wLang).cast("long"))
+        .withColumn("c1", sum(col("c2")).over(wLangW1))
         .select(col("lang"), col("w1"), col("w2"),
           floor(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * 1e6 + 0.5)
             .cast("long").as("logp_micro"))
@@ -1274,7 +1291,13 @@ private[queries] object CatalogAnalytics {
       val idxed = Corpus.globalIndex(scored,
         Seq(col("lang"), col("score_micro"), col("doc_id")),
         numPartitions = 16, indexName = "gidx")
-      val offs = scored.groupBy(col("lang")).agg(count(lit(1)).as("grp_n"))
+      // offs derives from idxed, NOT scored (round-13): a scored-rooted
+      // aggregate is a fresh lineage that re-ran the whole corpus
+      // pipeline (4 extra parquet scans + explodes in the before plan);
+      // idxed's ExistingRDD shares the already-shuffled range exchange,
+      // so the lang counts cost one bounded aggregate. Same rows, same
+      // counts — gidx adds no rows and drops none.
+      val offs = idxed.groupBy(col("lang")).agg(count(lit(1)).as("grp_n"))
         .withColumn("off", coalesce(
           sum(col("grp_n")).over(Window.orderBy(col("lang"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -239,14 +239,23 @@ private[queries] object CatalogGovernance {
       // diverge) — filter them out BEFORE encoding, identically on both
       // sides. With no empty boundary tokens, s always carries exactly
       // one leading and one trailing '|', so trim(s,'|') == strip-one.
+      // Round-13: the fully-declarative unroll re-derived the encoded
+      // corpus (split+filter+array_join, then an O(r) replace chain) for
+      // every winner pass, every merge, and every tokensAfter — ~6
+      // string-heavy corpus recomputes for 3 rounds. This is exactly the
+      // "per-round localCheckpoint at production depth" shape named
+      // above, applied at depth 3 too: encode once, cut each round's
+      // corpus and 1-row winner, so each round costs one pair-count pass
+      // and one merge pass over materialized strings. Identical rows.
       var corpus = Tables.documents(s, d).select(
         col("doc_id"),
         concat(lit("|"), array_join(filter(split(col("text"), " "), x =>
           x =!= "" && !x.contains("|") && !x.contains("+")), "||"),
           lit("|")).as("s"))
+        .localCheckpoint(true)
       val rounds = (1 to 3).map { r =>
-        val w = winner(corpus)
-        val next = applyMerge(corpus, w)
+        val w = winner(corpus).localCheckpoint(true)
+        val next = applyMerge(corpus, w).localCheckpoint(true)
         val row = w.crossJoin(broadcast(tokensAfter(next))).select(
           lit(r).as("round"), col("a").as("left_tok"), col("b").as("right_tok"),
           col("n").as("pair_count"), col("tokens_after"))

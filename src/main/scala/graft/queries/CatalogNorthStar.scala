@@ -1090,8 +1090,14 @@ private[queries] object CatalogNorthStar {
           .filter(col("j").isNotNull)
         val cells = pairs.groupBy(col("i"), col("j"))
           .agg(count(lit(1)).as("n"))
+        // marg is ≤|types| rows but fans out to four consumers (loops,
+        // nStates, π₀, tot, the final join) — un-cut, each was its own
+        // full events scan in the unrolled plan (pruning to (t) vs
+        // (t,m) forks the canonical aggregate, so ReuseExchange can't
+        // unify them). Same eager-cut rationale as mat below (round-13).
         val marg = Tables.events(s, d).groupBy(col("event_type").as("t"))
           .agg(count(lit(1)).as("m"))
+          .localCheckpoint(true)
         // states = every observed type; FROM-less states self-loop
         val rows = cells.groupBy(col("i")).agg(sum(col("n")).as("r"))
         val loops = marg.select(col("t"))
@@ -1105,13 +1111,24 @@ private[queries] object CatalogNorthStar {
         val mat = cells.join(rows, Seq("i")).unionByName(loops)
           .localCheckpoint(true)
         val nStates = marg.agg(count(lit(1)).as("k"))
+        // The 8 π ← πP steps run over ≤|types|²-row tables, but as
+        // broadcast-join + groupBy rounds each step cost a broadcast
+        // job AND a shuffle stage — ~16 sequential micro-stages of pure
+        // scheduling latency (round-13; q211 does the identical corpus
+        // work in 0.33 s vs 2.24 s here). Coalescing both sides to ONE
+        // partition and forcing merge joins makes every step
+        // exchange-free (SinglePartition satisfies every distribution
+        // requirement), so the whole iteration chain plans as one
+        // stage. Sums are exact BIGINT micro-units — order-free.
+        val matS = mat.coalesce(1)
         // π₀ uniform on the micro grid
         var pi = marg.join(broadcast(nStates))
           .select(col("t"),
             floor(lit(1000000.0) / col("k").cast("double")).cast("long")
               .as("pi"))
+          .coalesce(1)
         (1 to iters).foreach { _ =>
-          pi = mat.join(broadcast(pi), col("i") === col("t"))
+          pi = matS.join(pi.hint("merge"), col("i") === col("t"))
             .select(col("j"),
               floor(col("pi").cast("double") * col("n").cast("double")
                 / col("r").cast("double") + 0.5).cast("long").as("term"))

@@ -1096,11 +1096,17 @@ private[queries] object CatalogQuality {
   private val q153 = Q(
     "q153_ppjoin",
     (s, d) => {
+      // localCheckpoint (round-13): ppJoin consumes its input FOUR ways
+      // (token-df explode, prefix explode, and both verify sides) — each
+      // was its own scan + split + array_distinct pass. Materializing
+      // the sampled, tokenized slice once feeds all four from memory;
+      // recomputed per invocation, nothing crosses runs.
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"),
           array_distinct(filter(split(col("text"), " "), x => x =!= "")).as("toks"))
         .filter(size(col("toks")) > 0)
+        .localCheckpoint(true)
       graft.ops.Text.ppJoin(docs, 0.5)
         .select(col("doc_a"), col("doc_b"), r(col("jac"), 3).as("jaccard"))
     },
@@ -1241,8 +1247,13 @@ private[queries] object CatalogQuality {
   private val q189 = Q(
     "q189_ngram_diversity",
     (s, d) => {
+      // tokenize ONCE into an attribute (round-13, ARCHITECTURE §8):
+      // inlined, the filter(split(...)) re-ran at every size/slice site
+      // of every n-gram branch (~5 tokenizations per row per branch).
       val docs = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
-      val toks = filter(split(col("text"), " "), x => x =!= "")
+        .select(col("source"),
+          filter(split(col("text"), " "), x => x =!= "").as("t"))
+      val toks = col("t")
       def grams(n: Int): Column =
         if (n == 1) toks
         else {
@@ -1533,10 +1544,18 @@ private[queries] object CatalogQuality {
               (a, b) => struct(a.as("w1"), b.as("w2"))))
             .otherwise(array())).as("pr"))
         .select(col("source"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      // Round-13: c1 (fork of the c2 aggregate) and v (countDistinct
+      // over the raw pair stream) each re-ran the corpus explode —
+      // column pruning makes them canonically distinct subtrees, so
+      // ReuseExchange can't unify them. Cutting the vocab-sized c2
+      // model table once (localCheckpoint, recomputed per invocation)
+      // feeds both from memory; v over c2 is the same set of w2s the
+      // pair stream carries, c1 the same sums. Corpus passes: 4 → 2.
       val c2 = pairs.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c2"))
+        .localCheckpoint(true)
       val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-      val v = pairs.agg(countDistinct(col("w2")).as("v"))
+      val v = c2.agg(countDistinct(col("w2")).as("v"))
       val perSrc = pairs
         .join(c2, Seq("w1", "w2"))
         .join(c1, Seq("w1"))

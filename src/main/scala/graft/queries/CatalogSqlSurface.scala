@@ -303,10 +303,16 @@ private[queries] object CatalogSqlSurface {
   private val q108 = Q(
     "q108_pmi_cooccur",
     (s, d) => {
+      // Round-13: doctok fans out to the df aggregate (→vocab) and both
+      // sides of the co-occurrence self-join — pruned to different
+      // column sets, each was a fresh explode+distinct corpus pass.
+      // One localCheckpoint of the distinct (doc, token) set feeds all
+      // consumers; recomputed per invocation.
       val doctok = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .distinct()
+        .localCheckpoint(true)
       val df = doctok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val vocab = df.orderBy(col("df").desc, col("tok").asc).limit(50)
       val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
@@ -639,10 +645,13 @@ private[queries] object CatalogSqlSurface {
   private val q117 = Q(
     "q117_bm25",
     (s, d) => {
+      // Round-13: same fan-out as q125's leg A — tc feeds dl, df/vocab
+      // and the scoring join; cut it once per invocation.
       val tc = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val dfT = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val vocab = dfT.orderBy(col("df").desc, col("tok").asc).limit(3)
@@ -909,10 +918,15 @@ private[queries] object CatalogSqlSurface {
     (s, d) => {
       graft.plans.GraftExtensions.install(s)
       // leg A: BM25 for the top-3-df query (q117's scoring, unchanged)
+      // Round-13: tc fans out to dl, the df/vocab aggregate, and the
+      // BM25 scoring join (and dl itself to two consumers) — each was a
+      // pruned fresh explode+aggregate corpus pass. Cut tc once per
+      // invocation; everything downstream reads the materialized counts.
       val tc = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val dfT = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val vocab = dfT.orderBy(col("df").desc, col("tok").asc).limit(3)
@@ -1095,9 +1109,24 @@ private[queries] object CatalogSqlSurface {
       val edges = pairs.groupBy(col("from_t"), col("to_t")).agg(count(lit(1)).as("w"))
       val nodes = ev.select(col("event_type")).distinct()
       val nCnt = nodes.agg(count(lit(1)).as("n"))
-      val outw = edges.groupBy(col("from_t")).agg(sum(col("w")).as("outw"))
-      val ew = edges.join(broadcast(outw), "from_t")
-      var pr = nodes.crossJoin(broadcast(nCnt))
+      // Round-13: the unrolled 3-iteration lineage evaluated the events
+      // window + edge aggregate once per iteration AND once more inside
+      // outw (28 parquet scans, zero reused exchanges in the static
+      // plan). Two changes, per guide §2.4/§3.3: outw becomes a window
+      // over the edge aggregate (same partial sums, no second corpus
+      // pass), and the two BOUNDED model tables — ew (≤|types|² rows)
+      // and the node spine (≤|types| rows) — are localCheckpoint'ed so
+      // the iteration loop is arithmetic over materialized tiny tables
+      // instead of a lineage that re-derives the corpus per round. Both
+      // checkpoints recompute from parquet on every invocation (nothing
+      // persists across runs); the visible plan drops to 2 corpus
+      // passes at any iteration count.
+      val ew = edges
+        .withColumn("outw",
+          sum(col("w")).over(Window.partitionBy(col("from_t"))))
+        .localCheckpoint()
+      val spine = nodes.crossJoin(broadcast(nCnt)).localCheckpoint()
+      var pr = spine
         .select(col("event_type"),
           floor(lit(1000000.0) / col("n").cast("double") + 0.5).cast("long").as("pr_micro"))
       for (_ <- 1 to 3) {
@@ -1107,7 +1136,7 @@ private[queries] object CatalogSqlSurface {
             floor(lit(0.85) * col("pr_micro").cast("double") * col("w").cast("double")
               / col("outw").cast("double") + 0.5).cast("long").as("c"))
           .groupBy(col("event_type")).agg(sum(col("c")).as("csum"))
-        pr = nodes.crossJoin(broadcast(nCnt))
+        pr = spine
           .join(contribs, Seq("event_type"), "left")
           .select(col("event_type"),
             (floor(lit(0.15) * lit(1000000.0) / col("n").cast("double") + 0.5).cast("long")
@@ -1173,23 +1202,27 @@ private[queries] object CatalogSqlSurface {
   private val q202 = Q(
     "q202_recursive_radius",
     (s, d) => {
+      // Round-13: Spark's UnionLoopExec re-executes the recursive step's
+      // whole subtree each iteration, and CTE inlining put the prefix-
+      // blocked Jaccard self-join INSIDE that step — the edge list was
+      // rebuilt from parquet on every BFS round. The edges are the same
+      // bounded near-dup graph q20/q46 use (Shared.prefixJaccardPairs),
+      // so materialize them once per invocation (localCheckpoint — guide
+      // §3.3's plan-truncation move) and recurse over the tiny view; the
+      // recursive SQL surface itself is unchanged, as is every emitted
+      // row. The DuckDB twin still runs the full single-text form.
       Tables.documents(s, d).createOrReplaceTempView("documents_v")
+      val e = Shared.prefixJaccardPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+        .createOrReplaceTempView("sym_v")
       s.sql("""
-        WITH RECURSIVE d AS (
-          SELECT doc_id, substring(text, 1, 30) AS pfx,
-            array_distinct(split(text, ' ')) AS toks
-          FROM documents_v),
-        e AS (
-          SELECT a.doc_id AS a, b.doc_id AS b
-          FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
-          WHERE CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE)
-                / size(array_union(a.toks, b.toks)) >= 0.5),
-        sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
-        bfs(node, dist) AS (
+        WITH RECURSIVE bfs(node, dist) AS (
           SELECT doc_id, 0 FROM documents_v WHERE doc_id % 97 = 0
           UNION ALL
-          SELECT sym.b, dist + 1
-          FROM bfs JOIN sym ON sym.a = bfs.node WHERE dist < 3),
+          SELECT sym_v.b, dist + 1
+          FROM bfs JOIN sym_v ON sym_v.a = bfs.node WHERE dist < 3),
         md AS (
           SELECT node, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY node)
         SELECT dist, CAST(count(*) AS BIGINT) AS n_docs,

@@ -73,16 +73,16 @@ class PlanAuditSpec extends SparkSpec {
     // 100 TB. Every entry here is that shape: ANN query sets (q23/
     // q137b), 1-row stats broadcasts (q38/q57/q63/q69/q74/q82/q88/q140/
     // q150/q159), bounded histogram/frontier sides (q117/q125/q149/q156),
-    // pair/range predicates over bounded sides (q44/q51/q108/q146), and
-    // PageRank's dangling-mass 1-row broadcast (q128), q172's 1-row
-    // contingency-total broadcast, and q176's per-round 1-row BPE winner
-    // broadcasts (12 = the 3 unrolled rounds' winner+stats crossJoins,
-    // multiplied by lineage duplication of earlier rounds in the static
-    // plan). A NEW BNLJ — or a
+    // pair/range predicates over bounded sides (q44/q51/q108/q146),
+    // q172's 1-row contingency-total broadcast, and q176's per-round
+    // 1-row BPE winner broadcasts (3 since round-13's per-round
+    // localCheckpoint cut the lineage duplication; q128's entry left
+    // the list the same round — its node-spine crossJoin now lives
+    // inside the checkpointed model-table lineage). A NEW BNLJ — or a
     // count regression on an existing one — fails by name.
     val allowedBnlj = Map(
       "q108_pmi_cooccur" -> 1, "q117_bm25" -> 2, "q125_rrf_fusion" -> 3,
-      "q128_pagerank" -> 4, "q137b_pq_serve" -> 1,
+      "q137b_pq_serve" -> 1,
       "q140_mixture_weights" -> 1, "q146_triangle_count" -> 2,
       "q149_ks_drift" -> 3, "q150_psi_drift" -> 1, "q156_jsd_drift" -> 2,
       "q159_dataset_card" -> 1,
@@ -100,7 +100,7 @@ class PlanAuditSpec extends SparkSpec {
       "q199_cluster_bootstrap" -> 1,
       // q191: the 1-row token-budget broadcast against the doc stream
       "q191_token_budget_select" -> 1,
-      "q176_bpe_merges" -> 12,
+      "q176_bpe_merges" -> 3,
       // q194: NB training scalars ride 1-row broadcasts — the scal1 × v
       // 1-row×1-row join, the vocab-stream × scalars crossJoin, and the
       // per-doc-stream × dscal crossJoin (4 = those three + the scalar
