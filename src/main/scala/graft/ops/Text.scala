@@ -652,6 +652,9 @@ object Text {
       dstCol: String = "doc_b",
       maxIter: Int = 20): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // (round-13 note: an explode-both-orientations rewrite that reads
+    // the edge subtree once measured ~70% SLOWER here at sf0.1 than
+    // this two-branch union — the concurrent branches win; kept as-is.)
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()

@@ -411,7 +411,12 @@ private[queries] object CatalogGovernance {
         (col("doc_id") + 1000000000L).as("doc_id"),
         array_join(filter(split(col("text"), " "),
           (_, i) => i % 13 =!= 0), " ").as("text"))
-      val corpus = sampled.unionAll(variants)
+      // localCheckpoint (round-13): the ~100-doc metrology sample fans
+      // out to the truth self-join (both sides), the minhash pipeline,
+      // and the recall joins — the static plan re-derived the sampled
+      // slice (full documents scan + count broadcast) 20+ times. Cut
+      // the bounded corpus once per invocation.
+      val corpus = sampled.unionAll(variants).localCheckpoint(true)
       val toks = split(col("text"), " ")
       def shingleSet(tks: Column) = array_distinct(transform(
         sequence(lit(1), size(tks) - 2),
@@ -1281,7 +1286,9 @@ private[queries] object CatalogGovernance {
     (s, d) => {
       def h15(c: Column): Column =
         conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      val toksC = filter(split(col("text"), " "), x => x =!= "")
+      // round-13: tokenize once into an attribute — the size filter and
+      // the chunk transform each re-ran split+filter per row before
+      val toksC = col("__toks")
       val chunksCol = element_at(transform(array(toksC), ts => {
         val n = size(ts)
         val cutsInner = when(n >= 2,
@@ -1295,6 +1302,8 @@ private[queries] object CatalogGovernance {
           (a, b) => concat_ws(" ", slice(ts, a, b - a)))
       }), 1)
       val ch = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .select(col("source"),
+          filter(split(col("text"), " "), x => x =!= "").as("__toks"))
         .filter(size(toksC) > 0)
         .select(col("source"), explode(chunksCol).as("chunk"))
         .select(col("source"), h15(col("chunk")).as("chash"),

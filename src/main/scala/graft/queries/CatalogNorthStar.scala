@@ -385,16 +385,17 @@ private[queries] object CatalogNorthStar {
     * join itself — 2^16 buckets per band, worst-case Θ(n²/2^16)
     * candidates before the L1 verify, exactly the SimHash/q151 banding
     * economics. The oracle recomputes hash + histograms from the formula
-    * and replays the same band join + L1 — no codec trust. Plan note:
-    * the catalog row recomputes the decode on both join sides to stay
-    * self-contained; a production near-dup pass materializes the stats
-    * table ONCE (the q137b/q182 persisted-artifact pattern) and
-    * self-joins that, so the codec runs n times, not 2n. */
+    * and replays the same band join + L1 — no codec trust. Plan note
+    * (round-13): the stats table is materialized ONCE per invocation
+    * (localCheckpoint — the q137b/q182 persisted-artifact pattern,
+    * in-query form) and self-joined, so the codec runs n times, not 2n;
+    * nothing persists across invocations. */
   private val q228 = Q(
     "q228_png_neardup",
     (s, d) => {
       val st = graft.ops.Multimodal.pngPipeline(s,
         spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id"))
+        .localCheckpoint(true)
       // 3-of-4-band CONJUNCTION keys (LSH AND-composition): a candidate
       // pair must agree on THREE bands at once (⇔ at most one band of
       // hash flips). Single-band blocking degenerates at corpus scale —

@@ -1159,12 +1159,16 @@ private[queries] object CatalogQuality {
     "q187_dsir_weights",
     (s, d) => {
       val B = 256
-      val toks = filter(split(col("text"), " "), x => x =!= "")
+      // tokenize once into an attribute (round-13, ARCHITECTURE §8):
+      // inlined, the two slices + two sizes re-split every row ~4×
+      val toks = col("__toks")
       val grams = zip_with(
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
         slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => concat(a, lit("|"), b))
       val dlb = spreadSingleFileFixture(s, Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          filter(split(col("text"), " "), x => x =!= "").as("__toks"))
         .select(col("doc_id"), col("lang"), explode(grams).as("g"))
         .withColumn("b",
           (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % B)
