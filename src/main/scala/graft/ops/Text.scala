@@ -588,9 +588,15 @@ object Text {
       .withColumn("w1", lag(col("w2"), 1).over(w))
       .filter(col("w1").isNotNull)
       .select(col("doc_id"), col("w1"), col("w2"))
+    // Round-13: c1 and v were pruning-forked re-evaluations of the pair
+    // stream — each re-ran the posexplode + lag-window corpus shuffle.
+    // Cut the vocab-sized c2 model once per invocation; v over c2 sees
+    // exactly the w2 set the pair stream carries. Pair-stream passes:
+    // 4 → 2 (model build + scoring join).
     val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val v = pairs.agg(countDistinct(col("w2")).as("v"))
+    val v = c2.agg(countDistinct(col("w2")).as("v"))
     pairs
       .join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))

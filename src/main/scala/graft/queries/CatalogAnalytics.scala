@@ -1161,8 +1161,14 @@ private[queries] object CatalogAnalytics {
     (s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val e = prefixJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+      // localCheckpoint (round-13): both unrolled propagate rounds (and
+      // both uses of the round-1 labels) re-derived the prefix-blocked
+      // Jaccard self-join — 28 parquet scans in the static plan. The
+      // bounded edge list is cut once, the round-1 labels once; each
+      // round is then joins/windows over materialized edge-sized data.
       val sym = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint(true)
       def propagate(lbl: DataFrame): DataFrame = {
         val nb = sym
           .join(lbl.withColumnRenamed("doc_id", "dst"), Seq("dst"))
@@ -1177,7 +1183,7 @@ private[queries] object CatalogAnalytics {
             coalesce(col("nl"), col("label")).as("label"))
       }
       val init = docs.select(col("doc_id"), col("doc_id").as("label"))
-      propagate(propagate(init))
+      propagate(propagate(init).localCheckpoint(true))
         .select(col("doc_id"), col("label").as("community"))
     },
     Some("""

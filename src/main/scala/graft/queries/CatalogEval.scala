@@ -135,13 +135,19 @@ private[queries] object CatalogEval {
       val toks = Tables.documents(s, d).filter(col("source").isin(srcs: _*))
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
+      // Round-13: vocab, cnt and nS each re-ran the token explode (6
+      // corpus passes via pruning-forked subtrees). Cut the 50-row
+      // vocab and the ≤5×50-row joint counts once per invocation; nS is
+      // then the row-sum of cnt (identical: it counted the same
+      // vocab-token occurrences per source). Corpus passes: 6 → 2.
       val dfTok = toks.groupBy(col("tok")).agg(count(lit(1)).as("tot"))
       val vocab = dfTok.orderBy(col("tot").desc, col("tok").asc).limit(50)
         .select(col("tok"))
+        .localCheckpoint(true)
       val cnt = toks.join(broadcast(vocab), "tok")
         .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
-      val nS = toks.join(broadcast(vocab), "tok")
-        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val nS = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
       // (pair × vocab) grid with zero back-fill — mirrors the twin row for
       // row: 10 source pairs × 50 tokens, counts left-joined in, rows where
       // BOTH sides are zero dropped (they contribute nothing to JSD)

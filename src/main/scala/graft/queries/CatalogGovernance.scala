@@ -930,6 +930,10 @@ private[queries] object CatalogGovernance {
         .select(col("doc_id"), col("source"),
           (col("lang") === "en").as("is_en"),
           (col("doc_id") % 10 < 3).as("is_train"), toksC.as("toks"))
+        // round-13: base fans out to the train scalars, the word-count
+        // model and the serving scorer (12 scans static); nwc below to
+        // two consumers. Cut both once per invocation.
+        .localCheckpoint(true)
       val trainDocs = base.filter(col("is_train"))
       // token totals from doc-level sizes (== exploded sums, one pass)
       val scal1 = trainDocs.agg(
@@ -944,6 +948,7 @@ private[queries] object CatalogGovernance {
         .groupBy(col("tok")).agg(
           sum(when(col("is_en"), 1L).otherwise(0L)).as("np"),
           sum(when(col("is_en"), 0L).otherwise(1L)).as("nn"))
+        .localCheckpoint(true)
       val scal = scal1.crossJoin(broadcast(nwc.agg(count(lit(1)).as("v"))))
       val weights = nwc.crossJoin(broadcast(scal)).select(col("tok"),
         (micro(log((col("np") + lit(1.0)) / (col("n_pos_tok") + col("v")))) -

@@ -1253,8 +1253,12 @@ private[queries] object CatalogPipelines {
             .otherwise(array())).as("pr"))
         .select(col("doc_id"), col("train"),
           col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      // round-13: c1/rev/tot and the scoring join each re-derived c2
+      // (pruning-forked corpus passes). Cut the vocab-sized model once
+      // per invocation; corpus explodes drop 5 -> 2.
       val c2 = pairs.filter(col("train"))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .localCheckpoint(true)
       val c1 = c2.groupBy(col("w1"))
         .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
       val rev = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))

@@ -740,7 +740,16 @@ private[queries] object CatalogQuality {
   private val q146 = Q(
     "q146_triangle_count",
     (s, d) => {
-      val edges = prefixJaccardPairs(s, d).select(col("doc_a"), col("doc_b")).persist()
+      // localCheckpoint, NOT persist() (round-13): a persist here is a
+      // CacheManager entry keyed on the canonical plan, so a SECOND
+      // invocation (or the bench's untimed warm-up) would serve every
+      // later pass from cache — cross-run result caching, and the same
+      // cross-session plan-shape hazard valueAtRanks documents. The
+      // checkpoint gives the same within-invocation reuse (edges feed
+      // the triangle triple-join, deg, and n_edges) and dies with the
+      // invocation.
+      val edges = prefixJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
       val e1 = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
       val e2 = edges.select(col("doc_a").as("b2"), col("doc_b").as("c"))
       val e3 = edges.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
@@ -877,8 +886,12 @@ private[queries] object CatalogQuality {
     (s, d) => {
       val srcs = Seq("src0", "src1", "src2", "src3", "src4")
       val docs = Tables.documents(s, d).filter(col("source").isin(srcs: _*))
+      // Round-13: cnt feeds four consumers and tot two — each was its
+      // own docs scan (20 in the static plan). Cut the value-domain
+      // histogram once; tot is its row-sum (identical counts).
       val cnt = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
-      val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
       val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
         .crossJoin(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))))
         .filter(col("sa") < col("sb"))
