@@ -617,13 +617,19 @@ object Text {
     val tok = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .withColumn("hv", xxhash64(col("tok")))
-    tok
-      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(63))).as("b"))
-      .withColumn("contrib", when(expr("(hv >> b) & 1") === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
+    // round-13: 64 conditional sums in ONE aggregate instead of a 64×
+    // row explode through a two-level aggregate — same ±1 vote totals
+    // per (doc, bit), same reassembled hash, 64× fewer aggregate rows
+    // (the q22 rewrite; measured −30% there at sf0.1).
+    val votes = (0 until 64).map(b =>
+      sum(when(expr(s"(hv >> $b) & 1") === 1, lit(1)).otherwise(lit(-1)))
+        .as(s"s$b"))
+    tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -107,8 +107,12 @@ private[queries] object CatalogNorthStar {
               element_at(col("ids"), j).as("doc_b")))))).as("p"))
         .select(col("p.doc_a"), col("p.doc_b"))
         .distinct()
+      // round-13: both verify sides consumed tokset — two full corpus
+      // tokenization passes; cut once per invocation (A/B: 1.26-1.34 s
+      // vs 1.43-1.53 s isolated at sf0.1)
       val tokset = Tables.documents(s, d)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        .localCheckpoint(true)
       val jac = size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("double") /
         size(array_union(col("ta.toks"), col("tb.toks")))
       pairs
@@ -169,15 +173,19 @@ private[queries] object CatalogNorthStar {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .withColumn("hv", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-      val bits = tok
-        .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(31))).as("b"))
-        .withColumn("contrib",
-          when(expr("(hv >> b) & 1") === 1, lit(1)).otherwise(lit(-1)))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(col("contrib")).as("s"))
-      bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0, pow(lit(2.0), col("b")).cast("long"))
-          .otherwise(lit(0L))).as("simhash"))
+      // round-13: the 32× bit explode pushed tokens·32 rows through the
+      // keyed aggregate; 32 conditional sums in ONE aggregate carry the
+      // same ±1 vote totals as 32 partial-agg buffers per doc instead
+      // (same integers per (doc, bit), simhash reassembled identically).
+      val votes = (0 until 32).map(b =>
+        sum(when(expr(s"(hv >> $b) & 1") === 1, lit(1)).otherwise(lit(-1)))
+          .as(s"s$b"))
+      tok.groupBy(col("doc_id"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until 32).map(b =>
+            when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
     },
     Some("""
       WITH tok AS (
