@@ -251,10 +251,13 @@ object Bench {
     // untimed warm-up pass: whole-stage codegen compiles per query plan the
     // first time; the timed pass below measures steady-state execution
     selected.foreach { case (name, fn) =>
-      try materialize(fn(spark, sfDir)) catch {
+      try {
+        spark.sparkContext.setJobDescription(s"warmup $name")
+        materialize(fn(spark, sfDir))
+      } catch {
         case scala.util.control.NonFatal(t) =>
           System.err.println(s"[bench] warm-up failed for $name: ${t.getMessage}")
-      }
+      } finally spark.sparkContext.setJobDescription(null)
     }
 
     // SPARK_GRAFT_GC_SETTLE=true: full GC + settle pause before each
@@ -314,6 +317,9 @@ object Bench {
         if (errors.contains(name)) None // first failure wins, skip reruns
         else {
           settle()
+          // guide §1.5: label the timed jobs so the UI/event log maps
+          // stages back to queries (thread-local; cost-free when UI off)
+          spark.sparkContext.setJobDescription(name)
           val t0 = System.nanoTime()
           try {
             materialize(fn(spark, sfDir))
@@ -324,7 +330,7 @@ object Bench {
               System.err.println(s"[bench] FAILED $name: ${t.getMessage}")
               errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
               None
-          }
+          } finally spark.sparkContext.setJobDescription(null)
         }
       }
       // Failed queries record NO byte metrics: passesRun counts successes
