@@ -717,9 +717,15 @@ object Text {
     val labeled = docs.select(col(idCol))
       .join(cc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
-    val sizes = labeled.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labeled.join(sizes, Seq("cluster_id"))
+    // cluster_size as a count window over the SAME key (round-13): the
+    // former groupBy+self-join evaluated `labeled` twice (two docs
+    // scans + an extra exchange); one cluster_id exchange now serves
+    // both the size and any downstream cluster_id window (q167 chains
+    // two — guide §2.4's shared-partitioning rule). Same rows, counts,
+    // and types (count over an unordered frame = whole partition).
+    labeled
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
       .select(
         col(idCol), col("cluster_id"), col("cluster_size"),
         (col(idCol) === col("cluster_id")).as("is_keeper"))

@@ -913,7 +913,10 @@ private[queries] object CatalogPipelines {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"), explode(graft.ops.Text.tokens(col("text"))).as("tok"))
+      // round-13: tf feeds both the df aggregate and the scoring join —
+      // each was its own explode+aggregate corpus pass; cut once.
       val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
