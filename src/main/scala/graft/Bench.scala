@@ -157,6 +157,31 @@ object Bench {
     if (errors.nonEmpty) sys.exit(1)
   }
 
+  /** Parse a fork-mode reference artifact's `queries` map, keeping only
+    * entries at the sweep's own scale factor. Whitespace-tolerant on
+    * purpose (round-13 verdict item 1): the newest committed reference
+    * may be Python-serialized (`"queries": {` / `"name": 1.23`), and the
+    * round-13 compact-token parser silently matched nothing against it,
+    * leaving the >2.5× outlier recheck dead while three contention
+    * phantoms (q226 6.67 s / q107 4.79 s / q106 2.28 s — all sub-second
+    * isolated) stood in the committed driver artifact. Exposed for
+    * BenchForkRefSpec, which pins both serializations. */
+  private[graft] def parseForkRef(txt: String, sfDir: String): Map[String, Double] = {
+    // the reference binds only at its own scale factor (an sf1 sweep
+    // must not recheck against sf0.1 numbers)
+    val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+      .exists(m => new java.io.File(m.group(1)).getName ==
+        new java.io.File(sfDir).getName)
+    val body = "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt) match {
+      case None    => ""
+      case Some(m) => txt.substring(m.end, txt.indexOf('}', m.end))
+    }
+    if (!sfOk) Map.empty[String, Double]
+    else "\"([^\"]+)\"\\s*:\\s*(-?[0-9.Ee+]+)".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._2 > 0).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -376,19 +401,7 @@ object Bench {
       refFile.map { f =>
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
-        // the reference binds only at its own scale factor (an sf1 sweep
-        // must not recheck against sf0.1 numbers)
-        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
-          .exists(m => new java.io.File(m.group(1)).getName ==
-            new java.io.File(sfDir).getName)
-        val body = txt.indexOf("\"queries\":{") match {
-          case -1 => ""
-          case i  => txt.substring(i + 11, txt.indexOf('}', i))
-        }
-        if (!sfOk) Map.empty[String, Double]
-        else "\"([^\"]+)\":(-?[0-9.Ee+]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 > 0).toMap
+        parseForkRef(txt, sfDir)
       }.getOrElse(Map.empty)
     }
     val finalResults =

@@ -765,7 +765,20 @@ object Text {
     *
     * Input: (idCol, toksCol) with toksCol an array of DISTINCT tokens.
     * Output: distinct (doc_a < doc_b) candidate id pairs. Three bounded
-    * shuffles: token df, per-doc rank window, candidate distinct. */
+    * shuffles: token df, per-doc rank window, candidate distinct.
+    *
+    * Round 14 adds PPJoin's LENGTH FILTER (Xiao et al. §3; guide §3 join
+    * pre-filter): J(A,B) ≥ t ⟹ min(|A|,|B|)/max(|A|,|B|) ≥ t (the
+    * intersection is at most the smaller set, the union at least the
+    * larger), so candidate pairs failing the size-ratio bound are pruned
+    * BEFORE the distinct exchange and the verify join ever see them.
+    * Lossless against the downstream verify BY CONSTRUCTION, including
+    * at the float boundary: both this filter and the verify compare a
+    * correctly-rounded double division against the same threshold, and
+    * x = i/u ≤ r = min/max in reals ⟹ rnd(x) ≤ rnd(r) (rounding is
+    * monotone) ⟹ any pair the verify keeps (rnd(x) ≥ t) passes here
+    * (rnd(r) ≥ t). PpJoinSpec pins recall vs the naive quadratic join;
+    * the degenerate-size pruning case is pinned there too. */
   def ppJoinCandidates(docs: DataFrame, threshold: Double,
       idCol: String = "doc_id", toksCol: String = "toks"): DataFrame = {
     val tokRows = docs.select(col(idCol).as("__id"),
@@ -777,10 +790,13 @@ object Text {
       .withColumn("__rn", row_number().over(Window.partitionBy(col("__id"))
         .orderBy(col("__df").asc, col("__tok").asc)))
       .filter(col("__rn") <= prefixLen)
-      .select(col("__id"), col("__tok"))
-    prefix.select(col("__id").as("doc_a"), col("__tok"))
-      .join(prefix.select(col("__id").as("doc_b"), col("__tok")), Seq("__tok"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("__id"), col("__n"), col("__tok"))
+    prefix.select(col("__id").as("doc_a"), col("__n").as("__na"), col("__tok"))
+      .join(prefix.select(col("__id").as("doc_b"), col("__n").as("__nb"),
+        col("__tok")), Seq("__tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("__na"), col("__nb")).cast("double") /
+          greatest(col("__na"), col("__nb")) >= threshold)
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 

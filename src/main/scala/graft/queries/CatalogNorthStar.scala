@@ -798,17 +798,31 @@ private[queries] object CatalogNorthStar {
     * reference; built-ins cover them): customers appearing in both the
     * high-value and recent order sets (INTERSECT) vs only in the
     * high-value set (EXCEPT), tagged and unioned. Distinct semantics in
-    * both engines. */
+    * both engines.
+    *
+    * Round 14 (guide §2.4): INTERSECT and EXCEPT each planned as a
+    * distinct-aggregate + semi/anti join over separately filtered copies
+    * of the SAME orders scan — 4 corpus scans, 2 shuffled aggregates, 2
+    * broadcasts for one pass of information. Both set memberships are
+    * per-custkey predicates over one table, so ONE groupBy computes both
+    * flags (max-of-indicator ≡ EXISTS) and a projection rebuilds the
+    * identical tagged union: both = hi∧rec, only_high = hi∧¬rec, with
+    * groupBy supplying INTERSECT/EXCEPT's distinct semantics. 1 scan,
+    * 1 exchange, 0 joins; oracle SQL unchanged (DuckDB still runs the
+    * literal INTERSECT/EXCEPT), so row identity is machine-checked. */
   private val q35 = Q(
     "q35_intersect_except",
     (s, d) => {
-      val o = Tables.orders(s, d)
-      val high = o.filter(col("o_totalprice") > 250000).select(col("o_custkey"))
-      val recent = o.filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")))
-        .select(col("o_custkey"))
-      val both = high.intersect(recent).withColumn("tag", lit("both"))
-      val onlyHigh = high.except(recent).withColumn("tag", lit("only_high"))
-      Core.unionAll(Seq(both, onlyHigh))
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(when(col("o_totalprice") > 250000, 1)).as("__hi"),
+          max(when(col("o_orderdate") >= to_timestamp(lit("1997-01-01")), 1))
+            .as("__rec"))
+        .filter(col("__hi") === 1)
+        .select(col("o_custkey"),
+          when(col("__rec") === 1, lit("both"))
+            .otherwise(lit("only_high")).as("tag"))
     },
     Some("""
       SELECT o_custkey, 'both' AS tag FROM (

@@ -509,27 +509,40 @@ private[queries] object CatalogQuality {
     "q141_repetition_ratio",
     (s, d) => {
       val toks = filter(split(col("text"), " "), x => x =!= "")
-      // let-bind the token array (ARCHITECTURE §8) so the 5 element_at's
-      // per gram and both size() calls share one split+filter evaluation
+      // Round 14: the round-13 form let-bound toks INSIDE one struct
+      // expression, but the projection referenced that struct SEVEN times
+      // (ng ×5, nd ×2) and each reference inlined the whole
+      // tokenize+gram-build tree with FRESH lambda ids — non-identical
+      // trees, so neither codegen nor interpreted subexpression
+      // elimination could share them (plan-verified: 7 copies of the
+      // transform in the before dump). Two fixes: (1) n_grams is
+      // size(toks)−4 in closed form — counting the grams never needed to
+      // BUILD them (the transform existed only to be sized); (2) the
+      // struct is let-bound into a real attribute via a two-step select,
+      // so tokenize + gram-build + array_distinct run ONCE per row and
+      // the second projection reads struct fields. Same lazy CASE guards
+      // (grams are never built for docs under 5 tokens).
       val stats = element_at(
-        transform(array(toks), t => {
-          val grams = transform(sequence(lit(1), size(t) - 4), i =>
-            concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-              element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4)))
-          struct(
-            when(size(t) >= 5, size(grams)).otherwise(lit(0)).cast("long").as("ng"),
-            when(size(t) >= 5, size(array_distinct(grams))).otherwise(lit(0))
-              .cast("long").as("nd"))
-        }),
+        transform(array(toks), t => struct(
+          when(size(t) >= 5, (size(t) - 4).cast("long"))
+            .otherwise(lit(0L)).as("ng"),
+          when(size(t) >= 5,
+            size(array_distinct(transform(sequence(lit(1), size(t) - 4), i =>
+              concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+                element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4)))))
+              .cast("long"))
+            .otherwise(lit(0L)).as("nd"))),
         1)
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        stats.getField("ng").as("n_grams"),
-        stats.getField("nd").as("n_distinct"),
-        when(stats.getField("ng") > 0,
-          floor((stats.getField("ng") - stats.getField("nd")).cast("double") /
-            stats.getField("ng").cast("double") * 1000000 + 0.5).cast("long"))
-          .otherwise(lit(0L)).as("rep_micro"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), stats.as("__st"))
+        .select(
+          col("doc_id"),
+          col("__st.ng").as("n_grams"),
+          col("__st.nd").as("n_distinct"),
+          when(col("__st.ng") > 0,
+            floor((col("__st.ng") - col("__st.nd")).cast("double") /
+              col("__st.ng").cast("double") * 1000000 + 0.5).cast("long"))
+            .otherwise(lit(0L)).as("rep_micro"))
     },
     Some("""
       WITH t AS (

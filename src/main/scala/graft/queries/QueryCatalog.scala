@@ -194,121 +194,144 @@ private[queries] object Shared {
   }
 
   /** Exact per-group ORDER STATISTICS by counting sort — the shared
-    * three-pass machinery behind q89/q89b (equi-depth buckets) and q114
-    * (exact interpolated percentiles). Given a (group, value) corpus and
-    * a rank-request builder, returns each requested rank's exact value —
+    * machinery behind q89/q89b (equi-depth buckets) and q114/q148 (exact
+    * interpolated percentiles). Given a (group, value) corpus and a
+    * rank-request builder, returns each requested rank's exact value —
     * without ever shuffling the corpus, aggregating it to its value
-    * domain, or globally indexing it:
+    * domain, or globally indexing it.
     *
-    *  1. pass 1 — per-group (vmin, vmax): |groups|-row streaming
-    *     aggregate over a 2-column scan, broadcast (grp_n is NOT
-    *     aggregated here — step 3 derives it from the reused grid
-    *     aggregate, keeping this broadcast's column set identical for
-    *     every consumer);
-    *  2. pass 2 — per-cell counts on a 4096-cell affine grid
-    *     (floor((x−vmin)/(vmax−vmin)·G), monotone in x so cells are
-    *     contiguous rank runs): ≤|groups|·G-row streaming aggregate; a
-    *     window over that BOUNDED aggregate yields each cell's
-    *     cumulative rank offset. The grid aggregate is shared across its
-    *     consumers via ReuseExchange, NOT `.cache()`: shuffle files
-    *     already materialize the bounded frame once, and the plan needs
-    *     exactly one canonical form of the aggregate for reuse to hold —
-    *     which is also why cells carries no vmin/vmax (column pruning
-    *     would specialize the aggregate per consumer and fork the scan).
-    *     A CacheManager entry here was round 10's plan-shape heisenbug:
-    *     entries are JVM-shared across sessions and an AQE-on session
-    *     registering first compiles the cached plan adaptively, hiding
-    *     its output partitioning from every later static consumer (+4
-    *     exchanges that appeared only when another suite built q89
-    *     first);
-    *  3. `mkPositions(grpStats)` turns the per-group (group, grp_n) —
-    *     derived from the reused grid aggregate, so it costs no extra
-    *     scan — into the requested 0-based ranks: (group, pos, any tag
-    *     columns; `rb*`/`in_off`/`cnt`/`vmin`/`vmax` are reserved),
-    *     closed-form and tiny (broadcast); a builder needing the value
-    *     bounds should join `broadcast(stats)` itself (stats is exactly
-    *     (g, vmin, vmax), so every consumer references the same
-    *     broadcast subtree verbatim — reuse is syntactic, not a column-
-    *     pruning accident); an equi join on group + containment filter
-    *     maps each rank to its grid cell;
-    *  4. pass 3 — resolve values ONLY inside the cells holding a
-    *     requested rank: a broadcast semi-join keeps ~|ranks|/(|groups|·G)
-    *     of the corpus, a small aggregate + per-cell window ranks the
-    *     surviving distinct values, and each rank selects its value.
+    * Round 14 fused the round-10 three-pass chain to TWO corpus passes
+    * by replacing the data-adaptive grid (per-group (vmin, vmax)
+    * aggregate + affine 4096-cell map — a whole corpus pass + broadcast
+    * spent only on choosing cell boundaries) with a STATIC logarithmic
+    * grid: cell(x) = ⌊log2(|x|)·256⌋, sign-folded so every negative cell
+    * < the zero cell < every positive cell. Correctness never depended
+    * on WHICH grid is used — any deterministic, monotone (non-strict)
+    * value→cell map makes cells contiguous rank runs, and the per-cell
+    * resolve is exact regardless of how values cluster — the adaptive
+    * grid only bounded the cell count to G per group. The static bound
+    * is 256 cells per OCTAVE of actual value spread (a 10^6-wide price
+    * domain ≈ 5100 cells, the full double range ≈ 537k — still bounded
+    * rows, never corpus rows), and pass-3 survivor fractions stay
+    * ~|ranks|·0.3% of the corpus (one cell spans a 2^(1/256) ≈ 0.27%
+    * value band). Monotonicity of the map is IEEE-safe: log2 is
+    * semi-monotonic (JDK Math.log contract), ×256 is an exact
+    * power-of-two scale, floor is monotone — and equal values always get
+    * equal cells, which is all exactness needs. Values must be non-NULL
+    * (all four call sites feed TPC-H prices/cents).
     *
-    * Every shuffle carries ≤|groups|·G rows; the corpus appears only as
-    * three column-pruned scans with map-side-combined aggregates. Three
-    * scans, not two, is the price of a data-adaptive grid — a static
-    * (e.g. log-scale) grid would merge passes 1+2 but assumes a
-    * positive, known-shaped domain. Returns one row per positions row:
-    * the positions columns plus `v` = the value at that rank. */
+    *  1. pass 1 — per-cell counts on the static grid: a ≤|groups|·cells
+    *     streaming aggregate over a 2-column scan; ONE window over that
+    *     BOUNDED aggregate (same partition+order spec, two frames) yields
+    *     each cell's cumulative rank offset `rb_off` AND the group total
+    *     `grp_n` — no separate per-group aggregate, no stats broadcast.
+    *     The aggregate is shared across its consumers via ReuseExchange,
+    *     NOT `.cache()`: shuffle files already materialize the bounded
+    *     frame once, and the plan needs exactly one canonical form of
+    *     the aggregate for reuse to hold. A CacheManager entry here was
+    *     round 10's plan-shape heisenbug: entries are JVM-shared across
+    *     sessions and an AQE-on session registering first compiles the
+    *     cached plan adaptively, hiding its output partitioning from
+    *     every later static consumer;
+    *  2. `mkPositions(grpStats)` turns the per-group (group, grp_n) —
+    *     the window output filtered to each group's first cell
+    *     (rb_off = 0 exactly once per group, since cell counts are
+    *     positive), so it reuses the pass-1 exchange and costs no extra
+    *     scan or shuffle — into the requested 0-based ranks: (group,
+    *     pos, any tag columns; `rb*`/`grp_n`/`in_off`/`cnt` are
+    *     reserved), closed-form and tiny (broadcast); an equi join on
+    *     group + containment filter maps each rank to its grid cell
+    *     (posCells, exactly one row per requested rank);
+    *  3. pass 2 — resolve values ONLY inside the cells holding a
+    *     requested rank: ONE inner broadcast join against posCells both
+    *     prunes the corpus to the needed cells and attaches each rank's
+    *     columns, ONE repartition by (group, cell) feeds the per-rank
+    *     row_number window (one exchange, guide §2.4), and the
+    *     (pos−rb_off)-th row in value order IS the rank's value — no
+    *     semi join, no distinct-value aggregate, no second broadcast,
+    *     no final join stage.
+    *
+    * Every shuffle carries bounded rows; the corpus appears only as two
+    * column-pruned scans (grid aggregate with map-side combine; the
+    * semi-join-pruned resolve). Returns one row per positions row: the
+    * positions columns plus `v` = the value at that rank. */
   private[queries] def valueAtRanks(
       base0: DataFrame, g: String, v: String,
       mkPositions: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val G = 4096
+    val K = 256   // cells per octave of value spread
+    val OFF = 275000L // > 1074·256 ≥ |⌊log2 subnormal·K⌋|: keeps branches disjoint
     val base = base0.select(col(g), col(v))
-    // grid cell: monotone in the value (floor of an increasing affine
-    // map), so per-group value order = (cell, value-within-cell) order.
-    // A one-value group (vmax = vmin) maps to cell 0; the double
-    // division is otherwise by a strictly positive span (ANSI-safe).
-    def rbOf(value: Column): Column =
-      when(col("vmax") === col("vmin"), lit(0)).otherwise(
-        least(lit(G - 1),
-          floor((value - col("vmin"))
-            / (col("vmax") - col("vmin")) * G).cast("int")))
-    // stats carries ONLY (g, vmin, vmax): grp_n is re-derived from the
-    // reused cells exchange below, so aggregating a count here would be
-    // dead weight — worse, the cells join and the vals join would then
-    // need pruning-dependent column sets to stay the SAME broadcast
-    // subtree, and this function exists precisely because canonical-form
-    // divergence forks the corpus scan. With the minimal aggregate both
-    // consumers reference `stats` verbatim and ReuseExchange holds by
-    // construction, not by optimizer accident.
-    val stats = base.groupBy(col(g)).agg(
-      min(col(v)).as("vmin"), max(col(v)).as("vmax"))
+    // static log grid: monotone in the value, so per-group value order =
+    // (cell, value-within-cell) order; no data-dependent inputs, so the
+    // SAME expression serves the grid aggregate and the resolve pass with
+    // no stats join. Branch layout: x<0 → cell < 0, x=0 → 0, x>0 → cell > 0.
+    def rbOf(value: Column): Column = {
+      val d = value.cast("double")
+      when(d > 0, floor(log2(d) * K) + OFF)
+        .when(d < 0, -floor(log2(-d) * K) - OFF)
+        .otherwise(lit(0L))
+    }
+    // one Window operator: same partition+order spec, two frames —
+    // cumulative offset (preceding rows) and group total (whole partition)
     val wGrid = Window.partitionBy(col(g)).orderBy(col("rb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // cells carries ONLY (g, rb, rb_n, rb_off): aggregating the bounds
-    // through it would let column pruning specialize the aggregate per
-    // consumer (with/without min(vmin)/min(vmax)) into two canonically
-    // different subtrees, defeating ReuseExchange and re-scanning the
-    // corpus once per variant. With one canonical form, Catalyst's
-    // exchange reuse materializes the grid aggregate ONCE (shuffle files
-    // are the bounded frame's cache — no CacheManager entry, so the plan
-    // shape cannot depend on which session/conf first registered a cache)
-    val cells = base.join(broadcast(stats), Seq(g))
+    val cells = base
       .groupBy(col(g), rbOf(col(v)).as("rb"))
       .agg(count(lit(1)).as("rb_n"))
-      .withColumn("rb_off", coalesce(sum(col("rb_n")).over(wGrid), lit(0L)))
-    // grp_n re-derives from the REUSED cells exchange (bounded rows), not
-    // from stats: routing it through stats would hand the positions
-    // builder a count-only pruned copy of the stats aggregate — a
-    // canonically distinct subtree, i.e. a fourth corpus scan
-    val grpStats = cells.groupBy(col(g)).agg(sum(col("rb_n")).as("grp_n"))
+      .withColumn("rb_off", coalesce(sum(col("rb_n")).over(
+        wGrid.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("grp_n", sum(col("rb_n")).over(
+        wGrid.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // round-13 plan-truncation cure (guide §3.3/§5), applied to the
+      // BOUNDED grid index: positions, posCells and the resolve pass all
+      // consume cells, and without truncation each consumer re-plans the
+      // whole grid subtree (the static q89 plan carried 5 copies / 81
+      // operators for AQE to re-canonicalize every pass). Recomputed from
+      // parquet on every invocation — nothing crosses runs.
+      .localCheckpoint(true)
+    // grp_n rides the pass-1 window (first cell per group: rb_off = 0
+    // exactly once, since every rb_n ≥ 1) — a groupBy here would be a
+    // second bounded exchange for rows the window already holds
+    val grpStats = cells.filter(col("rb_off") === 0)
+      .select(col(g), col("grp_n"))
     val positions = mkPositions(grpStats)
     require(positions.columns.contains("pos"),
       s"mkPositions must emit a 'pos' column, got ${positions.columns.mkString(", ")}")
     // locate each requested rank's grid cell: equi join on group with a
-    // containment filter — both sides bounded
+    // containment filter — both sides bounded, one output row per rank
     val posCells = cells
       .join(broadcast(positions), Seq(g))
       .filter(col("rb_off") <= col("pos") &&
         col("pos") < col("rb_off") + col("rb_n"))
-      .drop("rb_n")
-    val needed = posCells.select(col(g), col("rb")).distinct()
-    val wCell = Window.partitionBy(col(g), col("rb")).orderBy(col(v))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val vals = base.join(broadcast(stats), Seq(g))
+      .drop("rb_n", "grp_n")
+    // resolve pass: ONE inner broadcast join both PRUNES the corpus to
+    // the ~|ranks| needed cells and ATTACHES each rank's (pos, rb_off,
+    // tag) columns — no separate semi join + needed broadcast + final
+    // join (three serial jobs in the round-13 form). A cell holding k
+    // ranks duplicates its rows k-fold pre-aggregation, but k ≤ |ranks
+    // per group| (≤16 here) over a 2^(1/256)-wide value band — bounded.
+    // Grouping by the attached rank columns keeps per-rank counts exact.
+    // the per-rank window partitions by EVERY attached rank column, not
+    // just pos: two rank rows may share (g, pos) with different tags
+    // (percentiles' lo/hi collapse onto one pos at a group edge), and
+    // each must rank its own copy of the cell. positions rows must
+    // therefore be DISTINCT across their full column set (both builders
+    // are). No distinct-value aggregate is needed at all: with the
+    // cell's rows sorted by value, the (pos−rb_off)-th row (0-based) IS
+    // the value at that rank — duplicates land contiguously, so whichever
+    // physical row row_number picks among ties carries the same value.
+    val tagCols = positions.columns.filterNot(_ == g).map(col).toSeq
+    val wCell = Window
+      .partitionBy(col(g) +: col("rb") +: tagCols: _*).orderBy(col(v))
+    // one exchange (guide §2.4): the explicit (g, rb) repartition
+    // satisfies the per-(cell, rank) window's clustering — the rows it
+    // carries are already join-pruned to the needed cells
+    base
       .withColumn("rb", rbOf(col(v)))
-      .join(broadcast(needed), Seq(g, "rb"), "left_semi")
-      .groupBy(col(g), col("rb"), col(v))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("in_off", coalesce(sum(col("cnt")).over(wCell), lit(0L)))
-    // value at rank pos within its cell: in_off ≤ pos−rb_off < in_off+cnt
-    posCells.join(vals, Seq(g, "rb"))
-      .filter(col("in_off") <= col("pos") - col("rb_off") &&
-        col("pos") - col("rb_off") < col("in_off") + col("cnt"))
-      .drop("rb", "rb_off", "in_off", "cnt")
+      .join(broadcast(posCells), Seq(g, "rb"))
+      .repartition(col(g), col("rb"))
+      .withColumn("__rn", row_number().over(wCell))
+      .filter(col("__rn") - 1 === col("pos") - col("rb_off"))
+      .drop("rb", "rb_off", "__rn")
   }
 }

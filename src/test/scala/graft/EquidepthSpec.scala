@@ -122,21 +122,38 @@ class EquidepthSpec extends SparkSpec {
     assert(rangeIdx.contains("ExistingRDD"),
       s"range-index counterexample lost its RDD boundary:\n$rangeIdx")
     // the shipping plan: no per-row ntile window, no RDD boundary, no
-    // range exchange — the corpus appears only under map-side-combined
-    // streaming aggregates (3 / ≤3·4096 / boundary-cell groups), so no
-    // exchange in the plan carries corpus-sized rows
+    // range exchange — the corpus appears only under a map-side-combined
+    // streaming grid aggregate and the semi-join-pruned resolve pass, so
+    // no exchange in the plan carries corpus-sized rows
     val shipping = graft.queries.QueryCatalog
       .queries("q89_equidepth_histogram")(spark, d)
       .queryExecution.executedPlan.toString
     assert(!shipping.contains("ntile"),
       s"shipping plan must not run the ntile window:\n$shipping")
-    assert(!shipping.contains("ExistingRDD"),
-      s"shipping plan must stay RDD-free (whole-stage codegen):\n$shipping")
+    // round 14: the CORPUS path must stay RDD-free (round 9's
+    // zipWithIndex RDD boundary broke whole-stage codegen on every
+    // lineitem row) — the only permitted ExistingRDD is the
+    // localCheckpoint'ed BOUNDED grid index (carries cell counts, never
+    // corpus columns)
+    val rddScans = "ExistingRDD\\s*\\[[^\\]]*\\]".r.findAllIn(shipping).toList
+    assert(rddScans.nonEmpty && rddScans.forall(s =>
+      s.contains("rb_n") && !s.contains("l_extendedprice")),
+      s"ExistingRDD may only be the bounded grid index, got $rddScans in:\n$shipping")
     assert(!shipping.contains("rangepartitioning"),
       s"shipping plan must not range-exchange the corpus:\n$shipping")
-    // the boundary-cell value agg is the widest exchange: (flag, rb, price)
-    assert(("hashpartitioning\\(l_returnflag#\\d+, rb#\\d+, " +
-      "l_extendedprice#\\d+").r.findFirstIn(shipping).isDefined,
-      s"shipping plan must rank values per boundary cell:\n$shipping")
+    // round 14 (guide §2.4): the resolve pass keys its ONE exchange on
+    // (flag, rb) so the distinct-value aggregate and the per-cell rank
+    // window share it — the old (flag, rb, price) aggregate exchange
+    // followed by a second (flag, rb) window exchange must stay retired
+    assert("hashpartitioning\\(l_returnflag#\\d+, rb#\\d+L?, \\d+\\)".r
+      .findFirstIn(shipping).isDefined,
+      s"resolve pass must exchange once on (flag, cell):\n$shipping")
+    assert(("hashpartitioning\\(l_returnflag#\\d+, rb#\\d+L?, " +
+      "l_extendedprice#\\d+").r.findFirstIn(shipping).isEmpty,
+      s"resolve pass must not re-exchange by (flag, cell, value):\n$shipping")
+    // round 14: the static log grid retired the per-group (vmin, vmax)
+    // stats pass — no min/max aggregate over the corpus may reappear
+    assert(!shipping.contains("vmin"),
+      s"the adaptive-grid stats pass must stay retired:\n$shipping")
   }
 }

@@ -91,4 +91,44 @@ class PpJoinSpec extends SparkSpec {
     val verified = Text.ppJoin(docsDf, 0.7).count()
     assert(verified >= 30)
   }
+
+  test("length filter (round 14) prunes size-incompatible candidates losslessly") {
+    // Common tokens c1..c20 (df ≥ 4 via three filler docs) push the rare
+    // tokens to the front of every prefix. Pair (1,2) shares prefix token
+    // rare1 but has |A|/|B| = 4/20 < 0.5 → the size filter must prune it
+    // (and no such pair can reach Jaccard 0.5, so recall is unharmed).
+    // Pair (4,5) sits EXACTLY on the bound (7/14 = 0.5) → must survive,
+    // and indeed verifies at jac = 7/14 = 0.5.
+    val common = (1 to 20).map(i => s"c$i")
+    val docs = (Seq(
+      (1L, Seq("rare1") ++ common.take(3)),
+      (2L, Seq("rare1") ++ common.take(19)),
+      (4L, Seq("rare2") ++ common.take(13)),
+      (5L, Seq("rare2") ++ common.take(6))) ++
+      (0 until 3).map(i => (100L + i, common))).toDF("doc_id", "toks")
+    val cands = Text.ppJoinCandidates(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cands.contains((1L, 2L)),
+      s"size filter did not prune the 4-vs-20 pair: $cands")
+    assert(cands.contains((4L, 5L)),
+      s"boundary ratio exactly t was wrongly pruned: $cands")
+    // exact recall on this corpus: ppJoin ≡ naive quadratic
+    import org.apache.spark.sql.DataFrame
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairs(Text.ppJoin(docs, 0.5)
+      .select($"doc_a", $"doc_b", round($"jac", 9).as("jac")))
+    val d = docs
+    val naive = pairs(d.select($"doc_id".as("doc_a"), $"toks".as("ta"))
+      .crossJoin(d.select($"doc_id".as("doc_b"), $"toks".as("tb")))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("jac", round(
+        size(array_intersect($"ta", $"tb")).cast("double") /
+          size(array_union($"ta", $"tb")), 9))
+      .filter($"jac" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jac"))
+    assert(got == naive,
+      s"length filter broke recall: missing=${naive -- got} extra=${got -- naive}")
+    assert(got.exists(p => p._1 == 4L && p._2 == 5L && p._3 == 0.5))
+  }
 }
