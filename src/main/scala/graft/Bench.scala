@@ -149,13 +149,24 @@ object Bench {
       }
     }
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\p{Cntrl}]", " ") + "\""
-    val qs = out.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = out.map { case (k, v) => s"\"" + k + "\":" + sec3(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = out.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"forked","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","mode":"forked","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
+
+  /** Per-query seconds at 3 decimals in the one-line JSON (round-13
+    * verdict item 2): full-precision doubles made the 234-entry summary
+    * line long enough that the driver's tail capture truncated it
+    * (BENCH_r12's `parsed: null`), losing the round-over-round record.
+    * 1 ms resolution is below the box's noise floor by two orders of
+    * magnitude. Locale-pinned so a non-POSIX JVM can't emit decimal
+    * commas. Failed queries stay exactly "-1". */
+  private def sec3(v: Double): String =
+    if (v < 0) "-1"
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   /** Parse a fork-mode reference artifact's `queries` map, keeping only
     * entries at the sweep's own scale factor. Whitespace-tolerant on
@@ -331,6 +342,18 @@ object Bench {
       }
     }
 
+    // SPARK_GRAFT_STORAGE_METRICS=true: record per-query PEAK block-store
+    // bytes (memory + disk) across the timed passes ("storage_bytes" map).
+    // Exists for the round-13 verdict's item 3: the localCheckpoint'ed
+    // intermediates materialize into executor-local storage, and whether
+    // the materialize-once trade still wins when those bytes grow 10×
+    // (sf1) is a claim that needs the BYTES, not just the seconds. The
+    // reading is taken right after each pass while the pass's DataFrame
+    // still references its checkpointed RDDs; a System.gc() between
+    // queries (this mode only) lets ContextCleaner drop the previous
+    // query's blocks so readings don't accumulate across queries.
+    val storageMetrics = sys.env.get("SPARK_GRAFT_STORAGE_METRICS").contains("true")
+    val storageBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val shuffleBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val spillBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -338,6 +361,7 @@ object Bench {
       drainListeners()
       val sh0 = accShuffle.get; val sp0 = accSpill.get
       var passesRun = 0
+      if (storageMetrics) { System.gc(); Thread.sleep(200) }
       val times = (1 to Passes).flatMap { _ =>
         if (errors.contains(name)) None // first failure wins, skip reruns
         else {
@@ -349,6 +373,11 @@ object Bench {
           try {
             materialize(fn(spark, sfDir))
             passesRun += 1
+            if (storageMetrics) {
+              val cur = spark.sparkContext.getRDDStorageInfo
+                .map(i => i.memSize + i.diskSize).sum
+              storageBytes(name) = math.max(storageBytes.getOrElse(name, 0L), cur)
+            }
             Some((System.nanoTime() - t0) / 1e9)
           } catch {
             case scala.util.control.NonFatal(t) =>
@@ -428,7 +457,7 @@ object Bench {
           case _ => name -> t
         }
       }
-    val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     // \p{Cntrl} (not just \n\r\t): ANY control character in an exception
     // message would otherwise break the one-line JSON contract
@@ -437,7 +466,7 @@ object Bench {
       .mkString("{", ",", "}")
     val recheckJson = if (rechecks.isEmpty) "" else
       "," + rechecks.map { case (k, (a, b)) =>
-        "\"" + k + "\":{\"in_sweep\":" + a + ",\"recheck\":" + b + "}"
+        "\"" + k + "\":{\"in_sweep\":" + sec3(a) + ",\"recheck\":" + sec3(b) + "}"
       }.mkString("\"rechecks\":{", ",", "}")
     val total = finalResults.map(_._2).filter(_ >= 0).sum
     val shufJson = if (!shuffleMetrics) "" else {
@@ -445,7 +474,10 @@ object Bench {
         mm.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       s""","shuffle_bytes":${m(shuffleBytes)},"spill_bytes":${m(spillBytes)}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson$recheckJson$shufJson,"sf":"$sfDir"}""")
+    val storJson = if (!storageMetrics) "" else
+      storageBytes.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString(""","storage_bytes":{""", ",", "}")
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errJson$recheckJson$shufJson$storJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
