@@ -229,26 +229,55 @@ object Corpus {
   }
 
   /** One-pass declarative data-quality audit: evaluate every row-level
-    * constraint in a SINGLE aggregate over a SINGLE scan (each check is a
-    * conditional sum — adding checks adds columns, never passes), plus
-    * one keyed aggregate per uniqueness constraint. Returns the long
-    * audit table (check, n_violations, n_rows) a pipeline gate can
-    * alert on. A NULL predicate result counts as a violation (the
-    * constraint could not be proven), and uniqueness counts every row
-    * beyond the first per duplicate key (SQL NULL keys group together
-    * here — audit semantics, not join semantics). */
+    * constraint AND every same-table referential check in a SINGLE
+    * aggregate over a SINGLE scan of `df` (each check adds a column —
+    * FK checks additionally a build-side broadcast join — never a pass),
+    * plus one keyed aggregate per uniqueness constraint. Returns the
+    * long audit table (check, n_violations, n_rows) a pipeline gate can
+    * alert on.
+    *
+    * Semantics: a NULL predicate result counts as a violation (the
+    * constraint could not be proven); uniqueness counts every row beyond
+    * the first per duplicate key (SQL NULL keys group together here —
+    * audit semantics, not join semantics); each `referential` entry
+    * (name, childKeys, parent, parentKeys) left-joins the DISTINCT
+    * parent key set (broadcastable when the parent is a dim) BEFORE the
+    * shared aggregate — distinctness guarantees at most one match per
+    * child row, so the row multiset the other fused checks read is
+    * untouched, and a NULL child key cannot match and counts as an
+    * orphan. Uniqueness deliberately stays a separate branch: fusing it
+    * via count(distinct struct(keys)) would drag every row-check partial
+    * sum through the corpus-sized keyed exchange (measured slower at
+    * every SF tried), while the global-aggregate fusion here collapses
+    * map-side to one cell per partition per check. */
   def auditConstraints(
       df: DataFrame,
       rowChecks: Seq[(String, Column)],
-      uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
-    require(rowChecks.nonEmpty || uniqueKeys.nonEmpty, "auditConstraints: nothing to check")
+      uniqueKeys: Seq[(String, Seq[String])] = Nil,
+      referential: Seq[(String, Seq[String], DataFrame, Seq[String])] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueKeys.nonEmpty || referential.nonEmpty,
+      "auditConstraints: nothing to check")
+    referential.foreach { case (n, ck, _, pk) =>
+      require(ck.nonEmpty && ck.size == pk.size,
+        s"auditConstraints: referential '$n' key lists must be non-empty and same-length")
+    }
+    val hits = referential.indices.map(i => s"__hit_$i")
     val parts =
-      (if (rowChecks.isEmpty) Nil else {
-        val aggs = count(lit(1)).as("__n") +:
-          rowChecks.map { case (n, p) => sum(when(p, 0L).otherwise(1L)).as(n) }
-        val pairs = rowChecks.map { case (n, _) => s"'$n', `$n`" }.mkString(", ")
-        Seq(df.agg(aggs.head, aggs.tail: _*).selectExpr(
-          s"stack(${rowChecks.size}, $pairs) as (check_name, n_violations)",
+      (if (rowChecks.isEmpty && referential.isEmpty) Nil else {
+        val joined = referential.zip(hits).foldLeft(df) {
+          case (acc, ((_, ck, parent, pk), hit)) =>
+            val parentKeys = parent.select(pk.map(col): _*).distinct()
+              .toDF(ck: _*).withColumn(hit, lit(1))
+            acc.join(parentKeys, ck, "left")
+        }
+        val aggs = count(lit(1)).as("__n") +: (
+          rowChecks.map { case (n, p) => sum(when(p, 0L).otherwise(1L)).as(n) } ++
+          referential.zip(hits).map { case ((n, _, _, _), hit) =>
+            coalesce(sum(when(col(hit).isNull, 1L).otherwise(0L)), lit(0L)).as(n) })
+        val pairs = (rowChecks.map { case (n, _) => s"'$n', `$n`" } ++
+          referential.map { case (n, _, _, _) => s"'$n', `$n`" }).mkString(", ")
+        Seq(joined.agg(aggs.head, aggs.tail: _*).selectExpr(
+          s"stack(${rowChecks.size + referential.size}, $pairs) as (check_name, n_violations)",
           "__n as n_rows"))
       }) ++
       uniqueKeys.map { case (name, keys) =>
@@ -261,26 +290,18 @@ object Corpus {
     parts.reduce(_.unionByName(_))
   }
 
-  /** Referential-integrity audit: orphan count for a child→parent foreign
-    * key, as one row in [[auditConstraints]]'s audit shape. One left join
-    * against the DISTINCT parent key set (broadcastable when the parent
-    * is a dim) — a NULL child key cannot match and counts as an orphan. */
+  /** Referential-integrity audit for a standalone child table: orphan
+    * count for a child→parent foreign key, as one row in
+    * [[auditConstraints]]'s audit shape (and implemented as the
+    * single-entry case of its fused `referential` path — when the child
+    * already carries other audited constraints, pass the FK through
+    * `auditConstraints` directly so all checks share one scan). */
   def auditReferential(
       name: String,
       child: DataFrame, childKey: Seq[String],
-      parent: DataFrame, parentKey: Seq[String]): DataFrame = {
-    require(childKey.nonEmpty && childKey.size == parentKey.size,
-      "auditReferential: key lists must be non-empty and same-length")
-    val parentKeys = parent.select(parentKey.map(col): _*).distinct()
-      .toDF(childKey: _*).withColumn("__hit", lit(1))
-    child.select(childKey.map(col): _*)
-      .join(parentKeys, childKey, "left")
-      .agg(
-        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_violations"),
-        count(lit(1)).as("n_rows"))
-      .select(lit(name).as("check_name"),
-        coalesce(col("n_violations"), lit(0L)).as("n_violations"), col("n_rows"))
-  }
+      parent: DataFrame, parentKey: Seq[String]): DataFrame =
+    auditConstraints(child, rowChecks = Nil,
+      referential = Seq((name, childKey, parent, parentKey)))
 
   /** Mixture/epoch planning: given target mixture weights per stratum and
     * a total token budget, compute each stratum's available mass and the

@@ -536,11 +536,13 @@ private[queries] object CatalogAnalytics {
       SELECT doc_id, source, n_chars FROM c WHERE cum - tok < 500"""))
 
   /** One-pass declarative data-quality audit (Corpus.auditConstraints +
-    * auditReferential): three row constraints in ONE aggregate over ONE
-    * lineitem scan, a uniqueness check, and two foreign-key orphan
-    * counts, all in the long (check_name, n_violations, n_rows) audit
-    * shape a gate alerts on. discount_le_5pct is a deliberately failing
-    * rule so nonzero counts flow through the compare. */
+    * auditReferential): three row constraints, the uniqueness check AND
+    * the lineitem→part FK all fused into ONE aggregate over ONE lineitem
+    * scan (round 14 — previously three scans), plus the orders→customer
+    * FK on its own scan, all in the long (check_name, n_violations,
+    * n_rows) audit shape a gate alerts on. discount_le_5pct is a
+    * deliberately failing rule so nonzero counts flow through the
+    * compare. */
   private val q83 = Q(
     "q83_quality_audit",
     (s, d) => {
@@ -551,9 +553,11 @@ private[queries] object CatalogAnalytics {
           "orderkey_not_null" -> col("l_orderkey").isNotNull,
           "quantity_in_1_50" -> col("l_quantity").between(1.0, 50.0),
           "discount_le_5pct" -> (col("l_discount") <= 0.05)),
-        uniqueKeys = Seq("unique_order_line" -> Seq("l_orderkey", "l_linenumber")))
-        .unionByName(Corpus.auditReferential("fk_lineitem_part",
-          li, Seq("l_partkey"), Tables.table(s, d, "part"), Seq("p_partkey")))
+        uniqueKeys = Seq("unique_order_line" -> Seq("l_orderkey", "l_linenumber")),
+        // round-14: the same-table FK rides the one lineitem aggregate
+        // (3 lineitem scans → 1); only the orders FK needs its own scan
+        referential = Seq(("fk_lineitem_part",
+          Seq("l_partkey"), Tables.table(s, d, "part"), Seq("p_partkey"))))
         .unionByName(Corpus.auditReferential("fk_orders_customer",
           Tables.orders(s, d), Seq("o_custkey"),
           Tables.customer(s, d), Seq("c_custkey")))

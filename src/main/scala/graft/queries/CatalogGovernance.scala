@@ -860,12 +860,16 @@ private[queries] object CatalogGovernance {
           floor(size(array_distinct(toks)).cast("double") * 1000000
             / greatest(size(toks), lit(1)).cast("double") + 0.5)
             .cast("long").as("qual_micro"))
-      val budget = docs.agg(
-        floor(sum(col("tok")) / 4).cast("long").as("budget"))
       val idxed = Corpus.globalIndex(docs,
         Seq(col("qual_micro").desc, col("doc_id").asc),
         numPartitions = 16, indexName = "gidx")
         .withColumn("blk", expr("gidx DIV 65536"))
+      // round-14: the budget rides the already-materialized index
+      // (globalIndex adds a column, drops/adds no rows — same sum(tok))
+      // instead of a second corpus pass that re-read, re-spread (a
+      // full-text repartition exchange) and re-tokenized documents.
+      val budget = idxed.agg(
+        floor(sum(col("tok")) / 4).cast("long").as("budget"))
       val offs = idxed.groupBy(col("blk")).agg(sum(col("tok")).as("bs"))
         .withColumn("off", coalesce(
           sum(col("bs")).over(Window.orderBy(col("blk"))
@@ -1408,21 +1412,27 @@ private[queries] object CatalogGovernance {
       val wc = pois(Corpus.uniformHash(
         concat(col("source"), lit(":"), col("b").cast("string")),
         "graft-boot-clu"))
+      // round-14: every resample group contains every doc exactly once
+      // (the b-fan is a full cross product), so sum(x) and count per b
+      // ARE the full-corpus S and N — carry them through the fan's own
+      // aggregate (max over identical per-b values) instead of a second
+      // corpus scan + crossJoin for the mean_full scalar.
       val perb = fan.withColumn("wd", wd).withColumn("wc", wc)
         .groupBy(col("b"))
         .agg(sum(col("wd") * col("x")).as("swdx"), sum(col("wd")).as("swd"),
-          sum(col("wc") * col("x")).as("swcx"), sum(col("wc")).as("swc"))
+          sum(col("wc") * col("x")).as("swcx"), sum(col("wc")).as("swc"),
+          sum(col("x")).as("sx"), count(lit(1)).as("nx"))
       val means = perb.select(
         mMicro(col("swdx"), col("swd")).as("md"),
-        mMicro(col("swcx"), col("swc")).as("mc"))
+        mMicro(col("swcx"), col("swc")).as("mc"),
+        col("sx"), col("nx"))
       val arr = means.agg(
         sort_array(collect_list(col("md"))).as("ad"),
         sort_array(collect_list(col("mc"))).as("ac"),
-        count(lit(1)).as("nb"))
-      val full = base.agg(
-        floor(sum(col("x")).cast("double") / count(lit(1)) * 1000000 + 0.5)
+        count(lit(1)).as("nb"),
+        floor(max(col("sx")).cast("double") / max(col("nx")) * 1000000 + 0.5)
           .cast("long").as("mean_full_micro"))
-      arr.crossJoin(broadcast(full)).select(
+      arr.select(
         col("nb").as("n_resamples"), col("mean_full_micro"),
         element_at(col("ad"), 1).as("doc_lo_micro"),
         element_at(col("ad"), 39).as("doc_hi_micro"),

@@ -502,6 +502,41 @@ class CorpusSpec extends SparkSpec {
     assert(fk.getString(0) == "fk" && fk.getLong(1) == 1L && fk.getLong(2) == 4L)
   }
 
+  test("auditConstraints: fused referential rides the single aggregate without disturbing other checks") {
+    val t = Seq(
+      (Some(1L), 5.0, "a"),
+      (Some(2L), -1.0, "b"),
+      (None: Option[Long], 3.0, "c"),
+      (Some(1L), 7.0, "d")
+    ).toDF("id", "v", "tag")
+    // duplicate parent key: the DISTINCT parent set must keep the join
+    // row-preserving, so every check still sees exactly 4 rows
+    val parent = Seq(1L, 2L, 2L).toDF("pid")
+    val fused = Corpus.auditConstraints(t,
+      rowChecks = Seq(
+        "id_not_null" -> col("id").isNotNull,
+        "v_positive" -> (col("v") > 0)),
+      uniqueKeys = Seq("unique_id" -> Seq("id")),
+      referential = Seq(("fk_id", Seq("id"), parent, Seq("pid"))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fused("id_not_null") == ((1L, 4L)))
+    assert(fused("v_positive") == ((1L, 4L)))
+    assert(fused("unique_id") == ((1L, 4L)))
+    assert(fused("fk_id") == ((1L, 4L))) // the null id is the one orphan
+    // multi-column FK through the fused path
+    val parent2 = Seq((1L, "a"), (2L, "b")).toDF("pid", "ptag")
+    val fk2 = Corpus.auditConstraints(t,
+      rowChecks = Seq("id_not_null" -> col("id").isNotNull),
+      referential = Seq(("fk_id_tag", Seq("id", "tag"), parent2, Seq("pid", "ptag"))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // (1,"a") and (2,"b") match; (null,"c") and (1,"d") are orphans
+    assert(fk2("fk_id_tag") == ((2L, 4L)))
+    // empty child keeps the coalesced zero of the standalone form
+    val empty = Corpus.auditReferential("fk",
+      t.filter(lit(false)), Seq("id"), parent, Seq("pid")).collect().head
+    assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L)
+  }
+
   test("dupNgramFraction and topTokenStats on known documents") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

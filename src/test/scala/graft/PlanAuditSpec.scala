@@ -96,8 +96,8 @@ class PlanAuditSpec extends SparkSpec {
       // q197: the sorted 40-element resample-means row crossJoins the
       // 1-row full-corpus-mean broadcast (both sides bounded by B=40)
       "q197_bootstrap_ci" -> 1,
-      // q199: same bounded combine as q197 (40-row arrays x 1-row mean)
-      "q199_cluster_bootstrap" -> 1,
+      // (q199's q197-style combine was fused into the fan aggregate in
+      // round 14 — its crossJoin and BNLJ are gone)
       // q191: the 1-row token-budget broadcast against the doc stream
       "q191_token_budget_select" -> 1,
       "q176_bpe_merges" -> 3,
